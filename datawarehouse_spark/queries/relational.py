@@ -35,7 +35,7 @@ def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_size, p_retailprice
     FROM part
-    WHERE p_size >= 10 AND p_size < 40 AND p_retailprice * 12 > 14000
+    WHERE p_size >= 10 AND p_size < 40 AND p_retailprice * 12 > 11500
       AND p_brand <> 'Brand#3'
     """,
 )
@@ -47,7 +47,7 @@ def p2_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.filter(
         (F.col("p_size") >= 10)
         & (F.col("p_size") < 40)
-        & (F.col("p_retailprice") * 12 > 14000)
+        & (F.col("p_retailprice") * 12 > 11500)
         & (F.col("p_brand") != "Brand#3")
     ).select("p_partkey", "p_name", "p_size", "p_retailprice")
 
@@ -171,15 +171,17 @@ def p9_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
     """,
 )
 def p10_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10/J12 — NOT EXISTS as LEFT ANTI join (reference docs/sql规范.md:82-87)."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
+    huge = t["orders"].filter(F.col("o_totalprice") > 450000)
     return (
         t["customer"]
-        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .join(huge, t["customer"].c_custkey == huge.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
     )
 
@@ -573,16 +575,18 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS custkey FROM orders
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 — MINUS/EXCEPT (reference docs/sql规范.md:210-211)."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
+    urgent = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return (
-        t["customer"].select(F.col("c_custkey").alias("custkey"))
-        .exceptAll(t["orders"].select(F.col("o_custkey").alias("custkey")).distinct())
-        .distinct()
+        t["customer"].select(F.col("c_custkey").alias("custkey")).subtract(urgent)
     )
 
 
