@@ -1,0 +1,220 @@
+"""Window functions — SURVEY.md §2.5 (W1-W6) + S13 window dedupe.
+
+Frame semantics are the hard part (SURVEY §7.3.1): Hive/Spark/DuckDB all
+default to RANGE UNBOUNDED PRECEDING → CURRENT ROW when ORDER BY is
+present, so `last_value` over the default frame returns the *current*
+row — w2 pins that; partition-max intent needs an explicit frame (w1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.queries.registry import query
+
+
+@query(
+    "w1_first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def w1_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — first/last event per user without collapsing rows (reference
+    docs/HiveSQL.md:101-102). last_value takes the explicit full frame —
+    the trap the reference itself documents by rewriting it to max()."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_event"),
+            F.last("event_type").over(w_full).alias("last_event"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "w2_last_value_default_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(event_type) OVER
+             (PARTITION BY user_id ORDER BY event_id) AS lv
+    FROM events
+    """,
+)
+def w2_last_value_default_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — pins the default-frame semantics: with ORDER BY and no frame,
+    last_value = current row (docs/HiveSQL.md:102 + SURVEY §7.3.1)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return t["events"].select(
+        "event_id", "user_id", F.last("event_type").over(w).alias("lv")
+    )
+
+
+@query(
+    "w3_w4_partition_count_sum",
+    oracle="""
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt,
+           CAST(count(*) OVER w AS BIGINT) AS day_pv,
+           CAST(sum(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS day_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE))
+    """,
+)
+def w3_w4_partition_count_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4 — whole-partition count/sum without collapsing (reference
+    docs/HiveSQL.md:103-104: per-day event count + duration total)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"].withColumn("dt", F.to_date("ts"))
+    w = W.partitionBy("user_id", "dt")
+    return (
+        e.select(
+            "user_id",
+            "dt",
+            F.count(F.lit(1)).over(w).alias("day_pv"),
+            F.sum(F.col("value").cast("decimal(38,2)")).over(w)
+            .cast("double")
+            .alias("day_value"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "w5_window_vs_groupby_join",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_time_us,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_time_us
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS day_pv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.user_id, d.dt, b.first_time_us, b.last_time_us, d.day_pv
+    FROM daily d JOIN bounds b ON d.user_id = b.user_id
+    """,
+)
+def w5_window_vs_groupby_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — the reference's window↔(groupby+join) equivalence pair
+    (docs/HiveSQL.md:95-157): we run the WINDOW form, the oracle runs the
+    reference's own decomposition into temp aggregates + join. Matching
+    results replicate the reference's correctness methodology (§5.2)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"].select(
+        "user_id", F.to_date("ts").alias("dt"), F.unix_micros("ts").alias("ts_us")
+    )
+    w_user = W.partitionBy("user_id")
+    w_day = W.partitionBy("user_id", "dt")
+    return (
+        e.select(
+            "user_id",
+            "dt",
+            F.min("ts_us").over(w_user).alias("first_time_us"),
+            F.max("ts_us").over(w_user).alias("last_time_us"),
+            F.count(F.lit(1)).over(w_day).alias("day_pv"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "w6_ranking",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn, rnk, drnk
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn,
+             CAST(rank() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC) AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC) AS BIGINT) AS drnk
+      FROM part
+    )
+    WHERE rn <= 3
+    """,
+)
+def w6_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/A17 — ranking trio + top-k per group (reference capability bar
+    docs/olap.md:82,97; TopN docs/olap.md:51). row_number carries a full
+    tiebreak for determinism; rank/dense_rank legitimately tie."""
+    t = load_tables(spark, sf_dir, ("part",))
+    w_det = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    w_tie = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        t["part"]
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w_det).cast("bigint").alias("rn"),
+            F.rank().over(w_tie).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w_tie).cast("bigint").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "w6_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us,
+           lead(event_type) OVER w AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def w6_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — lag/lead analytics (sessionization building block)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    ts_us = F.unix_micros("ts")
+    return t["events"].select(
+        "user_id",
+        "event_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event"),
+    )
+
+
+@query(
+    "s13_window_dedupe",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def s13_window_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — keep-first dedupe via row_number (reference's ROWID dedupe
+    DELETE, docs/sql规范.md:21-24, re-expressed as the idiomatic
+    warehouse pattern)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
