@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame transforms (JVM expressions, no Python
+row loops) so they compose with the rest of the engine and scale:
+
+* exact dedup        — md5 fingerprint + hash aggregation
+* MinHash            — k md5-based min-hashes over word 3-shingles;
+                       deterministic (no rand()), so results are
+                       reproducible and oracle-checkable
+* MinHash-LSH        — band the signature, bucket-join candidates;
+                       the 100 TB path: candidate generation touches
+                       only same-bucket pairs instead of all O(n²)
+* exact n-gram Jaccard — explode shingles + self-join; the verifier
+                       used downstream of LSH candidates (and an exact
+                       oracle-checkable near-dup op at small scale)
+
+Scale notes: the shingle self-join shuffles on the shingle string; hot
+shingles (stopword runs) are capped via frequency filtering
+(``max_shingle_freq``) — the classic "drop ubiquitous shingles" trick,
+which both bounds the join fan-out and removes noise pairs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: str = "text") -> Column:
+    return F.split(F.col(text), " ")
+
+
+def shingles_col(text: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> column."""
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) < n,
+            F.array(F.col(text)),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def minhash_col(shingles: Column, seed: int) -> Column:
+    """One MinHash value: lexicographic min of md5(seed || shingle).
+
+    md5 exists with identical output in every engine we oracle against;
+    lexicographic min over hex strings is a valid uniform min-hash.
+    """
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                      k: int = 8, n: int = 3) -> DataFrame:
+    """doc_id + mh0..mh{k-1} columns."""
+    sh = shingles_col(text, n)
+    return df.select(
+        id_col, *[minhash_col(sh, j).alias(f"mh{j}") for j in range(k)]
+    )
+
+
+def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
+                   band_size: int = 2) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any MinHash band.
+
+    Bands the k-column signature into k/band_size buckets and
+    bucket-joins. O(sum of bucket²) instead of O(n²) — the scale path.
+    Probabilistic recall: P(candidate) = 1-(1-s^band_size)^(k/band_size)
+    for true Jaccard s; tune k/band_size to the target threshold.
+    """
+    n_bands = k // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via shingle self-join.
+
+    Exact (not probabilistic): |A∩B| from the join, sizes from per-doc
+    counts, jaccard = i/(na+nb-i). ``max_shingle_freq`` drops shingles
+    appearing in more than that many docs — bounds fan-out at scale.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("s"))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
+        sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "s").drop("_f")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        # no rounding: i/na/nb are identical integers in any engine, and
+        # IEEE double division of identical operands is bit-deterministic
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """63-bit SimHash per document via an Arrow-vectorized pandas UDF.
+
+    Per token: md5 → 64 bits; bit positions vote ±1 weighted by token
+    frequency; the sign vector is the fingerprint (top bit dropped to
+    stay in signed int64). Near-dup docs differ in few bits — pair
+    finding is then a Hamming-ball bucket join on bit-slices.
+
+    The slow path is justified here: a 64-position bit-vote has no
+    reasonable built-in expression form, and the Arrow batch transfer
+    amortizes (SURVEY §2.10 X3).
+    """
+    import hashlib
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            votes = [0] * 63
+            for tok in (t or "").split(" "):
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big"
+                ) & ((1 << 63) - 1)
+                for i in range(63):
+                    votes[i] += 1 if (h >> i) & 1 else -1
+            sig = 0
+            for i in range(63):
+                if votes[i] > 0:
+                    sig |= 1 << i
+            out.append(sig)
+        return pd.Series(out)
+
+    return df.select(id_col, _simhash(F.col(text)).alias("simhash"))

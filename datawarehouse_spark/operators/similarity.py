@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: a broadcast cross join
+of the (small) query set against the corpus with a JVM-side fold for
+the dot product — no Python in the loop. The scale path is
+random-hyperplane LSH bucketing: corpus and queries hash to sign
+buckets, candidate ranking only touches same-bucket vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot_cols(a: str, b: str) -> Column:
+    """Σ aᵢ·bᵢ in double — sequential fold, deterministic order."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Output: q_id, n_id, cos (rounded to 6 — engines may differ ~1ulp in
+    the norm combination), rank. Ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
+    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
+    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-bucket each vector against deterministic pseudo-random
+    hyperplanes (components derived from md5 of (plane, dim-index) —
+    reproducible with no RNG state).
+
+    Returns id + bucket string of n_planes sign bits. Same-bucket
+    vectors are ANN candidates; expected candidate fraction 2^-n_planes
+    per pair for random data. This is the 100 TB path: the bucket id is
+    a shuffle key, so candidate generation is a hash join, not O(n²).
+    """
+    # plane component p_{j,i} in [-0.5, 0.5): md5-derived uniform
+    def plane_component(j: int, i: int) -> float:
+        import hashlib
+
+        h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32) - 0.5
+
+    bits = []
+    for j in range(n_planes):
+        comps = [plane_component(j, i) for i in range(dim)]
+        arr = F.array(*[F.lit(c) for c in comps])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(id_col, F.concat(*bits).alias("bucket"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: LSH bucket join, exact cosine re-rank within
+    candidates. Recall < 1 by construction (documented approximate op)."""
+    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col).join(
+        corpus, id_col
+    )
+    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col).join(
+        queries, id_col
+    )
+    q = qb.select(
+        F.col(id_col).alias("q_id"), F.col("bucket"), F.col(vec_col).alias("q_vec")
+    )
+    c = cb.select(
+        F.col(id_col).alias("n_id"), F.col("bucket"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("n_id"))
+    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
+    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,78 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, fingerprinting — all JVM-side expressions (no Python UDFs in
+the hot path), so they run at full codegen speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny high-frequency function-word lists per language (public
+#: linguistics knowledge); enough for an n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en"],
+    "fr": ["le", "la", "de", "et", "que", "les"],
+    "de": ["der", "die", "das", "und", "von", "ist"],
+}
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def n_tokens(text: str = "text") -> Column:
+    return F.size(F.split(F.col(text), " ")).cast("bigint")
+
+
+def stopword_hits(text: str = "text", lang: str = "en") -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(F.split(F.col(text), " "), lambda x: F.array_contains(words, x))
+    ).cast("bigint")
+
+
+def quality_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio quality features per document."""
+    nt = n_tokens(text)
+    n_chars = F.length(F.col(text)).cast("bigint")
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_actual"),
+        nt.alias("n_tokens"),
+        # chars minus separators, over token count — deterministic division
+        ((n_chars - (nt - 1)) / nt).alias("avg_token_len"),
+        (stopword_hits(text, "en") / nt).alias("stopword_ratio"),
+    )
+
+
+def bpe_token_count(text: str = "text") -> Column:
+    return F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_SPLIT_PATTERN), 0)).cast(
+        "bigint"
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language hit counts.
+
+    Deterministic tie-break by language code order; 'und' when no
+    stopword list fires.
+    """
+    hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # reversed so earlier languages win ties via later WHEN overwrite order
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    return df.select(id_col, F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact + normalized content fingerprints (md5)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), "\\s+", " ")
+    return df.select(
+        id_col,
+        F.md5(F.col(text)).alias("fp_exact"),
+        F.md5(norm).alias("fp_norm"),
+    )

@@ -1,0 +1,60 @@
+"""Semantic checks for the probabilistic / UDF-backed LLM operators
+(the ones the DuckDB oracle can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.operators import dedup, similarity
+from tests.conftest import SF_ORACLE
+
+
+def test_lsh_candidates_recall_on_high_jaccard(spark):
+    """Banded MinHash must recover the vast majority of very-near dups
+    (jaccard ≥ 0.8 → P(candidate) = 1-(1-s²)⁴ ≥ 0.98 per pair)."""
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    sig = dedup.minhash_signature(docs, k=8)
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_candidates(sig, k=8, band_size=2).collect()
+    }
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    if truth:
+        recall = len(cand & truth) / len(truth)
+        assert recall >= 0.8, f"LSH recall {recall} over {len(truth)} true pairs"
+
+
+def test_simhash_near_dup_hamming(spark):
+    """Near-dup docs (3-gram jaccard ≥ 0.8) should have close SimHashes;
+    random doc pairs should not."""
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    sim = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for r in pairs:
+        assert ham(sim[r.doc_a], sim[r.doc_b]) <= 16, (r.doc_a, r.doc_b)
+    # determinism: recompute and compare
+    sim2 = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert sim == sim2
+
+
+def test_ann_lsh_subset_of_exact_scores(spark):
+    """Every ANN hit must carry the same cosine the exact ranker assigns,
+    and per-query results stay within bucket (recall may be < 1)."""
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q_id, r.n_id): r.cos
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    ann = similarity.ann_topk_lsh(emb, queries, k=5, n_planes=4).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert abs(exact[(r.q_id, r.n_id)] - r.cos) < 1e-9
