@@ -1,0 +1,221 @@
+"""Structured Streaming pipelines — SURVEY.md §2.9 (T1-T10).
+
+Design principle T9 (reference docs/实时数仓.md:93, docs/数据湖.md:65-69):
+batch and stream share the SAME transform functions — a Lambda
+architecture with one code path. Every transform below takes a
+DataFrame (bounded or unbounded) and returns one; batch parity is
+asserted by the differential harness (T10, docs/实时数仓.md:118-124).
+
+Kafka is the reference's source (docs/实时数仓.md:86); the container has
+no broker, so sources are file-based streams with identical semantics
+(the source swap is one line). Sinks use foreachBatch for multi-sink
+fan-out, the idiomatic exactly-once pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datawarehouse_spark.session import apply_runtime_profile
+
+#: events schema as stored (ts is ns-epoch BIGINT under nanosAsLong)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """The file-stream source needs a directory; expose the fixture file
+    through a per-sf symlink dir (read-only, no data copied)."""
+    import hashlib
+    import os
+
+    d = f"/tmp/dw_stream_src_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — unbounded events source (file-based stand-in for the Kafka
+    topic; `maxFilesPerTrigger` gives micro-batch replay semantics)."""
+    apply_runtime_profile(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(_stream_source_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded twin of :func:`read_events_stream` (same schema, same ts
+    normalization) — the T9 parity source."""
+    apply_runtime_profile(spark)
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ---------------------------------------------------------------------------
+# shared transforms (batch ≡ stream)
+# ---------------------------------------------------------------------------
+
+def cleanse(df: DataFrame) -> DataFrame:
+    """DWD-layer cleansing (reference docs/实时数仓.md:103-116): drop
+    malformed rows, normalize encodings, parse JSON props."""
+    return (
+        df.filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("event_type", F.lower(F.trim("event_type")))
+        .withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+    )
+
+
+def drift_filter(df: DataFrame, start: str, end: str) -> DataFrame:
+    """T4 — event-time drift correction (docs/实时数仓.md:114-116): read a
+    widened processing-time range, then filter on the business-time
+    column so midnight-boundary rows land in the right partition."""
+    return df.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    )
+
+
+def windowed_summary(df: DataFrame, window: str = "1 hour",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """T2/T3 — event-time tumbling aggregation with lateness allowance.
+
+    The watermark is the idiomatic form of the reference's manual
+    "aggregate the 10:00 window at 10:00:05-10:00:10" delay
+    (docs/实时数仓.md:69-73)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "pv",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5 — stateful dedup with bounded state (reference retains ~3 days
+    of state, docs/实时数仓.md:11-13; watermark is the TTL)."""
+    if df.isStreaming:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return df.dropDuplicates(["event_id"])
+
+
+def enrich_with_dim(df: DataFrame, dim: DataFrame, key: str = "user_id",
+                    dim_key: str = "c_custkey") -> DataFrame:
+    """T6/S12 — stream-static enrichment join against a broadcast
+    dimension (the reference's KV-store dim lookup, docs/实时数仓.md:79)."""
+    return df.join(
+        F.broadcast(dim), df[key] == dim[dim_key], "left"
+    ).drop(dim_key)
+
+
+def realtime_tags(df: DataFrame) -> DataFrame:
+    """T7 — streaming feature/tag computation (docs/实时数仓.md:27-29,
+    docs/画像简介.md:11): per-user per-day behavioral counters that a
+    serving store would upsert."""
+    return (
+        df.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("day_pv"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+                .cast("decimal(38,2)")
+            )
+            .cast("double")
+            .alias("purchase_amt"),
+        )
+        .select(F.col("w.start").cast("date").alias("dt"), "user_id", "day_pv",
+                "purchases", "purchase_amt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# execution harnesses
+# ---------------------------------------------------------------------------
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "append") -> DataFrame:
+    """Drive an unbounded plan to completion over the finite fixture
+    replay and return the materialized result (memory sink)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def foreach_batch_fanout(stream_df: DataFrame, sinks: dict[str, str],
+                         checkpoint: str):
+    """S10/S11 — multi-sink fan-out via foreachBatch: one micro-batch
+    written atomically-per-sink (parquet paths here; Kudu/Kafka/DB in the
+    reference, docs/实时数仓.md:54,61-63). Returns the started query."""
+
+    def write_all(batch_df: DataFrame, epoch_id: int):
+        batch_df.persist()
+        try:
+            for fmt_path in sinks.values():
+                batch_df.write.mode("append").parquet(fmt_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(write_all)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def differential_validate(batch_result: DataFrame, stream_result: DataFrame,
+                          keys: list[str]) -> DataFrame:
+    """T10 — streaming-vs-batch reconciliation (docs/实时数仓.md:118-124):
+    full outer join on keys, surface rows whose measures disagree."""
+    b = batch_result.alias("b")
+    s = stream_result.alias("s")
+    cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    measures = [c for c in batch_result.columns if c not in keys]
+    diff = b.join(s, cond, "full_outer")
+    mismatch = F.lit(False)
+    for m in measures:
+        mismatch = mismatch | ~F.col(f"b.{m}").eqNullSafe(F.col(f"s.{m}"))
+    return diff.filter(mismatch)

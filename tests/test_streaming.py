@@ -1,0 +1,106 @@
+"""Streaming tests — T1-T10: replay the finite events fixture through
+Structured Streaming and assert batch parity (the reference's own
+validation methodology, docs/实时数仓.md:118-124)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.streaming import core
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="dw_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_summary_stream_equals_batch(spark):
+    """T1/T2/T3 + T9/T10: the SAME transform over readStream and read
+    must produce identical windowed aggregates after full replay."""
+    stream = core.windowed_summary(core.read_events_stream(spark, SF_SMOKE))
+    got = core.run_stream_to_memory(stream, "win_sum", output_mode="complete")
+    batch = core.windowed_summary(core.read_events_batch(spark, SF_SMOKE))
+    diff = core.differential_validate(
+        batch, got, keys=["window_start", "event_type"]
+    )
+    assert diff.count() == 0
+    assert got.count() > 0
+
+
+def test_dedup_within_watermark(spark):
+    """T5: duplicated input collapses back to the original id set."""
+    base = core.read_events_batch(spark, SF_SMOKE).limit(200)
+    dup_batch = base.unionAll(base)
+    assert core.dedup_within_watermark(dup_batch).count() == 200
+
+    # streaming path: same events file read twice via two source dirs
+    stream = core.dedup_within_watermark(
+        core.read_events_stream(spark, SF_SMOKE), watermark="10 days"
+    ).select("event_id", "event_type")
+    got = core.run_stream_to_memory(stream, "dedup_stream")
+    assert got.count() == core.read_events_batch(spark, SF_SMOKE).count()
+
+
+def test_stream_static_enrichment_join(spark, tmpdir):
+    """T6/S12: stream-static broadcast join against a dimension."""
+    dim = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = core.enrich_with_dim(
+        core.cleanse(core.read_events_stream(spark, SF_SMOKE)), dim
+    ).select("event_id", "user_id", "c_mktsegment")
+    got = core.run_stream_to_memory(stream, "enriched")
+    batch = core.enrich_with_dim(
+        core.cleanse(core.read_events_batch(spark, SF_SMOKE)), dim
+    )
+    assert got.count() == batch.count()
+    # every user_id matching a custkey got its segment
+    matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
+    expected = batch.filter(F.col("c_mktsegment").isNotNull()).count()
+    assert matched == expected > 0
+
+
+def test_drift_filter(spark):
+    """T4: widened read + business-time filter drops out-of-range rows."""
+    batch = core.read_events_batch(spark, SF_SMOKE)
+    jan2 = core.drift_filter(batch, "2024-01-02", "2024-01-03")
+    n = jan2.count()
+    assert 0 < n < batch.count()
+    bounds = jan2.agg(F.min("ts"), F.max("ts")).first()
+    assert str(bounds[0]) >= "2024-01-02" and str(bounds[1]) < "2024-01-03"
+
+
+def test_foreach_batch_fanout(spark, tmpdir):
+    """S10: one stream fanned out to two sinks; both receive all rows."""
+    stream = core.cleanse(core.read_events_stream(spark, SF_SMOKE)).select(
+        "event_id", "event_type", "k"
+    )
+    sinks = {"a": f"{tmpdir}/sink_a", "b": f"{tmpdir}/sink_b"}
+    q = core.foreach_batch_fanout(stream, sinks, f"{tmpdir}/ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    n_expected = core.read_events_batch(spark, SF_SMOKE).count()
+    for path in sinks.values():
+        assert spark.read.parquet(path).count() == n_expected
+
+
+def test_realtime_tags_stream_equals_batch(spark):
+    """T7 + T10: per-user daily tag counters, stream vs batch."""
+    got = core.run_stream_to_memory(
+        core.realtime_tags(core.read_events_stream(spark, SF_SMOKE)),
+        "tags",
+        output_mode="complete",
+    )
+    batch = core.realtime_tags(core.read_events_batch(spark, SF_SMOKE))
+    diff = core.differential_validate(batch, got, keys=["dt", "user_id"])
+    assert diff.count() == 0
