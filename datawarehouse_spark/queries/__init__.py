@@ -1,6 +1,12 @@
 """Query inventory — importing this package populates the registry."""
 
-from datawarehouse_spark.queries import joins, llm, relational, windows  # noqa: F401
+from datawarehouse_spark.queries import (  # noqa: F401
+    joins,
+    llm,
+    relational,
+    warehouse,
+    windows,
+)
 from datawarehouse_spark.queries.registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,293 @@
+"""Warehouse features — partitioned layout (S2), profile/tag pivots
+(X3), SCD2 versioning, the reference's rewrite-equivalence pairs
+(A13/A14), and batch forms of the streaming window operators (T3/T5).
+
+For the rewrite pairs the Spark side runs the reference's OPTIMIZED
+form and the oracle runs the NAIVE form — matching results reproduce
+the reference's own "数据是一致的" methodology (docs/sql调优.md:91).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.queries.registry import query
+from datawarehouse_spark.sources import io as dwio
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "s2_partition_pruned_scan",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS dt, event_type, CAST(COUNT(*) AS BIGINT) AS pv
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-05' AND CAST(ts AS DATE) <= DATE '2024-01-09'
+    GROUP BY 1, 2
+    """,
+)
+def s2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — the reference's core optimization: re-layout the fact table
+    into partition dirs so the dt filter prunes at the directory level
+    (docs/HiveSQL.md:25-27,38: 2h → minutes). We materialize events
+    partitioned by dt, then scan with a dt-range filter; Catalyst prunes
+    partitions (asserted in tests/test_plans.py)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/dw_partitioned_events_{tag}"
+    dwio.write_partitioned(
+        t["events"].withColumn("dt", F.to_date("ts")), path, ["dt"]
+    )
+    part = spark.read.parquet(path)
+    return (
+        part.filter(
+            (F.col("dt") >= F.lit("2024-01-05").cast("date"))
+            & (F.col("dt") <= F.lit("2024-01-09").cast("date"))
+        )
+        .groupBy("dt", "event_type")
+        .agg(F.count(F.lit(1)).alias("pv"))
+    )
+
+
+@query(
+    "x3_pivot_wide_tags",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def x3_pivot_wide_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — wide user-profile tag table via pivot (reference 宽表,
+    docs/画像开发方案.md:28). One shuffle; the pivot value list is
+    explicit so no extra distinct pass over 100 TB."""
+    t = load_tables(spark, sf_dir, ("events",))
+    wide = (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.fillna(0, subset=_EVENT_TYPES)
+
+
+@query(
+    "x3_unpivot_narrow_tags",
+    oracle="""
+    SELECT user_id, event_type AS tag, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x3_unpivot_narrow_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — narrow (user, tag, value) form via unpivot of the wide table
+    (reference 窄表 vs 宽表 trade-off, docs/画像开发方案.md:28)."""
+    wide = x3_pivot_wide_tags(spark, sf_dir)
+    narrow = wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="tag",
+        valueColumnName="cnt",
+    )
+    return narrow.filter(F.col("cnt") > 0)
+
+
+@query(
+    "scd2_dim_versioning",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(1 AS BIGINT) AS eff_version,
+           (c_custkey % 10 <> 0) AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'MOVED' AS c_mktsegment,
+           CAST(2 AS BIGINT) AS eff_version,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def scd2_dim_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 — slowly-changing dimension versioning (docs/数据模型.md:41-44)
+    through the engine's merge machinery (sources/io.py:scd2_apply):
+    changed keys get their old row closed and a v2 row appended. The
+    update batch is deterministic (custkey % 10 == 0 moves segment)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    current = t["customer"].select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(1).cast("bigint").alias("eff_version"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit("MOVED").alias("c_mktsegment"))
+    )
+    out = dwio.scd2_apply(current, updates, "c_custkey")
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("eff_version").cast("bigint").alias("eff_version"),
+        "is_current",
+    )
+
+
+@query(
+    "a13_redundant_groupby_elim",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM (
+      SELECT event_type, user_id FROM events GROUP BY event_type, user_id
+      UNION ALL
+      SELECT event_type, user_id FROM events WHERE value > 50
+      GROUP BY event_type, user_id
+    )
+    GROUP BY event_type
+    """,
+)
+def a13_redundant_groupby_elim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — the reference's redundant-GROUP BY elimination pair
+    (docs/sql调优.md:73-91): inner per-branch GROUP BYs under an outer
+    count collapse to DISTINCT projections. Spark runs the optimized
+    flat form; the oracle runs the naive nested form."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    b1 = e.select("event_type", "user_id").distinct()
+    b2 = e.filter(F.col("value") > 50).select("event_type", "user_id").distinct()
+    return (
+        b1.unionAll(b2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "a14_count_distinct_extraction",
+    oracle="""
+    SELECT 'all' AS scope, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv FROM events
+    UNION ALL
+    SELECT 'purchase' AS scope,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'click' AS scope,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT)
+    FROM events
+    """,
+)
+def a14_count_distinct_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — count-distinct extraction (docs/sql调优.md:93-113): dedupe
+    (user, event_type) ONCE into a materialized intermediate, derive
+    every branch's distinct count from it — one pass over the fact
+    instead of one per branch. Oracle runs the naive per-branch form."""
+    t = load_tables(spark, sf_dir, ("events",))
+    pairs = t["events"].select("user_id", "event_type").distinct().cache()
+    all_uv = pairs.agg(F.countDistinct("user_id").alias("uv")).select(
+        F.lit("all").alias("scope"), "uv"
+    )
+
+    def scoped(ev: str) -> DataFrame:
+        return (
+            pairs.filter(F.col("event_type") == ev)
+            .agg(F.countDistinct("user_id").alias("uv"))
+            .select(F.lit(ev).alias("scope"), "uv")
+        )
+
+    return all_uv.unionAll(scoped("purchase")).unionAll(scoped("click"))
+
+
+@query(
+    "t3_tumbling_window_batch",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS pv,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t3_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — tumbling event-time window, batch form (the same
+    `windowed_summary` transform runs unbounded in streaming/core.py —
+    Lambda parity T9)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "pv", "total_value")
+    )
+
+
+@query(
+    "t3_sliding_window_batch",
+    oracle="""
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS pv
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def t3_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — sliding window (1h size, 30m slide): each event lands in two
+    windows; Spark's window() does the expansion natively."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .select(F.col("w.start").alias("window_start"), "pv")
+    )
+
+
+@query(
+    "t5_session_window_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    """,
+)
+def t5_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T5 — session windows (30-minute inactivity gap), batch form.
+    The oracle reproduces the semantics with the classic lag+cumsum
+    sessionization; Spark's session_window is the native operator
+    (streaming-capable with watermarks)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+        )
+    )

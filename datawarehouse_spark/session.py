@@ -114,4 +114,12 @@ def apply_runtime_profile(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, TUNED_PROFILE[key])
         except Exception:  # pragma: no cover - conf locked down
             pass
+    try:
+        # right-size shuffle parallelism when the host session left the
+        # 200 default (reference: "过小" for big jobs, wasteful for local
+        # runs, docs/sql调优.md:161); AQE coalescing refines per query
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(_cpus()))
+    except Exception:  # pragma: no cover
+        pass
     return spark

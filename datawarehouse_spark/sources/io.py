@@ -1,0 +1,89 @@
+"""Warehouse IO — SURVEY.md §2.1 (S2-S7, S10-S14).
+
+Partitioned Hive-style layout, CTAS, dynamic-partition insert,
+small-file compaction and the Parquet merge/upsert fallback (the
+container has no Delta jars; `merge_upsert` is the documented
+full-partition-rewrite fallback of SURVEY §7.3.5 — on a Delta-enabled
+cluster it becomes a one-line MERGE INTO).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """S2/S3 — multi-level Hive-style partition layout (the reference's
+    4-level PARTITIONED BY re-layout, docs/HiveSQL.md:42-55): coarse
+    index via directory pruning; Catalyst prunes matching dirs."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def ctas(spark: SparkSession, name: str, query: str,
+         partition_cols: list[str] | None = None) -> None:
+    """S4 — CREATE TABLE AS SELECT (docs/HiveSQL.md:114-157)."""
+    df = spark.sql(query)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.format("parquet").saveAsTable(name)
+
+
+def insert_into_partitions(df: DataFrame, path: str,
+                           partition_cols: list[str]) -> None:
+    """S5 — dynamic partition insert (docs/HiveSQL.md:60-63): rows route
+    to partition dirs from their column values; with
+    partitionOverwriteMode=dynamic only touched partitions rewrite."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact_small_files(spark: SparkSession, path: str,
+                        target_files_per_partition: int = 1) -> None:
+    """S10 — small-file compaction for streaming sinks
+    (docs/实时数仓.md:99-101): rewrite each partition dir into
+    `target_files_per_partition` files. At scale this runs as an async
+    job per closed (watermark-passed) partition so in-flight files are
+    never touched."""
+    df = spark.read.parquet(path)
+    df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(
+        path + "_compacted"
+    )
+
+
+def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """S11 — upsert (Kudu update semantics, docs/kudu.md:19): updated keys
+    replace current rows, new keys append. Anti-join + union — the
+    Parquet fallback for Delta MERGE INTO."""
+    survivors = current.join(updates, [key], "left_anti")
+    return survivors.unionByName(updates)
+
+
+def scd2_apply(current: DataFrame, updates: DataFrame, key: str,
+               effective_col: str = "eff_version") -> DataFrame:
+    """SCD2 (缓慢变化维, docs/数据模型.md:41-44): close out changed rows
+    (is_current=false) and append the new version.
+
+    `current` must carry (eff_version, is_current); `updates` carries the
+    new attribute values for changed keys only.
+    """
+    changed_keys = updates.select(key).distinct()
+    unchanged = current.join(changed_keys, [key], "left_anti")
+    closed = (
+        current.join(changed_keys, [key], "left_semi")
+        .withColumn("is_current", F.lit(False))
+    )
+    max_ver = current.groupBy(key).agg(F.max(effective_col).alias("_mv"))
+    fresh = (
+        updates.join(max_ver, [key], "left")
+        .withColumn(effective_col, F.coalesce(F.col("_mv") + 1, F.lit(1)))
+        .drop("_mv")
+        .withColumn("is_current", F.lit(True))
+    )
+    return unchanged.unionByName(closed).unionByName(fresh)
+
+
+def delete_rows(current: DataFrame, predicate) -> DataFrame:
+    """S13-as-mutation / Kudu delete: anti-filter rewrite."""
+    return current.filter(~predicate)
