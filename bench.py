@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced through the noop sink (full plan runs, nothing
+collected to the driver) — the honest measure of operator cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "a1_pricing_summary",
+    "a5_conditional_multi_distinct",
+    "a16_cube",
+    # joins
+    "j1_multiway_inner",
+    "j4_broadcast_dims",
+    "j5_salted_skew_join",
+    # windows
+    "w5_window_vs_groupby_join",
+    "w6_ranking",
+    # streaming batch forms
+    "t3_tumbling_window_batch",
+    "t5_session_window_batch",
+    # profile/tag
+    "x3_pivot_wide_tags",
+    # LLM data pipeline
+    "llm_exact_dedup",
+    "llm_minhash_signature",
+    "llm_ngram_near_dup",
+    "llm_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from datawarehouse_spark.queries import QUERIES
+    from datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="dw-bench")
+    # warm-up pass at the smallest SF: absorbs JVM/JIT/codegen compilation
+    # and filesystem init so timings measure the engine, not cold start
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        try:
+            df.write.mode("overwrite").format("noop").save()
+        except Exception:
+            df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,10 +60,22 @@ def minhash_col(shingles: Column, seed: int) -> Column:
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
                       k: int = 8, n: int = 3) -> DataFrame:
-    """doc_id + mh0..mh{k-1} columns."""
-    sh = shingles_col(text, n)
-    return df.select(
-        id_col, *[minhash_col(sh, j).alias(f"mh{j}") for j in range(k)]
+    """doc_id + mh0..mh{k-1} columns.
+
+    Shape matters: explode shingles → k md5 columns per shingle row →
+    groupBy(doc) min-aggregate. The naive k-array-expressions form
+    re-evaluates tokenize+shingle k× (Catalyst CollapseProject inlines
+    the shared alias) and runs as one giant projection; the exploded
+    form computes shingles once, runs partial min-aggregation
+    map-side, and parallelizes across row splits — the same plan that
+    scales to 100 TB of documents.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("_s"))
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("_s")))).alias(f"mh{j}")
+            for j in range(k)
+        ]
     )
 
 
@@ -125,6 +137,9 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "s").drop("_f")
+    # the shingle set feeds three consumers (sizes + both self-join
+    # sides); persist so tokenize+shingle runs once, not 3×
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
