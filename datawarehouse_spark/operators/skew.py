@@ -1,0 +1,78 @@
+"""Skew diagnosis & mitigation utilities — SURVEY.md §2.3 J5/J6, §2.4
+A11/A15 (reference docs/sql调优.md:126-259, the 7 solutions).
+
+AQE (enabled in the session profile) subsumes the runtime split/salt
+recipes for joins; these helpers cover diagnosis (hot-key profiling,
+solution 0) and the manual salting forms for extreme cases AQE can't
+see (aggregation skew, deliberate pre-salting before reuse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_distribution(df: DataFrame, *keys: str, top: int = 20) -> DataFrame:
+    """A15 — hot-key profile (reference `countByKey` + sample,
+    docs/sql调优.md:29-36): top keys with counts and share."""
+    total = df.count()
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("share", F.col("cnt") / F.lit(total))
+        .orderBy(F.desc("cnt"))
+        .limit(top)
+    )
+
+
+def skew_ratio(df: DataFrame, *keys: str) -> float:
+    """max(partition-key count) / mean — the reference's skew symptom
+    quantified (997/1000 tasks fast, docs/sql调优.md:4)."""
+    stats = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt").alias("mx"), F.avg("cnt").alias("mean"))
+        .first()
+    )
+    return float(stats["mx"]) / float(stats["mean"]) if stats["mean"] else 1.0
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str, n_salt: int = 8,
+                how: str = "inner") -> DataFrame:
+    """J5/J6 — deterministic-salt join: big side salted by row hash,
+    small side exploded ×n_salt (reference solution 7,
+    docs/sql调优.md:234-250). Result is identical to the plain join."""
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).cast("long")
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def salted_agg(df: DataFrame, group_cols: list[str], agg_exprs: dict,
+               n_salt: int = 16) -> DataFrame:
+    """A11 — two-phase salted aggregation (reference solution 6,
+    docs/sql调优.md:173-186) for hot group keys.
+
+    ``agg_exprs``: {output_name: ("sum"|"count", column)}. Partials are
+    decimal-exact so the two-phase sum equals the single-phase one.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salt))
+    )
+    partials = []
+    finals = []
+    for name, (kind, col) in agg_exprs.items():
+        if kind == "count":
+            partials.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(f"_p_{name}"))
+            finals.append(F.sum(f"_p_{name}").alias(name))
+        elif kind == "sum":
+            partials.append(
+                F.sum(F.col(col).cast("decimal(38,2)")).alias(f"_p_{name}")
+            )
+            finals.append(F.sum(f"_p_{name}").cast("double").alias(name))
+        else:
+            raise ValueError(f"unsupported agg kind: {kind}")
+    phase1 = salted.groupBy(*group_cols, "_salt").agg(*partials)
+    return phase1.groupBy(*group_cols).agg(*finals)

@@ -1,0 +1,130 @@
+"""SQL advisor — the reference's tuning guidance (docs/sql规范.md items
+1-30, docs/sql调优.md solutions 1-8) encoded as mechanical plan/SQL
+lints. Catalyst already APPLIES the semantics-preserving rewrites
+(SURVEY §4.1); the advisor surfaces the intent-level ones a rewriter
+must not apply silently.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class Advice:
+    rule: str
+    message: str
+    reference: str  # file:line in the reference knowledge base
+
+
+def lint_sql(sql: str) -> list[Advice]:
+    """Static lints over a SQL string."""
+    out: list[Advice] = []
+    s = re.sub(r"\s+", " ", sql.lower())
+    if re.search(r"select \*", s):
+        out.append(
+            Advice(
+                "no-select-star",
+                "project explicit columns so column pruning reaches the scan",
+                "docs/sql规范.md:8-9",
+            )
+        )
+    if " union " in s and " union all" not in s.replace("union all", ""):
+        if re.search(r" union (?!all)", s):
+            out.append(
+                Advice(
+                    "union-vs-union-all",
+                    "UNION dedups+sorts; use UNION ALL when duplicates are "
+                    "impossible or acceptable",
+                    "docs/sql规范.md:147-166",
+                )
+            )
+    if re.search(r"not in \(select", s):
+        out.append(
+            Advice(
+                "not-in-subquery",
+                "NOT IN over a nullable subquery is null-hostile and plans a "
+                "null-aware anti join; prefer NOT EXISTS",
+                "docs/sql规范.md:54-58",
+            )
+        )
+    if re.search(r"order by(?!.* limit)", s) and " limit " not in s:
+        out.append(
+            Advice(
+                "unbounded-global-sort",
+                "global ORDER BY without LIMIT range-shuffles every row; "
+                "sort only at the edge or add a LIMIT",
+                "docs/sql规范.md:168-183,210",
+            )
+        )
+    if re.search(r"where .*\b(\w+)\s*\*\s*\d+\s*[<>=]", s):
+        out.append(
+            Advice(
+                "expression-on-column",
+                "arithmetic on the filtered column defeats scan-level "
+                "pushdown; move constants to the literal side",
+                "docs/sql规范.md:97-102",
+            )
+        )
+    if re.search(r"count\(distinct.*count\(distinct", s):
+        out.append(
+            Advice(
+                "multi-count-distinct",
+                "multiple COUNT(DISTINCT) in one aggregate plans an Expand "
+                "(input ×N); consider pre-deduped temp tables at very large "
+                "scale",
+                "docs/sql调优.md:93-113, docs/HiveSQL.md:6-22",
+            )
+        )
+    return out
+
+
+def lint_plan(df: DataFrame) -> list[Advice]:
+    """Plan-level lints over the optimized physical plan."""
+    from datawarehouse_spark.plans.parity import analyze
+
+    rep = analyze(df)
+    out: list[Advice] = []
+    plan = rep.spark_plan
+    if re.search(r"CartesianProduct", plan):
+        out.append(
+            Advice(
+                "cartesian-product",
+                "cross join without broadcast: O(n·m) shuffle — broadcast "
+                "the small side or add an equi-condition",
+                "docs/sql调优.md:219-221",
+            )
+        )
+    if re.search(r"BatchEvalPython|PythonUDF", plan) and "ArrowEvalPython" not in plan:
+        out.append(
+            Advice(
+                "row-python-udf",
+                "row-at-a-time Python UDF in the plan; use a pandas_udf "
+                "(Arrow) or a built-in expression",
+                "docs/实时数仓.md:42 (UDF dev model) + Spark guidance",
+            )
+        )
+    if rep.shuffle_joins and not rep.broadcast_joins:
+        small_side = re.search(r"Statistics|sizeInBytes", plan)
+        if small_side:
+            out.append(
+                Advice(
+                    "maybe-broadcast",
+                    "all joins are reduce-side; if one side is small "
+                    "(<~2G in the reference), hint broadcast()",
+                    "docs/sql调优.md:188-198",
+                )
+            )
+    if not rep.whole_stage_codegen:
+        out.append(
+            Advice(
+                "no-codegen",
+                "plan runs outside whole-stage codegen (vectorized mode in "
+                "the reference); check for interpreter-only expressions",
+                "docs/explain.md:61",
+            )
+        )
+    return out

@@ -1,0 +1,100 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, codegen —
+the properties that decide whether a plan survives a 100× scale-up.
+Mirrors the reference's annotated-EXPLAIN methodology (docs/explain.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.plans import advisor, parity
+from datawarehouse_spark.queries import QUERIES
+from tests.conftest import SF_ORACLE
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = QUERIES["p2_filter_predicates"](spark, SF_ORACLE)
+    rep = parity.analyze(df)
+    assert rep.pushed_filters, "comparison predicates must reach the scan"
+    assert rep.whole_stage_codegen
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["s1_scan_project"](spark, SF_ORACLE)
+    plan = rep = parity.analyze(df).spark_plan
+    assert "ReadSchema: struct<r_regionkey:int,r_name:string>" in plan
+
+
+def test_broadcast_join_chosen_for_dims(spark):
+    df = QUERIES["j4_broadcast_dims"](spark, SF_ORACLE)
+    rep = parity.analyze(df)
+    assert rep.broadcast_joins >= 2, "both dims must broadcast (map join)"
+    assert rep.shuffle_joins == 0
+
+
+def test_partition_pruning_on_partitioned_layout(spark):
+    df = QUERIES["s2_partition_pruned_scan"](spark, SF_ORACLE)
+    rep = parity.analyze(df)
+    assert rep.partition_filters, "dt range must prune partition dirs"
+
+
+def test_topn_plans_take_ordered(spark):
+    df = QUERIES["o1_order_by_limit"](spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in parity.analyze(df).spark_plan, (
+        "ORDER BY+LIMIT must not global-sort"
+    )
+
+
+def test_agg_is_partial_then_final(spark):
+    df = QUERIES["a1_pricing_summary"](spark, SF_ORACLE)
+    rep = parity.analyze(df)
+    assert "Group By Operator" in rep.hive_operators
+    assert rep.n_shuffles == 1, "one Map→Reduce edge for the aggregation"
+
+
+def test_semi_anti_join_rewrite(spark):
+    semi = QUERIES["p9_exists_semi"](spark, SF_ORACLE)
+    anti = QUERIES["p10_not_exists_anti"](spark, SF_ORACLE)
+    assert "LeftSemi" in parity.analyze(semi).spark_plan
+    assert "LeftAnti" in parity.analyze(anti).spark_plan
+
+
+def test_parity_report_matches_reference_shape(spark):
+    """The reference's annotated plan (docs/explain.md:36-83):
+    TableScan → Filter → Select → GroupBy(hash) → shuffle →
+    GroupBy(mergepartial). Our flagship-analog plan must map onto it."""
+    t = load_tables(spark, SF_ORACLE, ("part",))
+    df = (
+        t["part"]
+        .filter((F.col("p_partkey") > 100) & F.col("p_name").like("%a%"))
+        .select("p_brand", "p_partkey")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rep = parity.analyze(df)
+    for op in (
+        "TableScan",
+        "Group By Operator",
+        "Reduce Output Operator (shuffle)",
+    ):
+        assert op in rep.hive_operators, rep.hive_operators
+
+
+def test_advisor_sql_lints():
+    bad = """
+    SELECT * FROM emp WHERE sal * 12 > 25000
+    UNION
+    SELECT * FROM emp2 ORDER BY 1
+    """
+    rules = {a.rule for a in advisor.lint_sql(bad)}
+    assert "no-select-star" in rules
+    assert "union-vs-union-all" in rules
+    assert "expression-on-column" in rules
+
+
+def test_advisor_plan_lint_cartesian(spark):
+    t = load_tables(spark, SF_ORACLE, ("orders", "lineitem"))
+    big_cross = t["orders"].crossJoin(t["lineitem"].hint("shuffle_replicate_nl"))
+    rules = {a.rule for a in advisor.lint_plan(big_cross)}
+    assert "cartesian-product" in rules
