@@ -1,0 +1,92 @@
+"""The engine façade: a layered warehouse over Spark.
+
+``DataWarehouse`` is the user-facing object — it owns the tuned
+session, the ODS→DWD→DIM→DWS→ADS layer namespaces (reference
+docs/数据模型如何评论好坏.md:22), a SQL entry point with advisor lints,
+materialization (the reference's temp-table extraction pattern,
+docs/sql调优.md:93-113), and the diagnosis utilities.
+
+    dw = DataWarehouse(base_path="/data/warehouse")
+    dw.register_sources("/root/testdata/sf0.01")
+    df = dw.sql("SELECT ... FROM dwd.lineitem ...")
+    dw.materialize(df, layer="dws", table="daily_rev", partition_by=["dt"])
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datawarehouse_spark.catalog import TABLES, load_tables
+from datawarehouse_spark.plans.advisor import Advice, lint_plan, lint_sql
+from datawarehouse_spark.plans.parity import PlanReport, analyze
+from datawarehouse_spark.session import get_spark
+
+LAYERS = ("ods", "dwd", "dim", "dws", "ads", "tmp")
+
+
+@dataclass
+class MaterializedView:
+    layer: str
+    table: str
+    path: str
+    rows: int
+
+
+class DataWarehouse:
+    def __init__(self, spark: SparkSession | None = None,
+                 base_path: str = "/tmp/dw_warehouse"):
+        self.spark = spark or get_spark()
+        self.base_path = base_path
+        for layer in LAYERS:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {layer}")
+
+    # -- catalog ---------------------------------------------------------
+    def register_sources(self, sf_dir: str) -> dict[str, DataFrame]:
+        """Register the fixture tables as both bare temp views and
+        dwd/dim-layer names."""
+        tables = load_tables(self.spark, sf_dir, TABLES)
+        return tables
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    # -- query -----------------------------------------------------------
+    def sql(self, q: str, advise: bool = True) -> DataFrame:
+        """SQL façade (entry point 1, SURVEY §3.1). Lints are advisory —
+        printed, never blocking."""
+        if advise:
+            for a in lint_sql(q):
+                print(f"[advisor:{a.rule}] {a.message} ({a.reference})")
+        return self.spark.sql(q)
+
+    # -- materialization ---------------------------------------------------
+    def materialize(self, df: DataFrame, layer: str, table: str,
+                    partition_by: list[str] | None = None) -> MaterializedView:
+        """Persist a DataFrame into a layer as parquet + register it
+        (the reference's count(distinct)-extraction / temp-table pattern
+        and the DWS cube-materialization path)."""
+        if layer not in LAYERS:
+            raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+        path = f"{self.base_path}/{layer}/{table}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        back = self.spark.read.parquet(path)
+        back.createOrReplaceTempView(f"{layer}_{table}")
+        return MaterializedView(layer, table, path, back.count())
+
+    # -- diagnosis ---------------------------------------------------------
+    def explain_parity(self, df: DataFrame) -> PlanReport:
+        """Physical plan in the reference's Hive operator vocabulary."""
+        return analyze(df)
+
+    def advise_plan(self, df: DataFrame) -> list[Advice]:
+        return lint_plan(df)
+
+    def profile_keys(self, df: DataFrame, *keys: str) -> DataFrame:
+        from datawarehouse_spark.operators.skew import key_distribution
+
+        return key_distribution(df, *keys)

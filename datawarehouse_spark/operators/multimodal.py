@@ -1,0 +1,113 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (north-star requirement).
+
+The Spark-side plumbing is real and tested: binary payload columns,
+typed metadata structs, Arrow-batched ``mapInPandas`` decode/feature
+operators with explicit output schemas, and batch-shape control via
+``spark.sql.execution.arrow.maxRecordsPerBatch``. The codec step
+itself is STUBBED (`decode_media` raises NotImplementedError for real
+codecs; `fake_decode_features` is the deterministic stand-in) because
+the container ships no image/audio libraries — swapping in PIL/ffmpeg
+changes only the inside of the pandas function, not the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of the feature extractor — fixed width, so downstream
+#: operators (similarity, dedup) can treat it like any embedding column
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, "
+    "byte_mean double, byte_entropy_proxy double, features array<double>"
+)
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id",
+                 text: str = "text") -> DataFrame:
+    """Derive a deterministic binary payload column from the fixture
+    (md5-chained bytes of the text) + typed metadata struct — the shape
+    a real ingest would produce from image/audio files via
+    ``spark.read.format('binaryFile')``."""
+    payload = F.unhex(
+        F.concat(F.md5(F.col(text)), F.md5(F.concat(F.lit("2:"), F.col(text))))
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.lit("fixture/deterministic").alias("codec"),
+            F.lit(1).cast("int").alias("version"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(kind: str, payload: bytes):  # pragma: no cover - stub
+    """Real codec hook. The container has no PIL/ffmpeg/librosa; on a
+    production cluster this dispatches per `kind`."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; use "
+        "fake_decode_features for the deterministic test path"
+    )
+
+
+def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame with
+    raw bytes; we emit fixed-width numeric features. Deterministic fake
+    decode (byte statistics + strided means) stands in for a real
+    model/codec — the partitioning, schema and batch shape are exactly
+    what a GPU-backed extractor would use.
+    """
+
+    def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_bytes = payloads.map(len)
+            byte_mean = payloads.map(lambda b: sum(b) / len(b) if len(b) else 0.0)
+            distinct_ratio = payloads.map(
+                lambda b: len(set(b)) / len(b) if len(b) else 0.0
+            )
+            feats = payloads.map(
+                lambda b: [
+                    (sum(b[i::n_features]) % 256) / 255.0 for i in range(n_features)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": n_bytes,
+                    "byte_mean": byte_mean,
+                    "byte_entropy_proxy": distinct_ratio,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(fake_decode_features, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
+    """'Frame sampling' stub: slice the payload at a fixed stride —
+    structurally identical to video frame extraction (one row in, many
+    frame rows out) via posexplode."""
+    frames = F.expr(
+        f"transform(sequence(0, CAST(length(payload)/{every_n_bytes} AS INT) - 1), "
+        f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        F.posexplode(frames).alias("frame_idx", "frame_bytes"),
+    )

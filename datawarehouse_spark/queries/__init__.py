@@ -1,8 +1,10 @@
 """Query inventory — importing this package populates the registry."""
 
 from datawarehouse_spark.queries import (  # noqa: F401
+    functions_suite,
     joins,
     llm,
+    multimodal,
     relational,
     warehouse,
     windows,

@@ -1,0 +1,64 @@
+"""Multimodal column queries (north star): binary payloads + typed
+metadata + Arrow-batched decode/feature plumbing, over a media table
+derived deterministically from the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.operators import multimodal as mm
+from datawarehouse_spark.queries.registry import query
+
+
+@query(
+    "mm_media_catalog",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+           CAST(32 AS BIGINT) AS n_bytes,
+           'fixture/deterministic' AS codec
+    FROM documents
+    """,
+)
+def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media table: opaque payload + typed metadata struct —
+    catalog projection (struct field access)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    media = mm.attach_media(t["documents"])
+    return media.select(
+        "media_id",
+        "kind",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.codec").alias("codec"),
+    )
+
+
+@query("mm_feature_extraction")  # mapInPandas decode path — rows-only
+def mm_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (deterministic fake decode; real codecs are a stub — see
+    operators/multimodal.py). Determinism asserted in tests."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return mm.extract_features(mm.attach_media(t["documents"]))
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+           CAST(unnest([0, 1]) AS BIGINT) AS frame_idx
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one payload row → N frame rows via posexplode
+    (32-byte payload, 16-byte stride → 2 frames). The oracle checks the
+    row multiplication; frame bytes are exercised in tests."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    frames = mm.frame_sample(mm.attach_media(t["documents"]), every_n_bytes=16)
+    return frames.select("media_id", "kind", F.col("frame_idx").cast("bigint").alias("frame_idx"))

@@ -1,0 +1,68 @@
+"""Engine façade + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.engine import DataWarehouse
+from datawarehouse_spark.operators import multimodal as mm
+from tests.conftest import SF_ORACLE
+
+
+def test_engine_sql_and_materialize(spark, tmp_path):
+    dw = DataWarehouse(spark=spark, base_path=str(tmp_path))
+    dw.register_sources(SF_ORACLE)
+    df = dw.sql(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+        "GROUP BY o_orderstatus",
+        advise=False,
+    )
+    view = dw.materialize(df, layer="dws", table="order_status_counts")
+    assert view.rows == df.count()
+    back = dw.table("dws_order_status_counts")
+    assert back.count() == view.rows
+    rep = dw.explain_parity(df)
+    assert "Group By Operator" in rep.hive_operators
+
+
+def test_engine_rejects_unknown_layer(spark, tmp_path):
+    dw = DataWarehouse(spark=spark, base_path=str(tmp_path))
+    df = spark.range(3)
+    try:
+        dw.materialize(df, layer="nope", table="x")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_media_features_deterministic_and_shaped(spark):
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    media = mm.attach_media(docs)
+    feats = mm.extract_features(media, n_features=8)
+    rows = {r.media_id: r for r in feats.collect()}
+    rows2 = {r.media_id: r for r in mm.extract_features(media, 8).collect()}
+    assert len(rows) == docs.count()
+    for mid, r in rows.items():
+        assert r.n_bytes == 32
+        assert len(r.features) == 8
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+        assert 0.0 <= r.byte_entropy_proxy <= 1.0
+        # Arrow round-trip determinism
+        assert rows2[mid].features == r.features
+
+
+def test_frame_sample_multiplies_rows(spark):
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    frames = mm.frame_sample(mm.attach_media(docs), every_n_bytes=16)
+    assert frames.count() == docs.count() * 2
+    lens = frames.select(F.length("frame_bytes").alias("n")).distinct().collect()
+    assert {r.n for r in lens} == {16}
+
+
+def test_decode_media_stub_raises():
+    try:
+        mm.decode_media("image", b"\x00")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
