@@ -45,7 +45,7 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, n_salt: int = 8,
     docs/sql调优.md:234-250). Result is identical to the plain join."""
     b = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)))
     s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).cast("long")
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1)))
     )
     return b.join(s, [key, "_salt"], how).drop("_salt")
 

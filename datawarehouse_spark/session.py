@@ -84,6 +84,8 @@ def get_spark(
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     builder = builder.config("spark.ui.enabled", "false")
+    # managed-table location outside the repo (static conf)
+    builder = builder.config("spark.sql.warehouse.dir", "/tmp/dw_spark_warehouse")
     for k, v in TUNED_PROFILE.items():
         builder = builder.config(k, v)
     if extra_conf:

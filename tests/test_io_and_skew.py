@@ -1,0 +1,116 @@
+"""IO lifecycle (S3-S5, S10-S14) and skew-mitigation equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.operators import skew
+from datawarehouse_spark.sources import io as dwio
+from tests.conftest import SF_ORACLE
+
+
+def test_partitioned_write_and_dynamic_overwrite(spark, tmp_path):
+    """S2/S5 — dynamic partition overwrite only rewrites touched dirs."""
+    path = str(tmp_path / "events_part")
+    events = load_tables(spark, SF_ORACLE, ("events",))["events"].withColumn(
+        "dt", F.to_date("ts")
+    )
+    dwio.write_partitioned(events, path, ["dt"])
+    n_all = spark.read.parquet(path).count()
+    assert n_all == events.count()
+
+    # overwrite ONE partition with modified rows; others must survive
+    one_day = events.filter(F.col("dt") == "2024-01-05").withColumn(
+        "value", F.lit(0.0)
+    )
+    one_day.write.mode("overwrite").partitionBy("dt").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == n_all
+    assert back.filter((F.col("dt") == "2024-01-05") & (F.col("value") != 0)).count() == 0
+    assert back.filter((F.col("dt") == "2024-01-06") & (F.col("value") != 0)).count() > 0
+
+
+def test_ctas_and_truncate(spark, tmp_path):
+    """S4/S14 — CTAS into the session catalog, then TRUNCATE."""
+    load_tables(spark, SF_ORACLE, ("region",))
+    dwio.ctas(spark, "default.region_copy", "SELECT r_regionkey, r_name FROM region")
+    assert spark.table("default.region_copy").count() == 5
+    spark.sql("TRUNCATE TABLE default.region_copy")
+    assert spark.table("default.region_copy").count() == 0
+    spark.sql("DROP TABLE default.region_copy")
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    """S10 — small-file compaction after many micro-batch appends."""
+    src = str(tmp_path / "many_files")
+    events = load_tables(spark, SF_ORACLE, ("events",))["events"].limit(1000)
+    events.repartition(16).write.mode("overwrite").parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) >= 16
+    dwio.compact_small_files(spark, src, target_files_per_partition=1)
+    out = glob.glob(f"{src}_compacted/*.parquet")
+    assert len(out) == 1
+    assert spark.read.parquet(f"{src}_compacted").count() == 1000
+
+
+def test_merge_upsert_semantics(spark):
+    """S11 — Kudu-style upsert: update hits replace, new keys append."""
+    current = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ver int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 2), (4, "d", 2)], "k int, v string, ver int"
+    )
+    out = {r.k: (r.v, r.ver) for r in dwio.merge_upsert(current, updates, "k").collect()}
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("d", 2)}
+
+
+def test_delete_rows(spark):
+    cur = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    left = dwio.delete_rows(cur, F.col("k") == 1)
+    assert [r.k for r in left.collect()] == [2]
+
+
+def test_salted_join_equals_plain(spark):
+    t = load_tables(spark, SF_ORACLE, ("lineitem", "orders"))
+    li = t["lineitem"].select(F.col("l_orderkey").alias("k"), "l_quantity")
+    o = t["orders"].select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    plain = li.join(o, "k").groupBy("o_orderpriority").count()
+    salted = (
+        skew.salted_join(li, o, "k", n_salt=8)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_agg_equals_plain(spark):
+    t = load_tables(spark, SF_ORACLE, ("events",))
+    e = t["events"]
+    plain = {
+        (r.event_type): (r.pv, r.total)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    two_phase = {
+        (r.event_type): (r.pv, r.total)
+        for r in skew.salted_agg(
+            e, ["event_type"], {"pv": ("count", "*"), "total": ("sum", "value")}
+        ).collect()
+    }
+    assert plain == two_phase
+
+
+def test_key_distribution_and_skew_ratio(spark):
+    t = load_tables(spark, SF_ORACLE, ("events",))
+    prof = skew.key_distribution(t["events"], "event_type", top=5)
+    rows = prof.collect()
+    assert len(rows) == 5
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert skew.skew_ratio(t["events"], "event_type") >= 1.0
