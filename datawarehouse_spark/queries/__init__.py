@@ -5,6 +5,7 @@ from datawarehouse_spark.queries import (  # noqa: F401
     joins,
     llm,
     multimodal,
+    profiles,
     relational,
     warehouse,
     windows,

@@ -48,6 +48,50 @@ def j1_multiway_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j1_six_way_star",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def j1_six_way_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J4/J14 — the TPC-H Q5 shape: 6-way star join (local-supplier
+    revenue by nation). Facts shuffle on their keys; nation/region
+    broadcast; the c↔s same-nation condition rides on the supplier join.
+    This is the multi-table-join capability bar of docs/olap.md:97."""
+    t = load_tables(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    )
+    joined = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "j2_left_outer",
     oracle=f"""
     SELECT c_custkey,

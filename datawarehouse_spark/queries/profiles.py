@@ -1,0 +1,94 @@
+"""User-profile tag pipelines — SURVEY.md §2.10 X2-X4 + 画像 docs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.functions.udfs import (
+    high_value_user_rule,
+    propensity_score,
+    user_profile,
+)
+from datawarehouse_spark.queries.qutil import sql_dsum
+from datawarehouse_spark.queries.registry import query
+
+_PROFILE_SQL = f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS pv,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS purchases,
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+             AS purchase_amt
+    FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "x4_rule_tag_profile",
+    oracle=f"""
+    SELECT user_id, pv, purchases, purchase_amt,
+           (purchases >= 3 AND purchase_amt > 500.0 AND pv > 50) AS high_value
+    FROM ({_PROFILE_SQL})
+    """,
+)
+def x4_rule_tag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-class tag via Arrow pandas UDF over per-user aggregates
+    (docs/画像简介.md:18). The oracle re-derives the rule in pure SQL —
+    proving the UDF path computes exactly what the SQL form declares."""
+    t = load_tables(spark, sf_dir, ("events",))
+    prof = user_profile(t["events"])
+    return prof.withColumn(
+        "high_value",
+        high_value_user_rule(F.col("purchases"), F.col("purchase_amt"), F.col("pv")),
+    )
+
+
+@query(
+    "x4_mining_tag_scores",
+    oracle=f"""
+    SELECT user_id,
+           least(1.0, greatest(0.0,
+             purchases * 0.1 + purchase_amt * 0.001 + pv * 0.002)) AS score
+    FROM ({_PROFILE_SQL})
+    """,
+)
+def x4_mining_tag_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mining-class tag: model-inference column via pandas UDF
+    (docs/画像简介.md:20-23); linear stand-in keeps it oracle-exact."""
+    t = load_tables(spark, sf_dir, ("events",))
+    prof = user_profile(t["events"])
+    return prof.select(
+        "user_id",
+        propensity_score(
+            F.col("purchases").cast("double"),
+            F.col("purchase_amt"),
+            F.col("pv").cast("double"),
+        ).alias("score"),
+    )
+
+
+@query(
+    "x2_predicate_table_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    JOIN (VALUES ('purchase'), ('signup')) AS allow(event_type)
+      ON e.event_type = allow.event_type
+    WHERE e.value > 20
+    """,
+)
+def x2_predicate_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the reference's alternative to a mega-WHERE predicate list:
+    broadcast-join against a predicate table (docs/sql调优.md:118-124)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    allow = spark.createDataFrame(
+        [("purchase",), ("signup",)], "event_type string"
+    )
+    return (
+        t["events"]
+        .filter(F.col("value") > 20)
+        .join(F.broadcast(allow), "event_type")
+        .select("event_id", "user_id", "event_type")
+    )
