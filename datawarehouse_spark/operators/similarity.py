@@ -94,6 +94,94 @@ def hyperplane_lsh_buckets(
     return df.select(id_col, F.concat(*bits).alias("bucket"))
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a < id_b, cos ≥ threshold).
+
+    Exact all-pairs form — the verifier/oracle path. At 100 TB the
+    all-pairs product is infeasible; compose with
+    :func:`hyperplane_lsh_buckets` (bucket-join prefilter, then this
+    exact score inside buckets) exactly as :func:`ann_topk_lsh` does —
+    the cosine expression is shared so both paths score identically.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot_cols("vec_a", "vec_b") / (norm_col("vec_a") * norm_col("vec_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_cells`` cells, probe the ``n_probe`` nearest cells per
+    query, exact re-rank inside probed cells.
+
+    Centroids are a deterministic corpus sample (lowest ``n_cells``
+    ids) collected to the driver — n_cells×dim floats, tiny; a
+    production build swaps in k-means centroids through the same
+    literal-array path. Cell assignment is a JVM expression (argmax of
+    struct(cos, -cell) via array_max — no UDF); the cell id becomes the
+    shuffle key, so candidate generation is a hash join over
+    ~n_probe/n_cells of the corpus instead of a full cross join.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    def best_cells(vec: str, n: int) -> Column:
+        """Array of the n cell-ids nearest to `vec` (by cosine)."""
+        scored = []
+        for cell, row in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in row[vec_col]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec), cvec, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            cnorm = sum(float(x) * float(x) for x in row[vec_col]) ** 0.5
+            cos = dot / (norm_col(vec) * F.lit(cnorm))
+            scored.append(F.struct(cos.alias("cos"), F.lit(cell).alias("cell")))
+        ranked = F.reverse(F.array_sort(F.array(*scored)))
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("c_vec"),
+        best_cells(vec_col, 1)[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(best_cells(vec_col, n_probe)).alias("cell"),
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(F.col("q_id") != F.col("n_id"))
+    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
+    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -50,6 +50,54 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, n_salt: int = 8,
     return b.join(s, [key, "_salt"], how).drop("_salt")
 
 
+def split_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_big: str,
+    key_small: str,
+    hot_threshold: int,
+    n_salt: int = 8,
+) -> DataFrame:
+    """J5 — the reference's 6-step split-skew-join recipe
+    (docs/sql调优.md:202-232): profile the big side's key counts, peel
+    off keys above ``hot_threshold`` into a salted join (small side
+    replicated ×n_salt), join the cold remainder plainly, union.
+
+    Semantically identical to the plain inner join — the salt cancels.
+    Scale note: the hot-key list is tiny by construction (it's the
+    skew), so both semi/anti splits broadcast it; only the hot slice
+    pays the ×n_salt replication, unlike full-expansion salting (J6)
+    which replicates the whole small side.
+    """
+    hot = (
+        big.groupBy(key_big)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > hot_threshold)
+        .select(key_big)
+    )
+    hot_b = F.broadcast(hot)
+    hot_s = F.broadcast(hot.withColumnRenamed(key_big, key_small))
+    cond = F.col(key_big) == F.col(key_small)
+
+    big_hot = big.join(hot_b, key_big, "left_semi")
+    big_cold = big.join(hot_b, key_big, "left_anti")
+    small_hot = small.join(hot_s, key_small, "left_semi")
+    small_cold = small.join(hot_s, key_small, "left_anti")
+
+    bh = big_hot.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salt))
+    )
+    sh = small_hot.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1))),
+    )
+    joined_hot = bh.join(sh, cond & (bh["_salt"] == sh["_salt"])).select(
+        [bh[c] for c in big.columns] + [sh[c] for c in small.columns]
+    )
+    joined_cold = big_cold.join(small_cold, cond)
+    return joined_hot.unionByName(joined_cold)
+
+
 def salted_agg(df: DataFrame, group_cols: list[str], agg_exprs: dict,
                n_salt: int = 16) -> DataFrame:
     """A11 — two-phase salted aggregation (reference solution 6,

@@ -320,3 +320,33 @@ def j13_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "j6_split_skew_union",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j6_split_skew_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 proper — the reference's 6-step split-skew recipe
+    (docs/sql调优.md:202-232): profile key counts, peel hot keys (>80
+    events) into a salted join, join the cold rest plainly, UNION ALL.
+    The oracle is the plain join — splitting and salting must be
+    semantically invisible. Differs from j5_salted_skew_join (solution
+    7, full expansion): only the hot slice pays ×n_salt replication."""
+    from datawarehouse_spark.operators.skew import split_skew_join
+
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    joined = split_skew_join(
+        t["events"], t["customer"], "user_id", "c_custkey",
+        hot_threshold=80, n_salt=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -233,3 +233,36 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     return similarity.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4)
+
+
+@query(
+    "llm_embed_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.42
+    """,
+)
+def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.42 — same-cluster pairs
+    in the fixture): exact all-pairs scoring, the verifier downstream of
+    an LSH prefilter at scale (see operators/similarity.py docstring)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.cosine_pairs(t["embeddings"], threshold=0.42)
+
+
+@query("llm_ann_ivf_topk")  # approximate — rows-only check
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic coarse centroids, cell
+    assignment as a JVM argmax expression, n_probe cells re-ranked
+    exactly. The cell id is the shuffle key — candidate generation
+    touches ~n_probe/n_cells of the corpus. Recall vs llm_cosine_topk
+    asserted in tests."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4
+    )

@@ -673,3 +673,52 @@ def f13_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
         F.date_format("o_orderdate", "yyyy-MM").alias("o_month_str"),
     )
+
+
+@query(
+    "a15_key_distribution",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+           (COUNT(*) * 1.0 / (SELECT COUNT(*) FROM events)) AS share
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+)
+def a15_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — hot-key profiling (reference `RDD.countByKey()` + sample,
+    docs/sql调优.md:29-36): top-20 keys by count with their share of all
+    rows — the diagnosis step every skew remedy starts from. Ties broken
+    by key for cross-engine determinism."""
+    t = load_tables(spark, sf_dir, ("events",))
+    total = t["events"].count()
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("share", F.col("cnt") / F.lit(total))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "p10_not_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def p10_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — NOT IN (subquery) through the SQL façade: Catalyst plans a
+    null-aware anti join (the NOT IN→outer-join rewrite the reference
+    documents, docs/sql规范.md:54-58). Complements p10_not_exists_anti,
+    which is the DataFrame left-anti form with NOT EXISTS semantics."""
+    load_tables(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )

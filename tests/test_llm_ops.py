@@ -58,3 +58,37 @@ def test_ann_lsh_subset_of_exact_scores(spark):
     assert len(ann) > 0
     for r in ann:
         assert abs(exact[(r.q_id, r.n_id)] - r.cos) < 1e-9
+
+
+def test_ivf_topk_scores_exact_and_recall(spark):
+    """IVF hits carry the exact cosine, and probing 4/16 cells recovers
+    a solid fraction of the true top-5 (clustered fixture → the true
+    neighbors live in the probed cells)."""
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_all = {
+        (r.q_id, r.n_id): r.cos
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    true_top5 = {
+        (r.q_id, r.n_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert abs(exact_all[(r.q_id, r.n_id)] - r.cos) < 1e-9
+    hits = {(r.q_id, r.n_id) for r in ivf}
+    recall = len(hits & true_top5) / len(true_top5)
+    assert recall >= 0.4, f"IVF recall@5 = {recall}"
+
+
+def test_embed_near_dup_pairs_symmetric_threshold(spark):
+    """cosine_pairs returns exactly the ≥-threshold pairs the exact
+    ranker scores, each once with id_a < id_b."""
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    pairs = similarity.cosine_pairs(emb, threshold=0.42).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert r.cos >= 0.42
