@@ -291,3 +291,31 @@ def t5_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "t6_interval_attribution_batch",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           v.ts AS view_ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    """,
+)
+def t6_interval_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 stretch — interval (range) join: purchases attributed to the
+    same user's views in the preceding 2 h. This is the bounded twin of
+    streaming.core.stream_stream_attribution — the SAME function (T9);
+    unbounded parity is asserted in tests/test_streaming.py."""
+    from datawarehouse_spark.streaming.core import (
+        read_events_batch,
+        stream_stream_attribution,
+    )
+
+    load_tables(spark, sf_dir, ("events",))  # pins session profile
+    ev = read_events_batch(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return stream_stream_attribution(views, purchases)

@@ -140,6 +140,55 @@ def enrich_with_dim(df: DataFrame, dim: DataFrame, key: str = "user_id",
     ).drop(dim_key)
 
 
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T6 stretch — stream-stream interval join ("流处理引擎将数据join成宽表"
+    docs/olap.md:47): attribute each purchase to the same user's views in
+    the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join predicate bounds the time
+    range, so state is provably droppable — the two conditions Spark
+    requires for unbounded-stream joins. Works identically on bounded
+    inputs (T9): batch twins skip the watermark, the predicate is the
+    same.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def realtime_tags(df: DataFrame) -> DataFrame:
     """T7 — streaming feature/tag computation (docs/实时数仓.md:27-29,
     docs/画像简介.md:11): per-user per-day behavioral counters that a

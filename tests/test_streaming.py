@@ -104,3 +104,27 @@ def test_realtime_tags_stream_equals_batch(spark):
     batch = core.realtime_tags(core.read_events_batch(spark, SF_SMOKE))
     diff = core.differential_validate(batch, got, keys=["dt", "user_id"])
     assert diff.count() == 0
+
+
+def test_stream_stream_attribution_equals_batch(spark):
+    """T6 stretch: stream-stream interval join (views→purchases) over
+    the replayed fixture matches the bounded twin exactly (T9/T10)."""
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "click")
+        purchases = df.filter(F.col("event_type") == "purchase")
+        return views, purchases
+
+    sv, sp = split(core.read_events_stream(spark, SF_SMOKE))
+    stream = core.stream_stream_attribution(sv, sp)
+    got = core.run_stream_to_memory(stream, "attrib", output_mode="append")
+
+    bv, bp = split(core.read_events_batch(spark, SF_SMOKE))
+    batch = core.stream_stream_attribution(bv, bp)
+
+    diff = core.differential_validate(
+        batch, got, keys=["purchase_id", "view_id"]
+    )
+    assert diff.count() == 0
+    assert got.count() > 0
+    assert batch.count() == got.count()
