@@ -23,14 +23,17 @@ HEADLINE = [
     "a16_cube",
     # joins
     "j1_multiway_inner",
+    "j1_six_way_star",
     "j4_broadcast_dims",
     "j5_salted_skew_join",
+    "j6_split_skew_union",
     # windows
     "w5_window_vs_groupby_join",
     "w6_ranking",
     # streaming batch forms
     "t3_tumbling_window_batch",
     "t5_session_window_batch",
+    "t6_interval_attribution_batch",
     # profile/tag
     "x3_pivot_wide_tags",
     # LLM data pipeline
@@ -38,6 +41,7 @@ HEADLINE = [
     "llm_minhash_signature",
     "llm_ngram_near_dup",
     "llm_cosine_topk",
+    "llm_embed_near_dup",
 ]
 
 

@@ -52,6 +52,20 @@ class DataWarehouse:
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
 
+    def read_lake(self, path: str, fmt: str = "parquet",
+                  schema=None, **options) -> DataFrame:
+        """S6 — schema-on-read lake ingestion (reference 读取型schema,
+        docs/数据湖.md:28-32): csv/json/text/parquet/binaryFile with an
+        optional explicit schema (schema-on-write path) or inference.
+        Semi-structured JSON columns then go through F.from_json /
+        get_json_object (F12)."""
+        reader = self.spark.read.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        return reader.load(path)
+
     # -- query -----------------------------------------------------------
     def sql(self, q: str, advise: bool = True) -> DataFrame:
         """SQL façade (entry point 1, SURVEY §3.1). Lints are advisory —

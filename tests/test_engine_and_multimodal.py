@@ -66,3 +66,31 @@ def test_decode_media_stub_raises():
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_read_lake_csv_json_roundtrip(spark, tmp_path):
+    """S6: csv and json lake readers recover the written rows; json
+    props survive for F12-style extraction."""
+    from datawarehouse_spark.engine import DataWarehouse
+    from datawarehouse_spark.catalog import load_tables
+    from tests.conftest import SF_SMOKE
+
+    dw = DataWarehouse(spark, base_path=str(tmp_path / "wh"))
+    src = (
+        load_tables(spark, SF_SMOKE, ("events",))["events"]
+        .select("event_id", "user_id", "event_type", "props")
+        .limit(100)
+    )
+    csv_p, json_p = str(tmp_path / "lake_csv"), str(tmp_path / "lake_json")
+    src.write.mode("overwrite").option("header", True).csv(csv_p)
+    src.write.mode("overwrite").json(json_p)
+
+    got_csv = dw.read_lake(csv_p, "csv", header=True, inferSchema=True)
+    got_json = dw.read_lake(json_p, "json")
+    assert got_csv.count() == 100 and got_json.count() == 100
+    assert set(got_json.columns) == set(src.columns)
+    # schema-on-read JSON column stays queryable (F12)
+    ks = got_json.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+    assert ks.filter(F.col("k").isNotNull()).count() > 0
