@@ -87,3 +87,38 @@ def scd2_apply(current: DataFrame, updates: DataFrame, key: str,
 def delete_rows(current: DataFrame, predicate) -> DataFrame:
     """S13-as-mutation / Kudu delete: anti-filter rewrite."""
     return current.filter(~predicate)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 8, sort: bool = True) -> None:
+    """Bucketed table layout: pre-hash-partition (and optionally
+    pre-sort) by the join/agg key at write time, so every later
+    equi-join or aggregation on that key runs WITHOUT an Exchange —
+    the co-located-join strategy that makes repeated 100 TB fact⋈fact
+    joins affordable (one shuffle at ingest, zero per query).
+    Asserted shuffle-free in tests/test_plans.py."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the in-memory catalog forgets managed tables between sessions but
+    # their warehouse dirs survive; clear a stale location
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.format("parquet").saveAsTable(table)
+
+
+def analyze_table(spark: SparkSession, table: str,
+                  columns: list[str] | None = None) -> None:
+    """CBO statistics (SURVEY §4.1: `Statistics: Num rows/Data size`
+    drive the reference's plans): row/size stats plus optional per-column
+    histograms feeding Spark's cost-based join reordering
+    (`spark.sql.cbo.enabled` in the session profile)."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")

@@ -98,3 +98,49 @@ def test_advisor_plan_lint_cartesian(spark):
     big_cross = t["orders"].crossJoin(t["lineitem"].hint("shuffle_replicate_nl"))
     rules = {a.rule for a in advisor.lint_plan(big_cross)}
     assert "cartesian-product" in rules
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketed fact⋈fact equi-join: both sides pre-partitioned by the
+    key at write time → SortMergeJoin with NO Exchange (the co-located
+    join strategy SCALE.md commits to for repeated 100 TB joins)."""
+    from datawarehouse_spark.sources import io
+
+    t = load_tables(spark, SF_ORACLE, ("lineitem", "orders"))
+    io.write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_quantity"), "b_lineitem",
+        "l_orderkey", 8,
+    )
+    io.write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"), "b_orders",
+        "o_orderkey", 8,
+    )
+    # merge hint: at fixture scale Catalyst would broadcast instead; the
+    # bucketed-SMJ path is the one that matters at fact⋈fact scale
+    j = spark.table("b_lineitem").hint("merge").join(
+        spark.table("b_orders").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = parity.analyze(j).spark_plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_analyze_table_feeds_cbo_stats(spark):
+    """ANALYZE TABLE populates row-count stats the optimizer can read."""
+    from datawarehouse_spark.sources import io
+
+    import shutil
+
+    load_tables(spark, SF_ORACLE, ("nation",))
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    shutil.rmtree(f"{wh}/stats_nation", ignore_errors=True)
+    spark.table("nation").write.saveAsTable("stats_nation")
+    io.analyze_table(spark, "stats_nation", columns=["n_nationkey"])
+    desc = spark.sql(
+        "DESCRIBE EXTENDED stats_nation"
+    ).collect()
+    txt = "\n".join(str(r) for r in desc)
+    assert "rows" in txt or "Statistics" in txt
