@@ -722,3 +722,65 @@ def p10_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         """
     )
+
+
+@query(
+    "p13_scalar_subquery_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+    """,
+)
+def p13_scalar_subquery_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — uncorrelated scalar subquery (global average as
+    a predicate bound) + NOT EXISTS anti join: rich customers who never
+    ordered. The scalar subquery broadcasts one value; the anti join is
+    the reference's NOT-EXISTS rewrite (docs/sql规范.md:54-58). AVG is
+    IEEE-deterministic here only because both engines aggregate the same
+    doubles — so the bound is compared, never emitted."""
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+        """
+    )
+
+
+@query(
+    "a19_groupagg_in_subquery",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, {sql_dsum('l_quantity')} AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 180.0
+    )
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def a19_groupagg_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over an aggregated-HAVING subquery (large
+    orders), then re-aggregation after the join. Catalyst plans the IN
+    as a semi join against the pre-aggregated side — one shuffle each on
+    the shared key, co-partitioned thereafter."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("q"))
+        .filter(F.col("q") > 180.0)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity").alias("total_qty"))
+    )

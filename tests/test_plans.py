@@ -144,3 +144,14 @@ def test_analyze_table_feeds_cbo_stats(spark):
     ).collect()
     txt = "\n".join(str(r) for r in desc)
     assert "rows" in txt or "Statistics" in txt
+
+
+def test_distribute_by_hash_partitions_without_sort(spark):
+    """O3 — DISTRIBUTE BY ≡ repartition(cols): one hash Exchange, no
+    global sort (the reference's map-output partition columns,
+    docs/explain.md:108)."""
+    t = load_tables(spark, SF_ORACLE, ("orders",))
+    df = t["orders"].repartition(8, F.col("o_custkey"))
+    plan = parity.analyze(df).spark_plan
+    assert "hashpartitioning(o_custkey" in plan
+    assert "rangepartitioning" not in plan
