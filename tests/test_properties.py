@@ -1,0 +1,106 @@
+"""Property tests (hypothesis): the engine's equivalence claims hold on
+arbitrary data, not just the fixtures.
+
+Each property mirrors a rewrite the reference asserts is
+result-identical (SURVEY §5.2): salting/splitting must be semantically
+invisible, two-phase aggregation must equal one-phase, UNION must equal
+UNION ALL + distinct. Examples are kept small (Spark job per example).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.operators import skew
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.integers(min_value=-100, max_value=100)
+
+ROWS = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=40)
+SMALL = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=8)
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows, cols):
+    schema = ", ".join(f"{c} long" for c in cols)
+    return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@given(big=ROWS, small=SMALL)
+@_SETTINGS
+def test_salted_join_invisible(spark, big, small):
+    """J6: full-expansion salted join ≡ plain inner join."""
+    b = _df(spark, big, ["k", "v"])
+    s = _df(spark, small, ["k", "w"])
+    plain = b.join(s, "k")
+    salted = skew.salted_join(b, s, "k", n_salt=4)
+    assert _rowset(salted.select("k", "v", "w")) == _rowset(
+        plain.select("k", "v", "w")
+    )
+
+
+@given(big=ROWS, small=SMALL, threshold=st.integers(min_value=1, max_value=10))
+@_SETTINGS
+def test_split_skew_join_invisible(spark, big, small, threshold):
+    """J5: hot/cold split + salt ≡ plain inner join, at any threshold."""
+    b = _df(spark, big, ["k", "v"])
+    s = _df(spark, small, ["k2", "w"])
+    plain = b.join(s, F.col("k") == F.col("k2"))
+    split = skew.split_skew_join(b, s, "k", "k2", hot_threshold=threshold, n_salt=3)
+    assert _rowset(split.select("k", "v", "w")) == _rowset(
+        plain.select("k", "v", "w")
+    )
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_salted_agg_equals_plain(spark, rows):
+    """A11: two-phase salted aggregation ≡ one-phase (count and sum)."""
+    df = _df(spark, rows, ["k", "v"])
+    plain = _rowset(
+        df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,2)")).cast("double").alias("s"),
+        )
+    )
+    two_phase = _rowset(
+        skew.salted_agg(df, ["k"], {"n": ("count", "*"), "s": ("sum", "v")}, n_salt=4)
+    )
+    assert two_phase == plain
+
+
+@given(a=ROWS, b=ROWS)
+@_SETTINGS
+def test_union_distinct_equals_union_all_dedup(spark, a, b):
+    """U2: UNION ≡ UNION ALL → distinct (the reference's cost warning
+    is about performance, never results)."""
+    da = _df(spark, a, ["k", "v"])
+    db = _df(spark, b, ["k", "v"])
+    assert _rowset(da.union(db).distinct()) == _rowset(
+        da.unionAll(db).dropDuplicates()
+    )
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_window_sum_equals_groupby_join(spark, rows):
+    """W5: whole-partition window sum ≡ groupBy + join-back (the
+    reference's decomposition pair, docs/HiveSQL.md:95-157)."""
+    from pyspark.sql import Window as W
+
+    df = _df(spark, rows, ["k", "v"])
+    win = df.withColumn("t", F.sum("v").over(W.partitionBy("k")))
+    agg = df.groupBy("k").agg(F.sum("v").alias("t"))
+    dec = df.join(agg, "k")
+    assert _rowset(win.select("k", "v", "t")) == _rowset(dec.select("k", "v", "t"))
