@@ -155,3 +155,14 @@ def test_distribute_by_hash_partitions_without_sort(spark):
     plan = parity.analyze(df).spark_plan
     assert "hashpartitioning(o_custkey" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_impossible_where_folds_to_empty(spark):
+    """Constant-false predicate folds to an empty LocalRelation at plan
+    time — the Spark analog of MySQL's `impossible where`
+    (docs/explain.md:198): no scan is scheduled at all."""
+    t = load_tables(spark, SF_ORACLE, ("orders",))
+    df = t["orders"].filter(F.lit(1) == F.lit(0))
+    plan = parity.analyze(df).spark_plan
+    assert "LocalTableScan" in plan or "LocalRelation" in plan, plan
+    assert "FileScan" not in plan

@@ -128,3 +128,31 @@ def test_stream_stream_attribution_equals_batch(spark):
     assert diff.count() == 0
     assert got.count() > 0
     assert batch.count() == got.count()
+
+
+def test_kappa_restart_resumes_from_checkpoint(spark, tmpdir):
+    """T8 — kappa reprocessing semantics: a restarted query with the
+    SAME checkpoint does not re-emit processed data; a FRESH checkpoint
+    (the reference's replay-from-head rebuild, docs/数据湖.md:73-80)
+    reprocesses everything."""
+    import glob
+
+    out1 = f"{tmpdir}/out1"
+    ck = f"{tmpdir}/ck"
+    src = core.cleanse(core.read_events_stream(spark, SF_SMOKE))
+
+    q = core.foreach_batch_fanout(src, {"a": out1}, checkpoint=ck)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    n1 = spark.read.parquet(out1).count()
+    assert n1 > 0
+
+    # same checkpoint → no new data, no duplication
+    q = core.foreach_batch_fanout(src, {"a": out1}, checkpoint=ck)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert spark.read.parquet(out1).count() == n1
+
+    # fresh checkpoint = kappa rebuild: full replay into a new table
+    out2 = f"{tmpdir}/out2"
+    q = core.foreach_batch_fanout(src, {"a": out2}, checkpoint=f"{tmpdir}/ck2")
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    assert spark.read.parquet(out2).count() == n1
