@@ -59,24 +59,34 @@ def minhash_col(shingles: Column, seed: int) -> Column:
 
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
-                      k: int = 8, n: int = 3) -> DataFrame:
+                      k: int = 8, n: int = 3, hash: str = "md5") -> DataFrame:
     """doc_id + mh0..mh{k-1} columns.
 
-    Shape matters: explode shingles → k md5 columns per shingle row →
+    Shape matters: explode shingles → k hash columns per shingle row →
     groupBy(doc) min-aggregate. The naive k-array-expressions form
     re-evaluates tokenize+shingle k× (Catalyst CollapseProject inlines
     the shared alias) and runs as one giant projection; the exploded
     form computes shingles once, runs partial min-aggregation
     map-side, and parallelizes across row splits — the same plan that
     scales to 100 TB of documents.
+
+    ``hash="md5"`` is the oracle-portable form (identical output in
+    DuckDB); ``hash="xxhash64"`` is 2× faster (sf0.1: 1.8 s vs 3.6 s —
+    long min-agg instead of hex-string min-agg) and is what the LSH
+    banding path uses, where only band collisions matter.
     """
     sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("_s"))
-    return sh.groupBy(id_col).agg(
-        *[
+    if hash == "xxhash64":
+        cols = [
+            F.min(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("_s")))).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    else:
+        cols = [
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("_s")))).alias(f"mh{j}")
             for j in range(k)
         ]
-    )
+    return sh.groupBy(id_col).agg(*cols)
 
 
 def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
@@ -93,8 +103,12 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat(
-                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
                 ).alias("band_key"),
             )
             for b in range(n_bands)
@@ -209,3 +223,55 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
         return pd.Series(out)
 
     return df.select(id_col, _simhash(F.col(text)).alias("simhash"))
+
+
+def simhash_near_dup(sim: DataFrame, id_col: str = "doc_id",
+                     sig_col: str = "simhash", max_hamming: int = 8,
+                     n_slices: int = 9) -> DataFrame:
+    """SimHash near-dup pairs via bit-slice bucketing + exact Hamming
+    verify — the fingerprint counterpart of MinHash-LSH banding.
+
+    Pigeonhole: two 63-bit signatures within Hamming distance
+    ``max_hamming`` share at least one of ``n_slices`` slices whenever
+    n_slices > max_hamming, so the candidate join is a hash join on
+    (slice_idx, slice_bits) — O(Σ bucket²), never O(n²). Candidates are
+    then verified exactly with bit_count(xor) — all JVM expressions.
+    """
+    if n_slices <= max_hamming:
+        raise ValueError("need n_slices > max_hamming for full recall")
+    # ceil, NOT floor+1: 9 slices need width 7 (offsets 0..56). A width
+    # putting the last offset at ≥64 would wrap (JVM shifts are mod 64)
+    # and silently duplicate slice 0 — breaking the pigeonhole bound.
+    width = -(-63 // n_slices)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("slice_idx"),
+                F.shiftrightunsigned(F.col(sig_col), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("slice_bits"),
+            )
+            for i in range(n_slices)
+        ]
+    )
+    ex = sim.select(id_col, sig_col, F.explode(slices).alias("sl")).select(
+        id_col, sig_col, "sl.slice_idx", "sl.slice_bits"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.slice_idx") == F.col("b.slice_idx"))
+            & (F.col("a.slice_bits") == F.col("b.slice_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

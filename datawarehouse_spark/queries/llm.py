@@ -155,12 +155,24 @@ def llm_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("llm_minhash_lsh_candidates")  # probabilistic — rows-only check
 def llm_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (4 bands × 2 hashes): the O(n·bucket)
-    scale path for near-dup discovery at 100 TB. Probabilistic recall →
-    no SQL oracle; recall vs the exact pairs is asserted in
-    tests/test_llm_ops.py."""
+    scale path for near-dup discovery at 100 TB, on the 2×-faster
+    xxhash64 signature (band collisions don't need oracle-portable
+    hashes). Probabilistic recall → no SQL oracle; recall vs the exact
+    pairs is asserted in tests/test_llm_ops.py."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = dedup.minhash_signature(t["documents"], k=8)
+    sig = dedup.minhash_signature(t["documents"], k=8, hash="xxhash64")
     return dedup.lsh_candidates(sig, k=8, band_size=2)
+
+
+@query("llm_simhash_pairs")  # bucketed candidates — rows-only check
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 9 bit-slices bucket-join (pigeonhole
+    guarantees full recall at Hamming ≤ 8), exact bit_count(xor)
+    verify — the constant-state alternative to MinHash-LSH. Containment
+    vs the exact n-gram pairs asserted in tests."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sim = dedup.simhash64(t["documents"])
+    return dedup.simhash_near_dup(sim, max_hamming=8)
 
 
 @query("llm_simhash")  # pandas-UDF path — rows-only check
