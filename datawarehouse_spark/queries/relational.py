@@ -784,3 +784,29 @@ def a19_groupagg_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum("l_quantity").alias("total_qty"))
     )
+
+
+@query(
+    "a20_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (the OLAP latency-SLA
+    query shape). Sort-based and order-independent, so bit-identical
+    across engines — unlike stddev/corr whose partial-merge order
+    varies. At extreme scale swap percentile→approx_percentile
+    (t-digest) the same way A5 degrades to A18."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        )
+    )

@@ -218,3 +218,44 @@ def s13_window_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@query(
+    "w7_explicit_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_3,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS n_all
+    FROM events
+    """,
+)
+def w7_explicit_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — explicit ROWS/RANGE frames: running total, 3-row moving sum,
+    whole-partition count. Frames never re-shuffle — one Exchange on
+    user_id serves all three. Decimal-exact sums keep the running
+    values engine-portable; (ts, event_id) ordering makes ROWS frames
+    deterministic under ts ties."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(38,2)")
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double").alias("running_total"),
+        F.sum(dec).over(w.rowsBetween(-2, W.currentRow))
+        .cast("double").alias("moving_3"),
+        F.count(F.lit(1)).over(
+            w.rangeBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).cast("bigint").alias("n_all"),
+    )
