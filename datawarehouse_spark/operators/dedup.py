@@ -14,10 +14,12 @@ row loops) so they compose with the rest of the engine and scale:
                        used downstream of LSH candidates (and an exact
                        oracle-checkable near-dup op at small scale)
 
-Scale notes: the shingle self-join shuffles on the shingle string; hot
-shingles (stopword runs) are capped via frequency filtering
-(``max_shingle_freq``) — the classic "drop ubiquitous shingles" trick,
-which both bounds the join fan-out and removes noise pairs.
+Scale notes: the shingle self-join shuffles on an int64 shingle hash
+(8-byte keys); hot shingles (stopword runs) are capped via frequency
+filtering (``max_shingle_freq``) — the classic "drop ubiquitous
+shingles" trick, which both bounds the join fan-out and removes noise
+pairs. SimHash pair-finding buckets on bit-slices (pigeonhole bound),
+so every path here is a hash join, never an all-pairs product.
 """
 
 from __future__ import annotations

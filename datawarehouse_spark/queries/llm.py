@@ -278,3 +278,34 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4
     )
+
+
+@query(
+    "llm_tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, tf.term,
+             round(tf * ln((1 + (SELECT COUNT(*) FROM documents)) / (df + 1.0)), 6)
+               AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — corpus-level term statistics
+    (two map-combined shuffles + a term join; see
+    operators/text.py::tfidf_top_terms for the scale notes)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.tfidf_top_terms(t["documents"], k=3)

@@ -46,6 +46,11 @@ TUNED_PROFILE: dict[str, str] = {
     "spark.reducer.maxSizeInFlight": "96m",
     "spark.shuffle.io.maxRetries": "10",
     "spark.shuffle.io.retryWait": "10s",
+    # CBO: table/column stats (sources.io.analyze_table) drive join
+    # reordering — the reference's Statistics-annotated planning
+    # (docs/explain.md:41,96). No-op until ANALYZE populates stats.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
     # Deterministic timestamps vs the DuckDB oracle (naive UTC).
     "spark.sql.session.timeZone": "UTC",
     # Hive-style lenient coercion (string dt compares, string↔number) —
