@@ -111,3 +111,34 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
         "kind",
         F.posexplode(frames).alias("frame_idx", "frame_bytes"),
     )
+
+
+def resize_media(media: DataFrame, target_bytes: int = 16) -> DataFrame:
+    """'Resize' stub: downsample each payload to ``target_bytes`` by
+    strided byte selection — structurally identical to image resize /
+    audio resample (payload in → smaller payload out, metadata updated).
+    Real codecs plug into the same Arrow batch path (see
+    :func:`decode_media`); partitioning, schema, and batch shape are
+    production-real, the byte math is the deterministic stand-in.
+    """
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def pick(b: bytes) -> bytes:
+                if len(b) <= target_bytes:
+                    return bytes(b)
+                stride = len(b) / target_bytes
+                return bytes(b[int(i * stride)] for i in range(target_bytes))
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(pick),
+                    "n_bytes": pdf["payload"].map(pick).map(len),
+                }
+            )
+
+    return media.mapInPandas(
+        shrink, schema="media_id bigint, kind string, payload binary, n_bytes bigint"
+    )

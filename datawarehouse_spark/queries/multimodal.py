@@ -62,3 +62,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     frames = mm.frame_sample(mm.attach_media(t["documents"]), every_n_bytes=16)
     return frames.select("media_id", "kind", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
+@query("mm_resize")  # mapInPandas byte-math stub — rows-only
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample over binary payloads (strided-byte stand-in for
+    image resize; Arrow batch path is production-real). Determinism and
+    exact output size asserted in tests."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return mm.resize_media(mm.attach_media(t["documents"]), target_bytes=16)

@@ -136,3 +136,16 @@ def test_layered_warehouse_pipeline(spark, tmp_path):
     got = {r.user_id for r in dw.table("ads_top_users").collect()}
     want = {r.user_id for r in direct.collect()}
     assert got == want
+
+
+def test_resize_media_deterministic_and_bounded(spark):
+    """Resize stub: every payload shrinks to exactly target_bytes, rows
+    are preserved 1:1, and the op is deterministic."""
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    media = mm.attach_media(docs)
+    small = mm.resize_media(media, target_bytes=16)
+    rows = small.collect()
+    assert len(rows) == docs.count()
+    assert all(r.n_bytes == 16 and len(r.payload) == 16 for r in rows)
+    again = {r.media_id: bytes(r.payload) for r in mm.resize_media(media, 16).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in rows)
