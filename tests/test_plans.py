@@ -166,3 +166,38 @@ def test_impossible_where_folds_to_empty(spark):
     plan = parity.analyze(df).spark_plan
     assert "LocalTableScan" in plan or "LocalRelation" in plan, plan
     assert "FileScan" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The engine's first-line skew defense (SCALE.md): AQE detects the
+    hot key at runtime and splits its partition — the final adaptive
+    plan shows SortMergeJoin(skew=true). Thresholds are lowered so the
+    fixture-scale hot key crosses them; production keeps defaults."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 400000).select(
+            F.when(F.col("id") < 300000, F.lit(7))
+            .otherwise(F.pmod("id", 1000))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(small, "k").select(F.sum("v").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "isFinalPlan=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
