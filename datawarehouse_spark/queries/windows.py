@@ -259,3 +259,45 @@ def w7_explicit_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rangeBetween(W.unboundedPreceding, W.unboundedFollowing)
         ).cast("bigint").alias("n_all"),
     )
+
+
+@query(
+    "w8_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(CASE WHEN first_click IS NOT NULL THEN 1 END) AS BIGINT)
+             AS clickers,
+           CAST(COUNT(CASE WHEN first_purchase > first_click THEN 1 END) AS BIGINT)
+             AS converted
+    FROM firsts f JOIN customer c ON f.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def w8_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite funnel: per-user first click / first purchase (A4-style
+    conditional MIN — one events pass, no self-join), then a join onto
+    the customer dim and a segment rollup. The per-user agg is
+    map-combined, so the shuffle carries one row per user — the shape
+    that holds when events is the 100 TB side. customer grows with SF,
+    so the broadcast decision is left to Catalyst/AQE (j1 note)."""
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    firsts = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    joined = firsts.join(
+        t["customer"],
+        F.col("user_id") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("first_click").isNotNull(), 1)).alias("clickers"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_click"), 1)
+        ).alias("converted"),
+    )
