@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
 from datawarehouse_spark.plans import advisor, parity
-from datawarehouse_spark.queries import QUERIES
+from datawarehouse_spark.queries import QUERIES_RAW as QUERIES
 from tests.conftest import SF_ORACLE
 
 
