@@ -160,8 +160,11 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
         sh = sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "s").drop("_f")
     # the shingle set feeds three consumers (sizes + both self-join
-    # sides); persist so tokenize+shingle runs once, not 3×
-    sh = sh.persist()
+    # sides). No persist: at 100 TB the shingle set cannot be cached;
+    # instead the two join sides are byte-identical subplans, so Spark's
+    # ReuseExchange computes their shuffle once (plan-asserted in
+    # tests/test_plans.py), and only the sizes aggregation recomputes —
+    # scalable and leak-free where persist() was neither.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -225,6 +228,58 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
         return pd.Series(out)
 
     return df.select(id_col, _simhash(F.col(text)).alias("simhash"))
+
+
+def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components via
+    iterative min-label propagation → ``(doc_id, canonical_id)`` where
+    canonical_id is the component's minimum doc id (the "keep" doc).
+
+    The missing last mile of a dedup pipeline — the reference's
+    keep-min-ROWID dedupe (docs/sql规范.md:21-24) generalized from exact
+    groups to fuzzy-pair graphs. Each iteration is one shuffle-join of
+    the label table with the (small) edge set; near-dup components are
+    shallow (pairs of near-identical docs), so convergence takes
+    O(component diameter) iterations — checked with a cheap aggregate
+    and lineage-truncated with localCheckpoint so the plan doesn't grow
+    across iterations. Deterministic, so oracle-checkable via a
+    recursive transitive-closure CTE.
+    """
+    edges = pairs.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    # edges feed every iteration: this one IS worth materializing (it is
+    # the pair list — tiny relative to the corpus even at 100 TB input)
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "nbr_min").alias("lbl"),
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbours' labels
+        prop = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        nxt = (
+            labels.join(prop, labels["doc_id"] == prop["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
+                (F.coalesce("nbr_lbl", labels["lbl"]) < labels["lbl"]).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.agg(F.sum(F.col("_chg").cast("int"))).first()[0] or 0
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("canonical_id"))
 
 
 def simhash_near_dup(sim: DataFrame, id_col: str = "doc_id",

@@ -17,12 +17,88 @@ from datawarehouse_spark.operators import dedup, similarity, text
 from datawarehouse_spark.queries.registry import query
 
 # DuckDB rendering of the word-3-shingle list (shared by minhash/jaccard
-# oracles); list_transform is 1-based like Spark's slice.
+# oracles); list_transform is 1-based like Spark's slice. The short-doc
+# branch mirrors operators/dedup.shingles_col exactly: documents with
+# fewer than 3 tokens shingle to [text] (latent at current fixtures —
+# every doc has ≥3 tokens — but the two sides must agree by construction).
 _DUCK_SHINGLES = """
-  list_distinct(list_transform(
+  CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+  ELSE list_distinct(list_transform(
     range(1, len(string_split(text, ' ')) - 1),
     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-         || ' ' || string_split(text, ' ')[i+2]))
+         || ' ' || string_split(text, ' ')[i+2])) END
+"""
+
+# md5 MinHash signature (k=8) as a reusable CTE chain — shared by the
+# signature query, the LSH banding oracle, and anything downstream.
+_DUCK_SIG_CTES = f"""
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents),
+    sig AS (SELECT doc_id,
+      {",".join(f"list_aggregate(list_transform(s, x -> md5('{j}|' || x)), 'min') AS mh{j}" for j in range(8))}
+    FROM sh)
+"""
+
+#: shingle document-frequency cap for the exact near-dup self-join: a
+#: shingle appearing in more docs than this is dropped before the join
+#: (stopword-run shingles otherwise cause O(df²) fan-out — the classic
+#: hot-key bound, mirrored identically in the oracle).
+NGRAM_MAX_SHINGLE_FREQ = 100
+
+# capped shingle self-join → near-dup pairs, as a reusable CTE chain
+# ending in `pairs` (shared by llm_ngram_near_dup and the cluster
+# resolution oracle).
+_DUCK_NGRAM_CTES = f"""
+    sh0 AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+    ), capped AS (
+      SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_SHINGLE_FREQ}
+    ), shc AS (
+      SELECT sh0.doc_id, sh0.s FROM sh0 JOIN capped USING (s)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b, (i * 1.0 / (sa.n + sb.n - i)) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE (i * 1.0 / (sa.n + sb.n - i)) >= 0.3
+    )
+"""
+
+# SimHash recomputation in SQL: parse the first 16 md5 hex digits into
+# two 32-bit halves, bit-vote over all token occurrences, reassemble the
+# 63-bit sign vector — mirrors operators/dedup.simhash64 exactly.
+_DUCK_SIMHASH_CTES = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hx AS (
+      SELECT doc_id, md5(tok) AS h FROM toks
+    ), hv AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(8), j ->
+          (strpos('0123456789abcdef', substr(h, j + 1, 1)) - 1)
+            * (CAST(1 AS BIGINT) << (4 * (7 - j))))) AS BIGINT) AS hi,
+        CAST(list_sum(list_transform(range(8), j ->
+          (strpos('0123456789abcdef', substr(h, j + 9, 1)) - 1)
+            * (CAST(1 AS BIGINT) << (4 * (7 - j))))) AS BIGINT) AS lo
+      FROM hx
+    ), bits AS (
+      SELECT doc_id, u.i,
+             CASE WHEN u.i < 32 THEN (lo >> u.i) & 1
+                  ELSE (hi >> (u.i - 32)) & 1 END AS bit
+      FROM hv CROSS JOIN (SELECT unnest(range(63)) AS i) u
+    ), votes AS (
+      SELECT doc_id, i, SUM(2 * bit - 1) AS v FROM bits GROUP BY 1, 2
+    ), simsig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << i
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY 1
+    )
 """
 
 
@@ -105,17 +181,8 @@ def llm_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_minhash_signature",
     oracle=f"""
-    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents)
-    SELECT doc_id,
-           list_aggregate(list_transform(s, x -> md5('0|' || x)), 'min') AS mh0,
-           list_aggregate(list_transform(s, x -> md5('1|' || x)), 'min') AS mh1,
-           list_aggregate(list_transform(s, x -> md5('2|' || x)), 'min') AS mh2,
-           list_aggregate(list_transform(s, x -> md5('3|' || x)), 'min') AS mh3,
-           list_aggregate(list_transform(s, x -> md5('4|' || x)), 'min') AS mh4,
-           list_aggregate(list_transform(s, x -> md5('5|' || x)), 'min') AS mh5,
-           list_aggregate(list_transform(s, x -> md5('6|' || x)), 'min') AS mh6,
-           list_aggregate(list_transform(s, x -> md5('7|' || x)), 'min') AS mh7
-    FROM sh
+    WITH {_DUCK_SIG_CTES}
+    SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig
     """,
 )
 def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,57 +195,111 @@ def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llm_ngram_near_dup",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, (i * 1.0 / (sa.n + sb.n - i)) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE (i * 1.0 / (sa.n + sb.n - i)) >= 0.3
+    WITH {_DUCK_NGRAM_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def llm_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard ≥ 0.3 via shingle
-    self-join (the exact verifier downstream of MinHash-LSH candidates).
+    self-join (the exact verifier downstream of MinHash-LSH candidates),
+    with hot shingles capped at document frequency ≤ 100 so one
+    ubiquitous shingle can't blow up the join fan-out.
     ~25 planted near-dup pairs exist at sf0.01."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return dedup.ngram_jaccard_pairs(t["documents"], threshold=0.3)
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
 
 
-@query("llm_minhash_lsh_candidates")  # probabilistic — rows-only check
+@query(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_NGRAM_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+    )
+    SELECT doc_id, CAST(LEAST(doc_id, MIN(lbl)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY doc_id
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster resolution: connected components over the exact
+    near-dup pairs → (doc_id, canonical_id), keep-min-per-cluster — an
+    LLM pipeline dedups documents, not pairs. Iterative min-label
+    propagation in Spark; transitive-closure recursive CTE as oracle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+    return dedup.dedup_clusters(pairs)
+
+
+@query(
+    "llm_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_DUCK_SIG_CTES},
+    bands AS (
+      SELECT doc_id, 0 AS bi, mh0 || '|' || mh1 AS bk FROM sig
+      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    """,
+)
 def llm_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (4 bands × 2 hashes): the O(n·bucket)
-    scale path for near-dup discovery at 100 TB, on the 2×-faster
-    xxhash64 signature (band collisions don't need oracle-portable
-    hashes). Probabilistic recall → no SQL oracle; recall vs the exact
-    pairs is asserted in tests/test_llm_ops.py."""
+    scale path for near-dup discovery at 100 TB. The banding self-join is
+    deterministic given the signature, so the md5-signature variant is
+    fully oracle-checkable; the 2×-faster xxhash64 signature is the
+    drop-in production path (recall asserted in tests/test_llm_ops.py)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = dedup.minhash_signature(t["documents"], k=8, hash="xxhash64")
+    sig = dedup.minhash_signature(t["documents"], k=8, hash="md5")
     return dedup.lsh_candidates(sig, k=8, band_size=2)
 
 
-@query("llm_simhash_pairs")  # bucketed candidates — rows-only check
+@query(
+    "llm_simhash_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 9 bit-slices bucket-join (pigeonhole
     guarantees full recall at Hamming ≤ 8), exact bit_count(xor)
-    verify — the constant-state alternative to MinHash-LSH. Containment
-    vs the exact n-gram pairs asserted in tests."""
+    verify — the constant-state alternative to MinHash-LSH. The bucketed
+    join finds exactly the Hamming-ball pairs, so the oracle is the
+    brute-force pair scan over the recomputed signatures."""
     t = load_tables(spark, sf_dir, ("documents",))
     sim = dedup.simhash64(t["documents"])
     return dedup.simhash_near_dup(sim, max_hamming=8)
 
 
-@query("llm_simhash")  # pandas-UDF path — rows-only check
+@query(
+    "llm_simhash",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH_CTES}
+    SELECT doc_id, simhash FROM simsig
+    """,
+)
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints via Arrow-vectorized pandas UDF (the
-    sanctioned slow path, SURVEY §2.10)."""
+    sanctioned slow path, SURVEY §2.10): md5 the tokens, bit-vote
+    weighted by occurrence, sign vector = 63-bit fingerprint. Fully
+    deterministic, recomputed hex-digit-by-hex-digit in the oracle."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.simhash64(t["documents"])
 

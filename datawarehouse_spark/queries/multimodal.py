@@ -36,13 +36,50 @@ def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_feature_extraction")  # mapInPandas decode path — rows-only
+def _feature_oracle() -> str:
+    """DuckDB recomputation of the deterministic fake decode: the payload
+    is unhex(md5(text) || md5('2:'||text)) — 32 bytes recoverable from the
+    hex digits — so byte stats and strided features are plain SQL."""
+    feats = ",\n           ".join(
+        f"CAST(((bytes[{i + 1}] + bytes[{i + 9}] + bytes[{i + 17}] + bytes[{i + 25}])"
+        f" % 256) AS DOUBLE) / 255.0 AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+    WITH h AS (
+      SELECT doc_id, md5(text) || md5(concat('2:', text)) AS hx FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(range(32), i ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)
+             ) AS bytes
+      FROM h
+    )
+    SELECT doc_id AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+           CAST(32 AS BIGINT) AS n_bytes,
+           CAST(list_sum(bytes) AS DOUBLE) / 32 AS byte_mean,
+           CAST(len(list_distinct(bytes)) AS DOUBLE) / 32 AS byte_entropy_proxy,
+           {feats}
+    FROM b
+    """
+
+
+@query("mm_feature_extraction", oracle=_feature_oracle())
 def mm_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (deterministic fake decode; real codecs are a stub — see
-    operators/multimodal.py). Determinism asserted in tests."""
+    operators/multimodal.py). The internal operator emits an
+    ``array<double>`` embedding; the registered query flattens it to
+    scalar f0..f7 so the driver canonicalizer can hash it."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return mm.extract_features(mm.attach_media(t["documents"]))
+    df = mm.extract_features(mm.attach_media(t["documents"]))
+    return df.select(
+        "media_id", "kind", "n_bytes", "byte_mean", "byte_entropy_proxy",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 @query(

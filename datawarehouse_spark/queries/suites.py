@@ -223,6 +223,7 @@ FINAL_ORDER: list[str] = [
     "llm_ngram_near_dup",
     "llm_simhash",
     "llm_simhash_pairs",
+    "llm_dedup_clusters",
     "llm_embed_near_dup",
     "llm_cosine_topk",
     "llm_tfidf_top_terms",
