@@ -9,6 +9,8 @@ buckets, candidate ranking only touches same-bucket vectors.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -115,9 +117,6 @@ def cosine_pairs(
     (:func:`hyperplane_lsh_buckets`, :func:`ivf_topk`) cuts the
     candidate blocks further when the threshold is high.
     """
-    import numpy as np
-    import pandas as pd
-
     emb = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -161,6 +160,65 @@ def cosine_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means centroids via distributed Lloyd iterations.
+
+    Deterministic end to end: init is the lowest-``n_cells``-id vectors
+    (no RNG), assignment ties break on lowest cell (np.argmax), and the
+    per-cell mean uses an order-independent exact decimal sum so shuffle
+    order can't perturb centroids between runs.
+
+    Scale shape: centroids broadcast into an Arrow-vectorized assignment
+    UDF (one GEMM per batch); new centroids come from a map-combined
+    groupBy over posexploded dimensions (n_cells × dim rows collected —
+    the centroid table is tiny by definition). Each iteration is one
+    shuffle of size n_cells × dim, independent of corpus size.
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = emb.orderBy("vid").limit(n_cells).collect()
+    cents = np.array([list(map(float, r["v"])) for r in init])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(n_iter):
+        frozen = cents.copy()
+
+        @F.pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            m = np.vstack(vs.values)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(np.argmax(m @ frozen.T, axis=1).astype("int32"))
+
+        stats = (
+            emb.select(assign(F.col("v")).alias("cell"), F.posexplode("v").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        nxt = frozen.copy()  # empty cells keep their previous centroid
+        by_cell: dict[int, np.ndarray] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], np.zeros(cents.shape[1]))[r["d"]] = (
+                r["s"] / r["n"]
+            )
+        for cell, mean in by_cell.items():
+            norm = np.linalg.norm(mean)
+            if norm > 0:
+                nxt[cell] = mean / norm
+        cents = nxt
+    return cents.tolist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,37 +227,35 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    train_iters: int = 4,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     into ``n_cells`` cells, probe the ``n_probe`` nearest cells per
     query, exact re-rank inside probed cells.
 
-    Centroids are a deterministic corpus sample (lowest ``n_cells``
-    ids) collected to the driver — n_cells×dim floats, tiny; a
-    production build swaps in k-means centroids through the same
-    literal-array path. Cell assignment is a JVM expression (argmax of
+    Centroids come from deterministic spherical k-means
+    (:func:`kmeans_centroids`) unless supplied — n_cells×dim floats on
+    the driver, tiny. Cell assignment is a JVM expression (argmax of
     struct(cos, -cell) via array_max — no UDF); the cell id becomes the
     shuffle key, so candidate generation is a hash join over
     ~n_probe/n_cells of the corpus instead of a full cross join.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(id_col, vec_col)
-        .collect()
+    cents = centroids or kmeans_centroids(
+        corpus, n_cells, train_iters, id_col, vec_col
     )
 
     def best_cells(vec: str, n: int) -> Column:
         """Array of the n cell-ids nearest to `vec` (by cosine)."""
         scored = []
-        for cell, row in enumerate(cents):
-            cvec = F.array(*[F.lit(float(x)) for x in row[vec_col]])
+        for cell, cvals in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in cvals])
             dot = F.aggregate(
                 F.zip_with(F.col(vec), cvec, lambda x, c: x.cast("double") * c),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            cnorm = sum(float(x) * float(x) for x in row[vec_col]) ** 0.5
+            cnorm = sum(float(x) * float(x) for x in cvals) ** 0.5
             cos = dot / (norm_col(vec) * F.lit(cnorm))
             scored.append(F.struct(cos.alias("cos"), F.lit(cell).alias("cell")))
         ranked = F.reverse(F.array_sort(F.array(*scored)))
