@@ -31,7 +31,16 @@ class MaterializedView:
     layer: str
     table: str
     path: str
-    rows: int
+    _df: DataFrame | None = None
+    _rows: int | None = None
+
+    @property
+    def rows(self) -> int:
+        """Row count, computed lazily on first access — materialize()
+        itself never pays an extra full scan just for metadata."""
+        if self._rows is None:
+            self._rows = self._df.count() if self._df is not None else 0
+        return self._rows
 
 
 class DataWarehouse:
@@ -90,7 +99,7 @@ class DataWarehouse:
         writer.parquet(path)
         back = self.spark.read.parquet(path)
         back.createOrReplaceTempView(f"{layer}_{table}")
-        return MaterializedView(layer, table, path, back.count())
+        return MaterializedView(layer, table, path, back)
 
     # -- diagnosis ---------------------------------------------------------
     def explain_parity(self, df: DataFrame) -> PlanReport:

@@ -42,7 +42,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str, n_salt: int = 8,
                 how: str = "inner") -> DataFrame:
     """J5/J6 — deterministic-salt join: big side salted by row hash,
     small side exploded ×n_salt (reference solution 7,
-    docs/sql调优.md:234-250). Result is identical to the plain join."""
+    docs/sql调优.md:234-250). Result is identical to the plain join —
+    which holds only for inner/left/left_semi: with right/full, an
+    unmatched small-side row would surface once per salt replica, so
+    those modes are rejected rather than silently wrong."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: the "
+            "×n_salt-exploded small side would emit unmatched rows n_salt "
+            "times under right/full join modes"
+        )
     b = big.withColumn("_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1)))

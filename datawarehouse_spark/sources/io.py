@@ -60,6 +60,40 @@ def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return survivors.unionByName(updates)
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str = "dt",
+) -> list:
+    """S11 at scale — partition-scoped upsert over a Hive-layout table.
+
+    The full-table rewrite of :func:`merge_upsert` cannot hold at
+    100 TB; this variant touches only the partitions that contain
+    updated keys: prune the read to those partitions (directory
+    pruning), anti-join + union within them, and rewrite with dynamic
+    partition overwrite so untouched partition dirs are neither read
+    nor written (asserted via file mtimes in tests/test_io_and_skew.py).
+    `updates` must carry ``partition_col``; keys never move partitions
+    (the upsert is partition-local — Kudu range-partition semantics,
+    docs/kudu.md:19). On a Delta-enabled cluster this becomes MERGE
+    INTO with a partition predicate. Returns the rewritten partitions.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    merged = current.join(
+        updates.select(key).distinct(), [key], "left_anti"
+    ).unionByName(updates)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts
+
+
 def scd2_apply(current: DataFrame, updates: DataFrame, key: str,
                effective_col: str = "eff_version") -> DataFrame:
     """SCD2 (缓慢变化维, docs/数据模型.md:41-44): close out changed rows

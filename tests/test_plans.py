@@ -53,6 +53,27 @@ def test_agg_is_partial_then_final(spark):
     assert rep.n_shuffles == 1, "one Map→Reduce edge for the aggregation"
 
 
+def test_ngram_self_join_reuses_exchange(spark):
+    """The shingle self-join's two sides are identical subplans: Spark
+    must compute their shuffle once (ReusedExchange) — the reason
+    ngram_jaccard_pairs needs no persist() at any scale."""
+    from datawarehouse_spark.operators import dedup
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # at sf0.01 the sides broadcast (no exchange to reuse); force the
+    # at-scale shuffle-join regime, where reuse is what saves us
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        df = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_freq=100)
+        df.collect()  # AQE decides reuse at runtime — need the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
 def test_semi_anti_join_rewrite(spark):
     semi = QUERIES["p9_exists_semi"](spark, SF_ORACLE)
     anti = QUERIES["p10_not_exists_anti"](spark, SF_ORACLE)
