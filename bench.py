@@ -30,6 +30,8 @@ HEADLINE = [
     # windows
     "w5_window_vs_groupby_join",
     "w6_ranking",
+    "w8_funnel_conversion",
+    "a20_percentiles",
     # streaming batch forms
     "t3_tumbling_window_batch",
     "t5_session_window_batch",
@@ -40,6 +42,7 @@ HEADLINE = [
     "llm_exact_dedup",
     "llm_minhash_signature",
     "llm_ngram_near_dup",
+    "llm_simhash",
     "llm_cosine_topk",
     "llm_embed_near_dup",
 ]
@@ -48,7 +51,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    from datawarehouse_spark.queries import QUERIES
+    from datawarehouse_spark.queries import QUERIES_RAW as QUERIES
     from datawarehouse_spark.session import get_spark
 
     spark = get_spark(app_name="dw-bench")

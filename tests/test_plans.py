@@ -54,9 +54,9 @@ def test_agg_is_partial_then_final(spark):
 
 
 def test_ngram_self_join_reuses_exchange(spark):
-    """The shingle self-join's two sides are identical subplans: Spark
-    must compute their shuffle once (ReusedExchange) — the reason
-    ngram_jaccard_pairs needs no persist() at any scale."""
+    """With persist=False (the 100 TB regime, where the shingle set
+    exceeds cluster cache) the self-join's two sides are identical
+    subplans: Spark must compute their shuffle once (ReusedExchange)."""
     from datawarehouse_spark.operators import dedup
 
     docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
@@ -65,7 +65,9 @@ def test_ngram_self_join_reuses_exchange(spark):
     # at-scale shuffle-join regime, where reuse is what saves us
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try:
-        df = dedup.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_freq=100)
+        df = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_shingle_freq=100, persist=False
+        )
         df.collect()  # AQE decides reuse at runtime — need the final plan
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
