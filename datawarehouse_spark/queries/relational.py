@@ -434,15 +434,35 @@ def a17_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a18_approx_distinct")  # approximate — no SQL oracle (rows-only check)
+@query(
+    "a18_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uv,
+           TRUE AS approx_within_10pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def a18_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 — HyperLogLog approximate distinct (reference names Druid's
     non-exact dedup, docs/olap.md:46). At 100 TB this replaces the
-    expand-based exact multi-distinct where ±2% error is acceptable."""
+    expand-based exact multi-distinct where ±2% error is acceptable.
+
+    The HLL estimate itself is engine-specific, so the oracle checks the
+    *property* instead: the estimate must land within 10% of the exact
+    count (rsd=0.02, so 10% is a ~5-sigma bound — deterministic for
+    fixed data since HLL register merges are order-independent)."""
     t = load_tables(spark, sf_dir, ("events",))
     return t["events"].groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_uv"),
         F.countDistinct("user_id").alias("exact_uv"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * 0.10
+        ).alias("approx_within_10pct"),
     )
 
 

@@ -60,6 +60,9 @@ def test_ngram_self_join_reuses_exchange(spark):
     from datawarehouse_spark.operators import dedup
 
     docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    # a persisted shingle set from an earlier test would be substituted
+    # into this plan as InMemoryRelation, hiding the exchanges
+    spark.catalog.clearCache()
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     # at sf0.01 the sides broadcast (no exchange to reuse); force the
     # at-scale shuffle-join regime, where reuse is what saves us
