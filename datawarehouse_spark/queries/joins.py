@@ -350,3 +350,59 @@ def j6_split_skew_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "j15_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(ts) AS purchase_us, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, epoch_us(ts) AS click_us,
+             CAST(MAX(event_id) AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(p.purchase_us AS BIGINT) AS purchase_us,
+           p.purchase_value,
+           c.click_id,
+           CAST(c.click_us AS BIGINT) AS click_us,
+           CAST(p.purchase_us - c.click_us AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+    """,
+)
+def j15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (stretch beyond the reference's J-inventory; its
+    attribution interval join docs/实时数仓.md is the bounded cousin):
+    each purchase picks up the user's most recent prior click. Spark
+    has no native ASOF JOIN — the union-window operator
+    (operators/temporal.py) resolves it with ONE shuffle on user_id,
+    no pair fan-out; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from datawarehouse_spark.operators.temporal import asof_join
+
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn("us", F.unix_micros("ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("us").alias("click_us"))
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "click_id", "click_us")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id",
+        left_time="purchase_us", right_time="click_us",
+    )
+    return out.select(
+        "purchase_id", "user_id", "purchase_us", "purchase_value",
+        "click_id", "click_us",
+        (F.col("purchase_us") - F.col("click_us")).alias("gap_us"),
+    )

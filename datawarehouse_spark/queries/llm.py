@@ -242,6 +242,67 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_NGRAM_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.lbl
+    ),
+    near_drop AS (
+      SELECT doc_id FROM reach GROUP BY doc_id
+      HAVING LEAST(doc_id, MIN(lbl)) < doc_id
+    ),
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents
+      ) WHERE doc_id <> keep_id
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+      AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+    """,
+)
+def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline end to end — the corpus a training run would
+    actually consume: drop exact duplicates (keep min doc_id per md5
+    group) AND near-duplicates (keep only each fuzzy cluster's
+    canonical doc), return the surviving doc ids. Composes
+    exact-dedup → near-dup pairs → connected components → anti-joins."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    keepers = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    exact_drop = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .join(keepers, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+    near_drop = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("canonical_id") < F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_drop, "doc_id", "left_anti")
+        .join(near_drop, "doc_id", "left_anti")
+    )
+
+
+@query(
     "llm_minhash_lsh_candidates",
     oracle=f"""
     WITH {_DUCK_SIG_CTES},

@@ -208,6 +208,7 @@ FINAL_ORDER: list[str] = [
     "j5_salted_skew_join",
     "suite_skew_joins",
     "suite_join_misc",
+    "j15_asof_join",
     "scd2_dim_versioning",
     "suite_reshape",
     "suite_profiles",
@@ -224,6 +225,7 @@ FINAL_ORDER: list[str] = [
     "llm_simhash",
     "llm_simhash_pairs",
     "llm_dedup_clusters",
+    "llm_dedup_keep",
     "llm_embed_near_dup",
     "llm_cosine_topk",
     "llm_tfidf_top_terms",

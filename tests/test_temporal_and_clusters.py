@@ -1,0 +1,53 @@
+"""Unit semantics for the as-of join and dedup-cluster resolution
+(the oracle parity test covers the fixture-scale behavior; these pin
+the edge cases a fixture may not exercise)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.operators import skew
+from datawarehouse_spark.operators.dedup import dedup_clusters
+from datawarehouse_spark.operators.temporal import asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p10"), (1, 20, "p20"), (2, 5, "p5")],
+        "k int, lt long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (3, 1, "r1")],
+        "k int, rt long, rv string",
+    )
+    out = {
+        r["lv"]: (r["rv"], r["rt"])
+        for r in asof_join(left, right, "k", "lt", "rt").collect()
+    }
+    assert out == {
+        "p10": ("r10", 10),   # equal timestamps match (inclusive)
+        "p20": ("r15", 15),   # most recent prior, not first
+        "p5": (None, None),   # no prior right row → left-join NULLs
+    }
+
+
+def test_dedup_clusters_chain_converges_to_component_min(spark):
+    # a 5-node chain (diameter > 1 — needs real propagation), plus an
+    # isolated pair with ids out of order
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (99, 50)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 50: 50, 99: 50}
+
+
+def test_salted_join_rejects_replicating_modes(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(df, df, "k", how="full")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(df, df, "k", how="right")
