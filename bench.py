@@ -27,6 +27,7 @@ HEADLINE = [
     "j4_broadcast_dims",
     "j5_salted_skew_join",
     "j6_split_skew_union",
+    "j15_asof_join",
     # windows
     "w5_window_vs_groupby_join",
     "w6_ranking",
@@ -42,6 +43,7 @@ HEADLINE = [
     "llm_exact_dedup",
     "llm_minhash_signature",
     "llm_ngram_near_dup",
+    "llm_dedup_keep",
     "llm_simhash",
     "llm_cosine_topk",
     "llm_embed_near_dup",

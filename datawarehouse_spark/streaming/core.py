@@ -212,6 +212,53 @@ def realtime_tags(df: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_counters(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch when built-in windowed aggregation can't express the
+    state machine (north-star requirement; reference analog: the
+    serving-store upsert feed of per-user lifetime counters,
+    docs/实时数仓.md:54, docs/画像简介.md:11).
+
+    Per user, arbitrary Python state (lifetime event count, purchase
+    count, exact value cents) updated per micro-batch and emitted in
+    update mode. Money accumulates as integer cents so replay order
+    can't perturb the float total — the same exactness convention as
+    the batch layer (qutil). State is per-key and Arrow-batched; at
+    scale the shuffle key is user_id and state store size is
+    O(active users), the same budget as any keyed aggregation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, purchases bigint, purchase_value double"
+    )
+    state_schema = "n_events bigint, purchases bigint, cents bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n, p, cents = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            is_purchase = pdf["event_type"] == "purchase"
+            p += int(is_purchase.sum())
+            cents += int(
+                pdf.loc[is_purchase, "value"].mul(100).round().astype("int64").sum()
+            )
+        state.update((n, p, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "purchases": [p],
+                "purchase_value": [cents / 100.0],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 # ---------------------------------------------------------------------------
 # execution harnesses
 # ---------------------------------------------------------------------------

@@ -156,3 +156,35 @@ def test_kappa_restart_resumes_from_checkpoint(spark, tmpdir):
     q = core.foreach_batch_fanout(src, {"a": out2}, checkpoint=f"{tmpdir}/ck2")
     q.processAllAvailable(); q.stop(); q.awaitTermination()
     assert spark.read.parquet(out2).count() == n1
+
+
+def test_stateful_user_counters_stream_equals_batch(spark):
+    """Custom stateful operator (applyInPandasWithState): after full
+    replay, the latest emitted state per user must equal the batch
+    aggregate exactly (integer-cents accumulation makes the float total
+    order-independent)."""
+    stream = core.stateful_user_counters(core.read_events_stream(spark, SF_SMOKE))
+    emitted = core.run_stream_to_memory(
+        stream, "user_counters", output_mode="update"
+    )
+    # update mode emits one row per (user, micro-batch); counters are
+    # monotone, so the final state is the max of each
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("purchases").alias("purchases"),
+        F.max("purchase_value").alias("purchase_value"),
+    )
+    batch = core.read_events_batch(spark, SF_SMOKE).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .cast("decimal(38,2)")
+        )
+        .cast("double")
+        .alias("purchase_value"),
+    )
+    diff = core.differential_validate(batch, final, keys=["user_id"])
+    assert diff.count() == 0
+    assert final.count() > 0
