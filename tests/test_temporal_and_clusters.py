@@ -51,3 +51,16 @@ def test_salted_join_rejects_replicating_modes(spark):
         skew.salted_join(df, df, "k", how="full")
     with pytest.raises(ValueError, match="salted_join supports"):
         skew.salted_join(df, df, "k", how="right")
+
+
+def test_kmeans_centroids_deterministic(spark):
+    """Two independent trainings must produce bit-identical centroids
+    (lowest-id init, argmax ties to lowest cell, decimal-exact means)."""
+    from datawarehouse_spark.catalog import load_tables
+    from datawarehouse_spark.operators.similarity import kmeans_centroids
+    from tests.conftest import SF_ORACLE
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    a = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    b = kmeans_centroids(emb, n_cells=8, n_iter=2)
+    assert a == b
