@@ -113,3 +113,51 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_split(df: DataFrame, id_col: str = "doc_id",
+                val_pct: int = 5) -> DataFrame:
+    """Deterministic hash-based train/val split — the standard
+    training-corpus partitioner. md5-derived bucket (not rand()) so the
+    split is stable across runs, engines, and re-partitioning; changing
+    membership requires changing the id, never the execution plan."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def sequence_packing(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text", budget: int = 4096,
+                     n_shards: int = 8) -> DataFrame:
+    """Sequence packing: bin documents into fixed token-budget packs —
+    the trainer-side batching step (context-length packing).
+
+    Greedy-by-id within a shard: shard = id mod n_shards (the
+    parallelism unit — packing is embarrassingly parallel per shard at
+    any scale), then a running token cumsum assigns pack_id =
+    floor((cumsum-1)/budget). One window shuffle per shard key;
+    deterministic and SQL-expressible, unlike first-fit-decreasing
+    (whose global order dependence defeats distribution)."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint").alias("shard"),
+        bpe_token_count(text).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return toks.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / budget).alias("pack_id"),
+    )

@@ -366,6 +366,50 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_train_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                     AS INTEGER) % 100 < 5
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val split (95/5): md5-bucketed so
+    membership is stable across runs, engines and repartitioning —
+    never rand()."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.train_split(t["documents"], val_pct=5)
+
+
+@query(
+    "llm_seq_packing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 4096)
+             AS BIGINT) AS pack_id
+    FROM tok
+    """,
+)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: bin documents into 4096-token packs, greedy by
+    id within id-mod-8 shards (the parallelism unit at any scale) — the
+    trainer-side context-length batching step."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.sequence_packing(t["documents"], budget=4096, n_shards=8)
+
+
+@query(
     "llm_lang_id",
     oracle="""
     WITH hits AS (

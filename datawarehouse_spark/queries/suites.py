@@ -161,7 +161,8 @@ SUITES: dict[str, list[Member]] = {
          ["user_id", "pv", "purchases", "purchase_amt"]),
         ("x4_mining_tag_scores", [], ["user_id", "score"]),
     ],
-    # LLM text metrics: fingerprints, quality, language-ID, BPE tokens
+    # LLM text metrics + corpus prep: fingerprints, quality, language-ID,
+    # BPE tokens, train/val split, sequence packing
     "suite_text_metrics": [
         ("llm_fingerprints", ["fp_exact", "fp_norm"], ["doc_id"]),
         ("llm_text_quality", [],
@@ -169,6 +170,8 @@ SUITES: dict[str, list[Member]] = {
           "stopword_ratio"]),
         ("llm_lang_id", ["lang_label", "lang_pred"], ["doc_id"]),
         ("llm_bpe_token_count", [], ["doc_id", "n_bpe_tokens"]),
+        ("llm_train_split", ["split"], ["doc_id"]),
+        ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
