@@ -89,7 +89,15 @@ class DataWarehouse:
                     partition_by: list[str] | None = None) -> MaterializedView:
         """Persist a DataFrame into a layer as parquet + register it
         (the reference's count(distinct)-extraction / temp-table pattern
-        and the DWS cube-materialization path)."""
+        and the DWS cube-materialization path).
+
+        With ``partition_by``, re-materializing a DataFrame that covers
+        only SOME partitions performs an **incremental refresh**: the
+        session's dynamic partition-overwrite mode rewrites exactly the
+        partitions present in ``df`` and leaves the rest untouched — the
+        late-data / accumulating-snapshot maintenance path for DWS
+        tables at scale (recompute one day, not the table). Asserted in
+        tests/test_engine_and_multimodal.py."""
         if layer not in LAYERS:
             raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
         path = f"{self.base_path}/{layer}/{table}"

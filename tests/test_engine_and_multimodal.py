@@ -149,3 +149,38 @@ def test_resize_media_deterministic_and_bounded(spark):
     assert all(r.n_bytes == 16 and len(r.payload) == 16 for r in rows)
     again = {r.media_id: bytes(r.payload) for r in mm.resize_media(media, 16).collect()}
     assert all(bytes(r.payload) == again[r.media_id] for r in rows)
+
+
+def test_materialize_incremental_partition_refresh(spark, tmp_path):
+    """Re-materializing ONE partition's aggregate refreshes that
+    partition in place (dynamic overwrite) and leaves the others'
+    files untouched — incremental DWS maintenance."""
+    import glob
+    import os
+
+    from datawarehouse_spark.streaming.core import read_events_batch
+    from tests.conftest import SF_SMOKE
+
+    dw = DataWarehouse(spark, base_path=str(tmp_path / "wh"))
+    daily = (
+        read_events_batch(spark, SF_SMOKE)
+        .groupBy(F.to_date("ts").alias("dt"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv"))
+    )
+    dw.materialize(daily, "dws", "daily_pv", partition_by=["dt"])
+    path = str(tmp_path / "wh" / "dws" / "daily_pv")
+    days = sorted(d for d in os.listdir(path) if d.startswith("dt="))
+    assert len(days) >= 2
+    target = days[0].removeprefix("dt=")
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/dt=*/*.parquet")}
+
+    late = daily.filter(F.col("dt") == target).withColumn(
+        "pv", F.col("pv") + F.lit(1000)
+    )
+    dw.materialize(late, "dws", "daily_pv", partition_by=["dt"])
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("dt") == target).filter(F.col("pv") <= 1000).count() == 0
+    untouched = {f for f in before if f"dt={target}" not in f}
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/dt=*/*.parquet")}
+    assert untouched and all(after.get(f) == before[f] for f in untouched)
