@@ -104,3 +104,45 @@ def test_window_sum_equals_groupby_join(spark, rows):
     agg = df.groupBy("k").agg(F.sum("v").alias("t"))
     dec = df.join(agg, "k")
     assert _rowset(win.select("k", "v", "t")) == _rowset(dec.select("k", "v", "t"))
+
+
+# as-of join: (key, time) pairs; right deduped per (key, time) by construction
+ASOF_LEFT = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=30)),
+    min_size=0, max_size=25,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=30), VALS),
+    min_size=0, max_size=25,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+@_SETTINGS
+def test_asof_join_equals_bruteforce(spark, left, right):
+    """asof_join (union-window form) ≡ the brute-force definition:
+    per left row, the right row with the greatest rt <= lt on the key."""
+    from datawarehouse_spark.operators.temporal import asof_join
+
+    if not left:
+        return
+    l = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, lt long, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right] or [(None, None, None)],
+        "k long, rt long, rv long",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        row["lid"]: (row["rv"], row["rt"])
+        for row in asof_join(l, r, "k", "lt", "rt").collect()
+    }
+    rmap: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in right:
+        rmap.setdefault(k, []).append((t, v))
+    expect = {}
+    for i, (k, t) in enumerate(left):
+        prior = [(rt, rv) for rt, rv in rmap.get(k, []) if rt <= t]
+        expect[i] = max(prior)[::-1] if prior else (None, None)
+    assert got == expect
