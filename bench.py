@@ -69,16 +69,22 @@ def main() -> None:
             except Exception:
                 pass
 
+    # min-of-N per query: strips JIT/GC/page-cache noise (±20% on sub-2s
+    # queries) so round-over-round comparisons track the plan, not the host
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        try:
-            df.write.mode("overwrite").format("noop").save()
-        except Exception:
-            df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            try:
+                df.write.mode("overwrite").format("noop").save()
+            except Exception:
+                df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

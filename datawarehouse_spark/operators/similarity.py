@@ -130,7 +130,7 @@ def cosine_pairs(
         .withColumn("pj", F.greatest("blk", "other"))
     )
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, pdf):
         pi, pj = key
         A = pdf[pdf.blk == pi]
         B = pdf[pdf.blk == pj] if pj != pi else A
