@@ -161,3 +161,41 @@ def sequence_packing(df: DataFrame, id_col: str = "doc_id",
         "n_tokens",
         F.floor((F.sum("n_tokens").over(w) - 1) / budget).alias("pack_id"),
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text: str = "text", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer,
+    Wilkerson, Aiken — the MOSS algorithm): hash every positional word
+    k-gram, slide a w-gram window over the hash sequence, keep each
+    window's minimum → a fingerprint set robust to content shifts
+    (insertions move boundaries; local minima mostly survive), with
+    guaranteed density 2/(w+1).
+
+    Engine-portable rolling hash: the first 15 md5 hex digits parsed as
+    int64 (60 bits — exact in any engine, unlike a mod-prime polynomial
+    whose overflow semantics differ). All JVM expressions: posexplode →
+    one window shuffle per doc → distinct.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    g = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram")).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    n = W.partitionBy(id_col)
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    return (
+        g.withColumn("_n", F.count(F.lit(1)).over(n))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -366,6 +366,37 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_winnow_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, u.i AS pos,
+             CAST('0x' || substr(md5(
+               array_to_string(t[u.i : u.i + 2], ' ')), 1, 15) AS BIGINT) AS h,
+             greatest(len(t) - 2, 1) AS n
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+      ) u
+    )
+    SELECT DISTINCT doc_id, fp FROM (
+      SELECT doc_id, pos, n,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    ) WHERE pos <= n - 3  -- 1-based: full windows start at 1..n-(w-1)
+    """,
+)
+def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprinting via winnowing (k=3 word-grams, w=4
+    windows): shift-robust document signatures with guaranteed density,
+    the classic plagiarism/near-dup fingerprint set (see
+    operators/text.py::winnow_fingerprints)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.winnow_fingerprints(t["documents"], k=3, w=4)
+
+
+@query(
     "llm_train_split",
     oracle="""
     SELECT doc_id,

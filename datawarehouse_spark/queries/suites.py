@@ -172,6 +172,8 @@ SUITES: dict[str, list[Member]] = {
         ("llm_bpe_token_count", [], ["doc_id", "n_bpe_tokens"]),
         ("llm_train_split", ["split"], ["doc_id"]),
         ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
+        # fp is a 60-bit int — exact as a string key, NOT as a double val
+        ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
