@@ -184,3 +184,27 @@ def test_materialize_incremental_partition_refresh(spark, tmp_path):
     untouched = {f for f in before if f"dt={target}" not in f}
     after = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/dt=*/*.parquet")}
     assert untouched and all(after.get(f) == before[f] for f in untouched)
+
+
+def test_read_lake_orc_and_text_roundtrip(spark, tmp_path):
+    """S6: ORC (the reference's Hive-native columnar format) and text
+    lake readers recover the written rows with pushdown intact."""
+    from tests.conftest import SF_ORACLE
+
+    dw = DataWarehouse(spark)
+    src = load_tables(spark, SF_ORACLE, ("nation",))["nation"]
+
+    orc_p = str(tmp_path / "lake_orc")
+    src.write.mode("overwrite").orc(orc_p)
+    got = dw.read_lake(orc_p, "orc")
+    assert sorted(r.n_name for r in got.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+    # predicate pushdown reaches the ORC scan too
+    plan = got.filter(F.col("n_nationkey") > 10)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]" in plan
+
+    text_p = str(tmp_path / "lake_text")
+    src.select(F.col("n_name").alias("value")).write.mode("overwrite").text(text_p)
+    got_text = dw.read_lake(text_p, "text")
+    assert got_text.count() == src.count()
