@@ -262,7 +262,12 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
         ).astype(np.int8)
         signs = (2 * bits - 1).astype(np.int32)
         votes = np.zeros((n_rows, 63), dtype=np.int32)
-        np.add.at(votes, row_idx, signs[inv])
+        # accumulate in slices: signs[inv] expands to (occurrences × 63)
+        # int32 — bound the transient to ~63 MB however dense the batch
+        chunk = 250_000
+        for lo in range(0, len(row_idx), chunk):
+            hi = lo + chunk
+            np.add.at(votes, row_idx[lo:hi], signs[inv[lo:hi]])
         sigs = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
         return pd.Series(sigs, dtype="int64")
 
