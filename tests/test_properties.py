@@ -146,3 +146,41 @@ def test_asof_join_equals_bruteforce(spark, left, right):
         prior = [(rt, rv) for rt, rv in rmap.get(k, []) if rt <= t]
         expect[i] = max(prior)[::-1] if prior else (None, None)
     assert got == expect
+
+
+PAIRS = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=15,
+)
+
+
+@given(pairs=PAIRS)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_dedup_clusters_equals_union_find(spark, pairs):
+    """Min-label propagation ≡ union-find connected components with
+    min-id canonical labels, on arbitrary pair graphs."""
+    from datawarehouse_spark.operators.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expect = {n: min(ns) for ns in comp.values() for n in ns}
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(df).collect()}
+    assert got == expect
