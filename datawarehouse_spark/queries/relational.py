@@ -807,6 +807,43 @@ def a19_groupagg_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a21_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS exact_p50,
+           TRUE AS approx_in_rank_band
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a21_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20's scale path: t-digest approx_percentile (the 100 TB swap
+    documented on a20). The sketch value is engine-specific, so the
+    oracle checks the property: with accuracy=10000 the rank error is
+    ≤ n/10000, so the estimate must land far inside the exact
+    [p45, p55] band — deterministic for fixed data."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact_p50"),
+            F.percentile("o_totalprice", F.lit(0.45)).alias("_lo"),
+            F.percentile("o_totalprice", F.lit(0.55)).alias("_hi"),
+            F.percentile_approx(
+                "o_totalprice", F.lit(0.5), F.lit(10000)
+            ).alias("_ap"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_p50",
+            (
+                (F.col("_ap") >= F.col("_lo")) & (F.col("_ap") <= F.col("_hi"))
+            ).alias("approx_in_rank_band"),
+        )
+    )
+
+
+@query(
     "a20_percentiles",
     oracle="""
     SELECT o_orderpriority,

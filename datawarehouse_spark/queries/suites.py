@@ -80,6 +80,8 @@ SUITES: dict[str, list[Member]] = {
         ("a13_redundant_groupby_elim", ["event_type"], ["n_pairs"]),
         ("a14_count_distinct_extraction", ["scope"], ["uv"]),
         ("a15_key_distribution", [], ["user_id", "cnt", "share"]),
+        ("a21_approx_percentile", ["o_orderpriority", "approx_in_rank_band"],
+         ["exact_p50"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [
