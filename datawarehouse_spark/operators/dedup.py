@@ -277,25 +277,37 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
 def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
                    max_iter: int = 20) -> DataFrame:
     """Resolve near-dup pairs into clusters: connected components via
-    iterative min-label propagation → ``(doc_id, canonical_id)`` where
-    canonical_id is the component's minimum doc id (the "keep" doc).
+    min-label propagation **with pointer jumping** →
+    ``(doc_id, canonical_id)`` where canonical_id is the component's
+    minimum doc id (the "keep" doc).
 
     The missing last mile of a dedup pipeline — the reference's
     keep-min-ROWID dedupe (docs/sql规范.md:21-24) generalized from exact
-    groups to fuzzy-pair graphs. Each iteration is one shuffle-join of
-    the label table with the (small) edge set; near-dup components are
-    shallow (pairs of near-identical docs), so convergence takes
-    O(component diameter) iterations — checked with a cheap aggregate
-    and lineage-truncated with localCheckpoint so the plan doesn't grow
-    across iterations. Deterministic, so oracle-checkable via a
-    recursive transitive-closure CTE.
+    groups to fuzzy-pair graphs. Each iteration does (1) one
+    shuffle-join of the label table with the edge set (labels move one
+    hop) and (2) one self-join of the label table
+    (``lbl ← label(lbl)``, path-halving), so convergence is
+    O(log diameter) — the standard large-graph connected-components
+    recipe (cf. large-star/small-star), which makes even 100 TB
+    template-chain corpora converge in ≲20 rounds. Lineage is truncated
+    with localCheckpoint so the plan doesn't grow across iterations.
+
+    Raises ``RuntimeError`` if labels are still moving after
+    ``max_iter`` rounds — an unconverged exit would silently hand
+    non-canonical ids to the keep-list anti-join downstream.
+
+    Deterministic, so oracle-checkable via a recursive
+    transitive-closure CTE.
     """
-    edges = pairs.select(
-        F.col(a).alias("src"), F.col(b).alias("dst")
-    ).union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-    # edges feed every iteration: this one IS worth materializing (it is
-    # the pair list — tiny relative to the corpus even at 100 TB input)
-    edges = edges.localCheckpoint(eager=True)
+    # materialize the pair list ONCE: it feeds both directions of the
+    # edge union, so without this the (expensive) upstream plan — e.g.
+    # the shingle self-join — would execute twice. The pair list is tiny
+    # relative to the corpus even at 100 TB input.
+    p = pairs.select(F.col(a).alias("_pa"), F.col(b).alias("_pb"))
+    p = p.localCheckpoint(eager=True)
+    edges = p.select(
+        F.col("_pa").alias("src"), F.col("_pb").alias("dst")
+    ).union(p.select(F.col("_pb").alias("src"), F.col("_pa").alias("dst")))
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
@@ -304,25 +316,45 @@ def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
             F.least("src", "nbr_min").alias("lbl"),
         )
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
-        # candidate label for each node: min over neighbours' labels
+        # (1) propagation: candidate label = min over neighbours' labels
         prop = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(
+            prop, labels["doc_id"] == prop["src"], "left"
+        ).select(
+            labels["doc_id"],
+            labels["lbl"].alias("lbl0"),
+            F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
+        )
+        # (2) pointer jumping: lbl ← label(lbl). Labels only decrease
+        # (every lbl is a node id present in the table), so each pass
+        # halves the remaining path length — O(log d) total rounds.
+        hop = stepped.select(F.col("doc_id").alias("_k"), F.col("lbl").alias("_v"))
         nxt = (
-            labels.join(prop, labels["doc_id"] == prop["src"], "left")
+            stepped.join(hop, stepped["lbl"] == hop["_k"], "left")
             .select(
-                labels["doc_id"],
-                F.least(labels["lbl"], F.coalesce("nbr_lbl", labels["lbl"])).alias("lbl"),
-                (F.coalesce("nbr_lbl", labels["lbl"]) < labels["lbl"]).alias("_chg"),
+                stepped["doc_id"],
+                F.least(stepped["lbl"], F.coalesce("_v", stepped["lbl"])).alias("lbl"),
+                (F.least(stepped["lbl"], F.coalesce("_v", stepped["lbl"]))
+                 < stepped["lbl0"]).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
         changed = nxt.agg(F.sum(F.col("_chg").cast("int"))).first()[0] or 0
         labels = nxt.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds; canonical ids would be unreliable. Raise max_iter "
+            "(rounds needed grow ~log2 of component diameter)."
+        )
     return labels.select("doc_id", F.col("lbl").alias("canonical_id"))
 
 

@@ -45,6 +45,28 @@ def test_dedup_clusters_chain_converges_to_component_min(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 50: 50, 99: 50}
 
 
+def test_dedup_clusters_path_longer_than_max_iter(spark):
+    """A path graph with diameter ≫ max_iter: plain 1-hop propagation
+    would exit the cap unconverged (round 2's silent-wrong hazard);
+    pointer jumping converges in O(log d) rounds, well inside the cap."""
+    n = 60  # diameter 59 > max_iter=20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """Exhausting max_iter with labels still moving must raise, never
+    silently return non-canonical ids."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=2)
+
+
 def test_salted_join_rejects_replicating_modes(spark):
     df = spark.createDataFrame([(1, "a")], "k int, v string")
     with pytest.raises(ValueError, match="salted_join supports"):
