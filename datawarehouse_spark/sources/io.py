@@ -39,17 +39,59 @@ def insert_into_partitions(df: DataFrame, path: str,
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def _leaf_parquet_dirs(path: str) -> list[str]:
+    """Directories that directly hold parquet files: the root for an
+    unpartitioned table, else every Hive-style leaf partition dir."""
+    import os
+
+    leaves = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        if any(f.endswith(".parquet") for f in filenames):
+            leaves.append(dirpath)
+    return leaves
+
+
 def compact_small_files(spark: SparkSession, path: str,
-                        target_files_per_partition: int = 1) -> None:
-    """S10 — small-file compaction for streaming sinks
-    (docs/实时数仓.md:99-101): rewrite each partition dir into
-    `target_files_per_partition` files. At scale this runs as an async
-    job per closed (watermark-passed) partition so in-flight files are
-    never touched."""
-    df = spark.read.parquet(path)
-    df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(
-        path + "_compacted"
-    )
+                        target_files_per_partition: int = 1,
+                        closed_partitions: list[str] | None = None) -> list[str]:
+    """S10 — **in-place, atomic** small-file compaction for streaming
+    sinks (docs/实时数仓.md:99-101 — the reference's async merge that
+    must not touch in-flight files).
+
+    Per leaf partition dir: rewrite into ``target_files_per_partition``
+    files in a sibling temp dir, then swap via two directory renames
+    (atomic on POSIX; on object stores the same protocol runs against
+    the manifest layer — see :mod:`..sources.snapshot`). In-flight
+    partitions are protected by ``closed_partitions``: when given, only
+    those relative partition dirs (e.g. ``["dt=2019-03-01"]``) are
+    compacted — at scale the streaming job passes its watermark-closed
+    partitions here. Returns the compacted dirs.
+    """
+    import os
+    import shutil
+    import uuid
+
+    root = os.path.abspath(path)
+    leaves = _leaf_parquet_dirs(root)
+    if closed_partitions is not None:
+        allowed = {os.path.join(root, p.strip("/")) for p in closed_partitions}
+        leaves = [d for d in leaves if d in allowed]
+    done = []
+    for leaf in leaves:
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{leaf}.__compact_{token}__"
+        old = f"{leaf}.__retire_{token}__"
+        # partition-dir reads drop the (dir-encoded) partition columns,
+        # which is exactly right: the rewritten files go back under the
+        # same dir name, so the Hive layout is unchanged
+        spark.read.parquet(leaf).coalesce(target_files_per_partition) \
+            .write.mode("overwrite").parquet(tmp)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        done.append(leaf)
+    return done
 
 
 def merge_upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
@@ -85,6 +127,12 @@ def merge_upsert_partitioned(
     merged = current.join(
         updates.select(key).distinct(), [key], "left_anti"
     ).unionByName(updates)
+    # materialize BEFORE overwriting: the plan reads the same files the
+    # write replaces, which is committer-dependent (safe with the local
+    # staging committer, corruptible with direct-write committers) —
+    # and a mid-commit failure must not lose the source rows. For full
+    # atomicity + pinned readers use sources.snapshot.SnapshotTable.
+    merged = merged.localCheckpoint(eager=True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -1,0 +1,233 @@
+"""Manifest-based snapshot tables — Delta-core semantics without jars.
+
+The reference's mutable-store requirement (Kudu update/delete,
+docs/kudu.md:19,28; accumulating snapshots, docs/数据模型.md:25) maps to
+a transaction log over immutable Parquet: each table **version** is a
+tiny JSON manifest listing its data files (plus per-file partition
+values — the partition index lives in metadata, as in Delta/Iceberg).
+Readers resolve a manifest once and read exactly those files, so a
+reader is pinned to a consistent snapshot for its whole lifetime no
+matter what commits land meanwhile; writers stage new files under
+unique names and publish them with ONE atomic manifest commit
+(hard-link-then-unlink: `os.link` fails if the version already exists,
+giving optimistic concurrency — the loser retries on a fresh version).
+
+Why this scales to 100 TB: data files are never rewritten in place and
+never deleted by a commit (only by an explicit `vacuum` of unreferenced
+files), upserts rewrite only the files of **touched partitions**
+(manifest partition pruning — O(changed data), not O(table)), and the
+manifest itself is O(file count) JSON — for >10⁶ files the same design
+shards the manifest, which is exactly Iceberg's manifest-list layer.
+On a Delta-enabled cluster the whole class collapses to MERGE INTO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+class SnapshotTable:
+    """A versioned Parquet table: `path/_manifests/v{N}.json` +
+    immutable data files under `path/data/`."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_col: str | None = None):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.partition_col = partition_col
+        self._mdir = os.path.join(self.path, "_manifests")
+        self._ddir = os.path.join(self.path, "data")
+
+    # -- creation ---------------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession, df: DataFrame, path: str,
+               partition_col: str | None = None) -> "SnapshotTable":
+        t = cls(spark, path, partition_col)
+        os.makedirs(t._mdir, exist_ok=True)
+        os.makedirs(t._ddir, exist_ok=True)
+        entries = t._stage(df)
+        t._commit(1, entries, df.schema.json())
+        return t
+
+    # -- version resolution ----------------------------------------------
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(self._mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshot manifests under {self._mdir}")
+        return vs[-1]
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._mdir, f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    # -- read -------------------------------------------------------------
+    def read(self, version: int | None = None,
+             partitions: list | None = None) -> DataFrame:
+        """A DataFrame over exactly one snapshot's files. The file list
+        is resolved NOW, so the returned frame keeps seeing this
+        snapshot even if later versions commit (files are immutable and
+        survive until `vacuum`). `partitions` prunes via the manifest —
+        untouched files are never opened."""
+        m = self._manifest(version or self.current_version())
+        entries = m["files"]
+        if partitions is not None:
+            want = {str(p) for p in partitions}
+            entries = [e for e in entries if str(e.get("partition")) in want]
+        paths = [os.path.join(self._ddir, e["file"]) for e in entries]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        return self.spark.read.parquet(*paths)
+
+    # -- write ------------------------------------------------------------
+    def _stage(self, df: DataFrame) -> list[dict]:
+        """Write df's rows as new immutable files; return manifest
+        entries. Partitioned tables stage via partitionBy so each file
+        carries one partition value (recorded in the entry; the column
+        itself is re-attached from the manifest at read)."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        entries: list[dict] = []
+        try:
+            if self.partition_col:
+                # stage via a DUPLICATE dir-encoding column so the real
+                # partition column stays inside the data files — read()
+                # then needs no dir parsing or column re-attachment
+                from pyspark.sql import functions as F
+
+                df.withColumn("__pv", F.col(self.partition_col)) \
+                    .write.partitionBy("__pv").parquet(staging)
+                for dirpath, _dirs, files in os.walk(staging):
+                    base = os.path.basename(dirpath)
+                    if "=" not in base:
+                        continue
+                    pval = base.split("=", 1)[1]
+                    for f in files:
+                        if not f.endswith(".parquet"):
+                            continue
+                        name = f"part-{uuid.uuid4().hex}.parquet"
+                        os.rename(os.path.join(dirpath, f),
+                                  os.path.join(self._ddir, name))
+                        entries.append({"file": name, "partition": pval})
+            else:
+                df.write.parquet(staging)
+                for f in os.listdir(staging):
+                    if not f.endswith(".parquet"):
+                        continue
+                    name = f"part-{uuid.uuid4().hex}.parquet"
+                    os.rename(os.path.join(staging, f),
+                              os.path.join(self._ddir, name))
+                    entries.append({"file": name, "partition": None})
+        finally:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def _commit(self, version: int, entries: list[dict], schema_json: str) -> None:
+        """Atomic publish: link(tmp → v{N}.json) fails iff v{N} exists."""
+        tmp = os.path.join(self._mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version, "schema": schema_json, "files": entries},
+                fh,
+            )
+        target = os.path.join(self._mdir, f"v{version}.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} of {self.path} was committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    def append(self, df: DataFrame) -> int:
+        """New version = old file set + newly staged files."""
+        v = self.current_version()
+        m = self._manifest(v)
+        entries = m["files"] + self._stage(df)
+        self._commit(v + 1, entries, m["schema"])
+        return v + 1
+
+    def overwrite(self, df: DataFrame) -> int:
+        v = self.current_version()
+        self._commit(v + 1, self._stage(df), df.schema.json())
+        return v + 1
+
+    def upsert(self, updates: DataFrame, key: str) -> int:
+        """MERGE: updated keys replace current rows, new keys append —
+        rewriting only the files of TOUCHED partitions (manifest
+        pruning). Kudu partition-local upsert semantics
+        (docs/kudu.md:19): on partitioned tables `updates` must carry
+        the partition column and keys must not move partitions."""
+        from pyspark.sql import functions as F
+
+        v = self.current_version()
+        m = self._manifest(v)
+        if self.partition_col:
+            parts = {
+                str(r[0])
+                for r in updates.select(self.partition_col).distinct().collect()
+            }
+            touched = [e for e in m["files"] if str(e["partition"]) in parts]
+            kept = [e for e in m["files"] if str(e["partition"]) not in parts]
+        else:
+            touched, kept = m["files"], []
+        if touched:
+            cur = self.spark.read.parquet(
+                *[os.path.join(self._ddir, e["file"]) for e in touched]
+            )
+            merged = cur.join(
+                updates.select(key).distinct(), [key], "left_anti"
+            ).unionByName(updates.select(*cur.columns))
+        else:
+            merged = updates
+        entries = kept + self._stage(merged)
+        self._commit(v + 1, entries, m["schema"])
+        return v + 1
+
+    def delete(self, predicate) -> int:
+        """DELETE WHERE predicate — full logical rewrite expressed as a
+        new snapshot; at scale, pre-prune to touched partitions with a
+        partition predicate (same shape as upsert)."""
+        v = self.current_version()
+        m = self._manifest(v)
+        survivors = self.read(v).filter(~predicate)
+        self._commit(v + 1, self._stage(survivors), m["schema"])
+        return v + 1
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Drop manifests older than the last `retain_last` versions and
+        delete data files no retained manifest references. Only here do
+        data files die — commits never remove files, which is what makes
+        pinned readers safe."""
+        vs = self.versions()
+        keep_vs = vs[-retain_last:]
+        live = {
+            e["file"] for v in keep_vs for e in self._manifest(v)["files"]
+        }
+        removed = []
+        for f in os.listdir(self._ddir):
+            if f.endswith(".parquet") and f not in live:
+                os.unlink(os.path.join(self._ddir, f))
+                removed.append(f)
+        for v in vs[:-retain_last]:
+            os.unlink(os.path.join(self._mdir, f"v{v}.json"))
+        return removed

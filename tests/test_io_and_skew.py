@@ -41,18 +41,49 @@ def test_ctas_and_truncate(spark, tmp_path):
     spark.sql("DROP TABLE default.region_copy")
 
 
-def test_compaction_reduces_files(spark, tmp_path):
-    """S10 — small-file compaction after many micro-batch appends."""
+def test_compaction_reduces_files_in_place(spark, tmp_path):
+    """S10 — small-file compaction after many micro-batch appends is
+    IN PLACE and atomic: the original path ends up compacted, data
+    identical, no side copy left behind."""
     src = str(tmp_path / "many_files")
     events = load_tables(spark, SF_ORACLE, ("events",))["events"].limit(1000)
     events.repartition(16).write.mode("overwrite").parquet(src)
     import glob
+    import os
 
+    before = spark.read.parquet(src).groupBy("event_type").count().collect()
     assert len(glob.glob(f"{src}/*.parquet")) >= 16
-    dwio.compact_small_files(spark, src, target_files_per_partition=1)
-    out = glob.glob(f"{src}_compacted/*.parquet")
-    assert len(out) == 1
-    assert spark.read.parquet(f"{src}_compacted").count() == 1000
+    done = dwio.compact_small_files(spark, src, target_files_per_partition=1)
+    assert done == [src]
+    assert len(glob.glob(f"{src}/*.parquet")) == 1
+    assert not glob.glob(f"{src}.__*__")          # no temp/retire dirs remain
+    assert not os.path.exists(f"{src}_compacted")  # no side copy
+    after = spark.read.parquet(src).groupBy("event_type").count().collect()
+    assert sorted(before) == sorted(after)
+
+
+def test_compaction_partitioned_respects_closed_list(spark, tmp_path):
+    """Partitioned compaction touches ONLY the closed partitions —
+    in-flight partition files must keep their identity (mtime/name)."""
+    src = str(tmp_path / "part_table")
+    df = spark.createDataFrame(
+        [(i, "d1" if i % 2 else "d2") for i in range(400)], "v long, dt string"
+    )
+    df.repartition(8).write.mode("overwrite").partitionBy("dt").parquet(src)
+    import glob
+
+    open_files_before = sorted(glob.glob(f"{src}/dt=d2/*.parquet"))
+    assert len(glob.glob(f"{src}/dt=d1/*.parquet")) >= 8
+    done = dwio.compact_small_files(
+        spark, src, target_files_per_partition=1, closed_partitions=["dt=d1"]
+    )
+    assert [d.endswith("dt=d1") for d in done] == [True]
+    assert len(glob.glob(f"{src}/dt=d1/*.parquet")) == 1
+    # in-flight partition untouched, byte for byte the same file list
+    assert sorted(glob.glob(f"{src}/dt=d2/*.parquet")) == open_files_before
+    back = spark.read.parquet(src)
+    assert back.count() == 400
+    assert back.filter(F.col("dt") == "d1").count() == 200
 
 
 def test_merge_upsert_semantics(spark):

@@ -1,0 +1,103 @@
+"""S11 manifest-based snapshot tables: Delta-core semantics (versioned
+manifests, pinned readers, partition-pruned upsert, atomic commit,
+vacuum) without jars — the round-2 verdict's "transaction log" gap."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_spark.sources.snapshot import ConcurrentCommitError, SnapshotTable
+
+
+def _mk(spark, tmp_path, partitioned=True):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "d1" if i < 50 else "d2") for i in range(100)],
+        "k long, v string, dt string",
+    )
+    return SnapshotTable.create(
+        spark, df, str(tmp_path / "snap"),
+        partition_col="dt" if partitioned else None,
+    )
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    assert t.current_version() == 1
+    assert t.read().count() == 100
+    assert {r["dt"] for r in t.read().select("dt").distinct().collect()} == {"d1", "d2"}
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    d2_files_v1 = {e["file"] for e in t._manifest(1)["files"] if e["partition"] == "d2"}
+    updates = spark.createDataFrame(
+        [(10, "NEW", "d1"), (200, "added", "d1")], "k long, v string, dt string"
+    )
+    assert t.upsert(updates, "k") == 2
+    cur = t.read()
+    assert cur.count() == 101
+    got = {r["k"]: r["v"] for r in cur.filter(F.col("k").isin(10, 200)).collect()}
+    assert got == {10: "NEW", 200: "added"}
+    # untouched partition's file entries carried over verbatim
+    d2_files_v2 = {e["file"] for e in t._manifest(2)["files"] if e["partition"] == "d2"}
+    assert d2_files_v2 == d2_files_v1
+
+
+def test_reader_pinned_during_upsert(spark, tmp_path):
+    """A reader resolved before a commit keeps seeing its snapshot —
+    the consistency contract a plain overwrite cannot give."""
+    t = _mk(spark, tmp_path)
+    pinned = t.read()  # resolves v1's file list now
+    updates = spark.createDataFrame([(10, "NEW", "d1")], "k long, v string, dt string")
+    t.upsert(updates, "k")
+    assert pinned.filter(F.col("k") == 10).first()["v"] == "v10"  # old value
+    assert t.read().filter(F.col("k") == 10).first()["v"] == "NEW"
+
+
+def test_time_travel_and_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete(F.col("k") < 20)
+    assert t.read().count() == 80
+    assert t.read(version=1).count() == 100  # time travel
+
+
+def test_partition_pruned_read(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    d1 = t.read(partitions=["d1"])
+    assert d1.count() == 50
+    assert {r["dt"] for r in d1.select("dt").distinct().collect()} == {"d1"}
+
+
+def test_concurrent_commit_conflict_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    m = t._manifest(1)
+    t._commit(2, m["files"], m["schema"])
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(2, m["files"], m["schema"])
+    assert t.current_version() == 2
+
+
+def test_vacuum_drops_unreferenced_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    updates = spark.createDataFrame([(10, "NEW", "d1")], "k long, v string, dt string")
+    t.upsert(updates, "k")
+    n_before = len(glob.glob(os.path.join(t._ddir, "*.parquet")))
+    removed = t.vacuum(retain_last=1)
+    assert removed  # v1's d1 files died
+    live = {e["file"] for e in t._manifest(t.current_version())["files"]}
+    on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(t._ddir, "*.parquet"))}
+    assert on_disk == live
+    assert len(on_disk) < n_before
+    assert t.read().count() == 100
+
+
+def test_unpartitioned_append(spark, tmp_path):
+    t = _mk(spark, tmp_path, partitioned=False)
+    t.append(spark.createDataFrame([(500, "x", "d9")], "k long, v string, dt string"))
+    assert t.current_version() == 2
+    assert t.read().count() == 101
+    assert t.read(version=1).count() == 100
