@@ -26,6 +26,24 @@ from datawarehouse_spark.session import get_spark
 LAYERS = ("ods", "dwd", "dim", "dws", "ads", "tmp")
 
 
+def _parquet_footer_rows(path: str) -> int:
+    """Row count from parquet footer metadata — no data scan, and
+    snapshotted at call time (a later re-materialize of the same table
+    cannot retroactively change an older view's .rows)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        for f in filenames:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+    return total
+
+
 @dataclass
 class MaterializedView:
     layer: str
@@ -36,10 +54,13 @@ class MaterializedView:
 
     @property
     def rows(self) -> int:
-        """Row count, computed lazily on first access — materialize()
-        itself never pays an extra full scan just for metadata."""
+        """Row count of THIS materialization. materialize() pins it
+        eagerly from the written files' parquet footers (O(file count)
+        metadata reads, no scan), so it can't drift to reflect a later
+        rewrite of the same path; the lazy branch only serves
+        hand-built instances."""
         if self._rows is None:
-            self._rows = self._df.count() if self._df is not None else 0
+            self._rows = _parquet_footer_rows(self.path)
         return self._rows
 
 
@@ -107,7 +128,10 @@ class DataWarehouse:
         writer.parquet(path)
         back = self.spark.read.parquet(path)
         back.createOrReplaceTempView(f"{layer}_{table}")
-        return MaterializedView(layer, table, path, back)
+        # pin .rows NOW (footer metadata, no scan): a later incremental
+        # re-materialize of this path must not change this view's count
+        return MaterializedView(layer, table, path, back,
+                                _rows=_parquet_footer_rows(path))
 
     # -- diagnosis ---------------------------------------------------------
     def explain_parity(self, df: DataFrame) -> PlanReport:

@@ -130,12 +130,13 @@ def resize_media(media: DataFrame, target_bytes: int = 16) -> DataFrame:
                 stride = len(b) / target_bytes
                 return bytes(b[int(i * stride)] for i in range(target_bytes))
 
+            shrunk = pdf["payload"].map(pick)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "payload": pdf["payload"].map(pick),
-                    "n_bytes": pdf["payload"].map(pick).map(len),
+                    "payload": shrunk,
+                    "n_bytes": shrunk.map(len),
                 }
             )
 

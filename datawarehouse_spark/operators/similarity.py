@@ -160,6 +160,34 @@ def cosine_pairs(
     )
 
 
+def _kmeans_pp_init(emb: DataFrame, n_cells: int,
+                    sample_n: int | None = None) -> np.ndarray:
+    """Deterministic k-means++-style init: greedy farthest-point over
+    the lowest-``sample_n``-id vectors. First centroid = lowest-id
+    vector; each next = the sample vector with the largest cosine
+    distance to its nearest chosen centroid (np.argmax breaks ties to
+    the lowest sample index → lowest id). Strictly better spread than
+    first-n init with zero RNG state, so trainings stay bit-reproducible.
+    Zero-norm vectors are excluded (cosine undefined)."""
+    sample_n = sample_n or max(32 * n_cells, 256)
+    rows = emb.orderBy("vid").limit(sample_n).collect()
+    X = np.array([list(map(float, r["v"])) for r in rows])
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    if len(X) < n_cells:
+        raise ValueError(
+            f"need ≥ {n_cells} non-zero vectors to init {n_cells} cells; "
+            f"sample had {len(X)}"
+        )
+    chosen = [0]
+    d = 1.0 - X @ X[0]
+    for _ in range(n_cells - 1):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - X @ X[nxt])
+    return X[chosen].copy()
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -169,10 +197,11 @@ def kmeans_centroids(
 ) -> list[list[float]]:
     """Spherical k-means centroids via distributed Lloyd iterations.
 
-    Deterministic end to end: init is the lowest-``n_cells``-id vectors
-    (no RNG), assignment ties break on lowest cell (np.argmax), and the
-    per-cell mean uses an order-independent exact decimal sum so shuffle
-    order can't perturb centroids between runs.
+    Deterministic end to end: init is greedy-farthest-point k-means++
+    over the lowest-id sample (:func:`_kmeans_pp_init` — no RNG),
+    assignment ties break on lowest cell (np.argmax), and the per-cell
+    mean uses an order-independent exact decimal sum so shuffle order
+    can't perturb centroids between runs.
 
     Scale shape: centroids broadcast into an Arrow-vectorized assignment
     UDF (one GEMM per batch); new centroids come from a map-combined
@@ -183,17 +212,22 @@ def kmeans_centroids(
     emb = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    init = emb.orderBy("vid").limit(n_cells).collect()
-    cents = np.array([list(map(float, r["v"])) for r in init])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = _kmeans_pp_init(emb, n_cells)
 
     for _ in range(n_iter):
         frozen = cents.copy()
 
+        # NOTE: the closure re-pickles per iteration — negligible at
+        # n_iter≈4 (centroid matrix is n_cells×dim floats); hoist to an
+        # explicit sc.broadcast if iterations ever grow large.
         @F.pandas_udf("int")
         def assign(vs: pd.Series) -> pd.Series:
             m = np.vstack(vs.values)
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # zero vectors: cos undefined → norm clamped, score 0,
+            # argmax deterministically picks cell 0 (never NaN-poisons
+            # the whole batch)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            m = m / norms
             return pd.Series(np.argmax(m @ frozen.T, axis=1).astype("int32"))
 
         stats = (

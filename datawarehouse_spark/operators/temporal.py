@@ -45,6 +45,22 @@ def asof_join(
     rtypes = dict(right.dtypes)
     lcols = [c for c in left.columns if c != on]
 
+    # the union-window plan tags rows and interleaves both schemas, so
+    # shared non-key names or reserved tags would silently collide —
+    # fail loudly instead (mirrors salted_join's mode guard)
+    overlap = set(lcols) & set(rvals)
+    if overlap:
+        raise ValueError(
+            f"asof_join: non-key column names must be disjoint; both "
+            f"sides have {sorted(overlap)} — rename one side first"
+        )
+    reserved = {"_t", "_tag"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"asof_join: column names {sorted(reserved)} are reserved "
+            "for internal tagging; rename them first"
+        )
+
     r = right.select(
         on,
         F.col(right_time).alias("_t"),

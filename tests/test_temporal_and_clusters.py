@@ -45,6 +45,33 @@ def test_dedup_clusters_chain_converges_to_component_min(spark):
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 50: 50, 99: 50}
 
 
+def test_asof_join_rejects_colliding_columns(spark):
+    """Shared non-key names or reserved _t/_tag columns would silently
+    corrupt the union-window plan — must fail loudly instead."""
+    l = spark.createDataFrame([(1, 10, "x")], "k int, lt long, v string")
+    r = spark.createDataFrame([(1, 5, "y")], "k int, rt long, v string")
+    with pytest.raises(ValueError, match="disjoint"):
+        asof_join(l, r, "k", "lt", "rt")
+    l2 = spark.createDataFrame([(1, 10, "x")], "k int, lt long, _tag string")
+    r2 = spark.createDataFrame([(1, 5, "y")], "k int, rt long, rv string")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(l2, r2, "k", "lt", "rt")
+
+
+def test_kmeans_zero_vector_does_not_poison_assignment(spark):
+    """An all-zero embedding must not NaN-poison its whole Arrow batch:
+    centroids stay finite and training still converges."""
+    import math
+
+    from datawarehouse_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [float(i % 4 == j) for j in range(4)]) for i in range(32)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, n_cells=4, n_iter=2)
+    assert all(math.isfinite(x) for c in cents for x in c)
+
+
 def test_dedup_clusters_path_longer_than_max_iter(spark):
     """A path graph with diameter ≫ max_iter: plain 1-hop propagation
     would exit the cap unconverged (round 2's silent-wrong hazard);
