@@ -5,6 +5,14 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver) — the honest measure of operator cost.
+
+IDLE-RUN PROTOCOL: numbers are only comparable between runs taken in
+an otherwise-idle container — a second Spark JVM (pytest, a driver
+sweep) inflates individual queries 2-4x via CPU/page-cache contention.
+Before diagnosing any cross-round regression, `pgrep -f SparkSubmit`
+must come back empty and the bench rerun alone; r2's apparent t6
+1.9x / exact-dedup 1.65x "regressions" both reversed under this
+protocol (r3 idle: t6 0.407s, exact_dedup 0.297s).
 """
 
 from __future__ import annotations

@@ -82,6 +82,11 @@ SUITES: dict[str, list[Member]] = {
         ("a15_key_distribution", [], ["user_id", "cnt", "share"]),
         ("a21_approx_percentile", ["o_orderpriority", "approx_in_rank_band"],
          ["exact_p50"]),
+        # T10 — batch-vs-stream reconciliation is itself a rewrite-
+        # equivalence check (full-outer diff of two agg plans)
+        ("t10_stream_batch_reconcile", ["event_type"],
+         ["window_start_us", "batch_pv", "stream_pv",
+          "batch_total", "stream_total"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [
@@ -114,6 +119,10 @@ SUITES: dict[str, list[Member]] = {
         ("f13_date_parts", ["o_month_str"],
          ["o_orderkey", "o_year", "o_month", "o_quarter", "o_day"]),
         ("f12_json_extract", ["k_str"], ["event_id", "k_int"]),
+        # T4 — business-time drift filter (timestamp range + JSON k
+        # extraction via the streaming cleanse transform)
+        ("t4_drift_filter_batch", ["event_type"],
+         ["event_id", "ts_us", "user_id", "k"]),
     ],
     # §2.5 windows: first/last value, default frame, partition count/sum
     "suite_windows_basic": [

@@ -319,3 +319,100 @@ def t6_interval_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     views = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return stream_stream_attribution(views, purchases)
+
+
+@query(
+    "t4_drift_filter_batch",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           user_id,
+           lower(trim(event_type)) AS event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def t4_drift_filter_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — event-time drift correction, batch form: the SAME
+    `cleanse` + `drift_filter` transforms that run unbounded in
+    streaming/core.py (docs/实时数仓.md:103-116 — read a widened
+    processing-time range, filter on the business-time column so
+    midnight-boundary rows land in the right partition)."""
+    from datawarehouse_spark.streaming.core import cleanse, drift_filter
+
+    t = load_tables(spark, sf_dir, ("events",))
+    out = drift_filter(cleanse(t["events"]), "2024-01-10", "2024-01-12")
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "k",
+    )
+
+
+@query(
+    "t10_stream_batch_reconcile",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+             event_type, CAST(COUNT(*) AS BIGINT) AS pv,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+             event_type, CAST(COUNT(*) AS BIGINT) AS pv,
+             CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_id % 101 <> 0 GROUP BY 1, 2
+    )
+    SELECT COALESCE(b.window_start_us, s.window_start_us) AS window_start_us,
+           COALESCE(b.event_type, s.event_type) AS event_type,
+           b.pv AS batch_pv, s.pv AS stream_pv,
+           b.total_value AS batch_total, s.total_value AS stream_total
+    FROM b FULL OUTER JOIN s
+      ON b.window_start_us = s.window_start_us AND b.event_type = s.event_type
+    WHERE b.pv IS DISTINCT FROM s.pv
+       OR b.total_value IS DISTINCT FROM s.total_value
+    """,
+)
+def t10_stream_batch_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — streaming-vs-batch reconciliation (docs/实时数仓.md:118-124)
+    through the REAL `differential_validate` operator: full-outer join
+    on the grouping keys, surface every group whose measures disagree.
+    The 'stream' side deterministically drops a fixed event subset
+    (event_id % 101 == 0), standing in for a stream that discarded
+    late arrivals — every surfaced row is a group touched by a drop."""
+    from datawarehouse_spark.streaming.core import differential_validate
+
+    t = load_tables(spark, sf_dir, ("events",))
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("pv"),
+                F.sum(F.col("value").cast("decimal(38,2)"))
+                .cast("double").alias("total_value"),
+            )
+            .select(
+                F.unix_micros("w.start").alias("window_start_us"),
+                "event_type", "pv", "total_value",
+            )
+        )
+
+    b = hourly(t["events"])
+    s = hourly(t["events"].filter(F.col("event_id") % 101 != 0))
+    diff = differential_validate(b, s, keys=["window_start_us", "event_type"])
+    return diff.select(
+        F.coalesce(F.col("b.window_start_us"), F.col("s.window_start_us"))
+        .alias("window_start_us"),
+        F.coalesce(F.col("b.event_type"), F.col("s.event_type"))
+        .alias("event_type"),
+        F.col("b.pv").alias("batch_pv"),
+        F.col("s.pv").alias("stream_pv"),
+        F.col("b.total_value").alias("batch_total"),
+        F.col("s.total_value").alias("stream_total"),
+    )
