@@ -199,3 +199,93 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of duplicate words / word-bigrams and the share of the
+    most frequent word / bigram, per document. Heavily repetitive
+    documents (boilerplate, keyword stuffing, templated spam) are the
+    classic pre-training quality cut.
+
+    Scale shape: bigrams are built JVM-side inside the row
+    (zip_with over two array slices — no per-doc window shuffle), then
+    ONE explode + map-combined count per granularity; both aggregates
+    key on (doc_id, token), so partial aggregation absorbs the
+    within-doc repetition before any shuffle.
+    """
+    toks = F.split(F.col(text), " ")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    wc = (
+        df.select(F.col(id_col), F.explode(toks).alias("t"))
+        .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("top_w"),
+    )
+    bc = (
+        df.select(F.col(id_col), F.explode(bgs).alias("t"))
+        .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstats = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("c").alias("top_b"),
+    )
+    nw, nb = F.col("n_words"), F.col("n_bigrams")
+    # plain IEEE double divisions — bit-identical in any engine, so the
+    # thresholds below can't straddle a rounding boundary
+    top_word_ratio = F.col("top_w") / nw
+    dup_word_ratio = (nw - F.col("n_distinct_words")) / nw
+    dup_bigram_ratio = F.when(nb > 0, (nb - F.col("n_distinct_bigrams")) / nb) \
+        .otherwise(F.lit(0.0))
+    top_bigram_ratio = F.when(nb > 0, F.col("top_b") / nb).otherwise(F.lit(0.0))
+    return wstats.join(bstats, id_col, "left").select(
+        F.col(id_col),
+        nw,
+        F.col("n_distinct_words"),
+        top_word_ratio.alias("top_word_ratio"),
+        dup_word_ratio.alias("dup_word_ratio"),
+        dup_bigram_ratio.alias("dup_bigram_ratio"),
+        top_bigram_ratio.alias("top_bigram_ratio"),
+        (top_word_ratio > 0.2).alias("gopher_fail"),
+    )
+
+
+def contamination_check(train: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text: str = "text",
+                        n: int = 5) -> DataFrame:
+    """Benchmark-contamination scan: for every training document, the
+    count and fraction of its distinct word n-gram shingles that occur
+    anywhere in the evaluation corpus — the standard pre-training
+    decontamination signal (n-gram overlap against held-out benchmarks).
+
+    Scale shape: the eval side is a benchmark suite — tiny next to a
+    100 TB train corpus — so its distinct shingle set is BROADCAST and
+    the hit-count is a map-side semi-join: the train corpus is touched
+    in one pass with no shuffle of the text at all (the only shuffle is
+    the per-doc count aggregation on doc_id).
+    """
+    from datawarehouse_spark.operators.dedup import shingles_col
+
+    tr = train.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("s"))
+    ev = eval_df.select(F.explode(shingles_col(text, n)).alias("s")).distinct()
+    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        tr.join(F.broadcast(ev), "s", "left_semi")
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return sizes.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_sh"),
+        n_hit.alias("n_hit"),
+        (n_hit / F.col("n_sh")).alias("contaminated_frac"),
+    )

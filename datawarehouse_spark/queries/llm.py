@@ -566,3 +566,91 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::tfidf_top_terms for the scale notes)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.tfidf_top_terms(t["documents"], k=3)
+
+
+@query(
+    "llm_repetition",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), wc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ), wstats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+             MAX(c) AS top_w
+      FROM wc GROUP BY 1
+    ), bg AS (
+      SELECT doc_id, s[i] || ' ' || s[i + 1] AS t
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d,
+           UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+    ), bc AS (
+      SELECT doc_id, t, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), bstats AS (
+      SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS n_distinct_bigrams,
+             MAX(c) AS top_b
+      FROM bc GROUP BY 1
+    )
+    SELECT w.doc_id, w.n_words, w.n_distinct_words,
+           w.top_w * 1.0 / w.n_words AS top_word_ratio,
+           (w.n_words - w.n_distinct_words) * 1.0 / w.n_words AS dup_word_ratio,
+           CASE WHEN b.n_bigrams > 0
+                THEN (b.n_bigrams - b.n_distinct_bigrams) * 1.0 / b.n_bigrams
+                ELSE 0.0 END AS dup_bigram_ratio,
+           CASE WHEN b.n_bigrams > 0
+                THEN b.top_b * 1.0 / b.n_bigrams ELSE 0.0 END AS top_bigram_ratio,
+           (w.top_w * 1.0 / w.n_words > 0.2) AS gopher_fail
+    FROM wstats w LEFT JOIN bstats b USING (doc_id)
+    """,
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-word / dup-bigram /
+    top-token fractions) — see operators/text.py::repetition_stats for
+    the scale notes (in-row bigram build, map-combined counts)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.repetition_stats(t["documents"])
+
+
+# eval split for the contamination scan: a deterministic tenth of the
+# corpus stands in for the held-out benchmark suite
+_CONTAM_SHINGLES = """
+  CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+  ELSE list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - 1),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2])) END
+"""
+
+
+@query(
+    "llm_contamination",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_CONTAM_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 10 = 0
+    ), tr AS (
+      SELECT doc_id, unnest({_CONTAM_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 10 <> 0
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM tr GROUP BY 1
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM tr JOIN ev USING (s) GROUP BY 1
+    )
+    SELECT sizes.doc_id, n_sh, COALESCE(n_hit, 0) AS n_hit,
+           COALESCE(n_hit, 0) * 1.0 / n_sh AS contaminated_frac
+    FROM sizes LEFT JOIN hits USING (doc_id)
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: per train doc, the fraction of its
+    distinct 3-gram shingles found anywhere in the eval tenth of the
+    corpus (doc_id % 10 == 0). The eval shingle set broadcasts — see
+    operators/text.py::contamination_check."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    return text.contamination_check(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=3,
+    )

@@ -185,6 +185,12 @@ SUITES: dict[str, list[Member]] = {
         ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
         # fp is a 60-bit int — exact as a string key, NOT as a double val
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
+        # Gopher repetition cuts + benchmark decontamination
+        ("llm_repetition", ["gopher_fail"],
+         ["doc_id", "n_words", "n_distinct_words", "top_word_ratio",
+          "dup_word_ratio", "dup_bigram_ratio", "top_bigram_ratio"]),
+        ("llm_contamination", [], ["doc_id", "n_sh", "n_hit",
+                                   "contaminated_frac"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
