@@ -60,8 +60,29 @@ def minhash_col(shingles: Column, seed: int) -> Column:
     )
 
 
+def _salted_md5(col, salt: int) -> Column:
+    """md5 of the (optionally salted) shingle — materialized ONCE in
+    the pre-aggregation projection; the k min-hash functions then each
+    read a DISJOINT 10-hex-digit (40-bit) slice, so they are as
+    independent as k separate md5s at ceil(k/3) the hashing cost.
+    Computing the md5 inside each aggregate expression instead would
+    silently pay k hashes — Catalyst does not CSE across agg exprs.
+
+    The slices stay STRINGS: lexicographic min on fixed-length
+    lowercase hex equals numeric min, and measured at sf0.1 the
+    substring min-agg (2.2 s) beats both conv-to-bigint (2.8 s — conv
+    is an expensive string base-parse per row) and the legacy k-md5
+    hex form (3.4 s). (Cheaper mixes measurably fail: a shift-mix of
+    one 40-bit base without wraparound is monotone — all k argmins
+    identical, 100 vs 29 band collisions at sf0.01 — and even a
+    wrapping 2-base affine family over Z_p keeps enough cross-function
+    correlation to inflate band collisions 66 vs 29; disjoint slices
+    restore exact independence.)"""
+    return F.md5(col) if salt == 0 else F.md5(F.concat(F.lit(f"{salt}|"), col))
+
+
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
-                      k: int = 8, n: int = 3, hash: str = "md5") -> DataFrame:
+                      k: int = 8, n: int = 3, hash: str = "md5mix") -> DataFrame:
     """doc_id + mh0..mh{k-1} columns.
 
     Shape matters: explode shingles → k hash columns per shingle row →
@@ -72,15 +93,29 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     map-side, and parallelizes across row splits — the same plan that
     scales to 100 TB of documents.
 
-    ``hash="md5"`` is the oracle-portable form (identical output in
-    DuckDB); ``hash="xxhash64"`` is 2× faster (sf0.1: 1.8 s vs 3.6 s —
-    long min-agg instead of hex-string min-agg) and is what the LSH
-    banding path uses, where only band collisions matter.
+    ``hash="md5mix"`` (default) pays ceil(k/3) md5s per shingle — hash
+    function j min-aggregates the disjoint 10-hex-digit slice ``j % 3``
+    of salted md5 ``j // 3`` (:func:`_salted_md5`) — oracle-portable,
+    ~35% faster than ``"md5"`` (k md5s, the legacy portable form) with
+    identical statistics. ``hash="xxhash64"`` is the pure-speed variant
+    for banding paths where no cross-engine check is needed.
     """
     sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("_s"))
     if hash == "xxhash64":
         cols = [
             F.min(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("_s")))).alias(f"mh{j}")
+            for j in range(k)
+        ]
+    elif hash == "md5mix":
+        n_salts = (k + 2) // 3
+        sh = sh.select(
+            id_col,
+            *[_salted_md5(F.col("_s"), t).alias(f"_x{t}") for t in range(n_salts)],
+        )
+        cols = [
+            F.min(
+                F.substring(F.col(f"_x{j // 3}"), 1 + 10 * (j % 3), 10)
+            ).alias(f"mh{j}")
             for j in range(k)
         ]
     else:

@@ -29,12 +29,25 @@ _DUCK_SHINGLES = """
          || ' ' || string_split(text, ' ')[i+2])) END
 """
 
-# md5 MinHash signature (k=8) as a reusable CTE chain — shared by the
-# signature query, the LSH banding oracle, and anything downstream.
+# sliced-md5 MinHash signature (k=8) as a reusable CTE chain — shared
+# by the signature query, the LSH banding oracle, and anything
+# downstream. Mirrors operators/dedup.minhash_signature(hash="md5mix")
+# exactly: hash function j = hex digits [1+10·(j%3), 10·(j%3+1)] of
+# md5 salted with j//3 (salt 0 = unsalted) — disjoint slices, so the
+# 8 functions are as independent as 8 md5s; lexicographic min over
+# fixed-length lowercase hex is the numeric min.
+
+
+def _duck_mh(j: int) -> str:
+    salt, sl = j // 3, j % 3
+    inner = "x" if salt == 0 else f"'{salt}|' || x"
+    return (f"list_aggregate(list_transform(s, x -> "
+            f"substr(md5({inner}), {1 + 10 * sl}, 10)), 'min') AS mh{j}")
+
+
 _DUCK_SIG_CTES = f"""
     sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents),
-    sig AS (SELECT doc_id,
-      {",".join(f"list_aggregate(list_transform(s, x -> md5('{j}|' || x)), 'min') AS mh{j}" for j in range(8))}
+    sig AS (SELECT doc_id, {",".join(_duck_mh(j) for j in range(8))}
     FROM sh)
 """
 
@@ -186,8 +199,10 @@ def llm_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8, md5-based — deterministic, engine-portable;
-    the oracle recomputes them in SQL)."""
+    """MinHash signatures (k=8, disjoint 40-bit slices of 3 salted md5s
+    — deterministic, engine-portable, independent-as-8-md5s statistics
+    at ceil(k/3) hashes per shingle; the oracle recomputes them in
+    SQL)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.minhash_signature(t["documents"], k=8)
 
@@ -307,10 +322,14 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_DUCK_SIG_CTES},
     bands AS (
-      SELECT doc_id, 0 AS bi, mh0 || '|' || mh1 AS bk FROM sig
-      UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
-      UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
-      UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+      SELECT doc_id, 0 AS bi,
+             CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS bk FROM sig
+      UNION ALL SELECT doc_id, 1,
+             CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2,
+             CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3,
+             CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR) FROM sig
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
@@ -320,11 +339,11 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (4 bands × 2 hashes): the O(n·bucket)
     scale path for near-dup discovery at 100 TB. The banding self-join is
-    deterministic given the signature, so the md5-signature variant is
-    fully oracle-checkable; the 2×-faster xxhash64 signature is the
-    drop-in production path (recall asserted in tests/test_llm_ops.py)."""
+    deterministic given the signature, so the md5mix signature is
+    fully oracle-checkable at full speed (recall additionally asserted
+    in tests/test_llm_ops.py)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sig = dedup.minhash_signature(t["documents"], k=8, hash="md5")
+    sig = dedup.minhash_signature(t["documents"], k=8, hash="md5mix")
     return dedup.lsh_candidates(sig, k=8, band_size=2)
 
 
