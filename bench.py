@@ -45,16 +45,21 @@ HEADLINE = [
     "t3_tumbling_window_batch",
     "t5_session_window_batch",
     "t6_interval_attribution_batch",
+    "t4_drift_filter_batch",
+    "t10_stream_batch_reconcile",
     # profile/tag
     "x3_pivot_wide_tags",
     # LLM data pipeline
     "llm_exact_dedup",
     "llm_minhash_signature",
+    "llm_minhash_lsh_candidates",
     "llm_ngram_near_dup",
     "llm_dedup_keep",
     "llm_simhash",
     "llm_cosine_topk",
     "llm_embed_near_dup",
+    "llm_repetition",
+    "llm_contamination",
 ]
 
 

@@ -275,17 +275,33 @@ def contamination_check(train: DataFrame, eval_df: DataFrame,
     """
     from datawarehouse_spark.operators.dedup import shingles_col
 
-    tr = train.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("s"))
-    ev = eval_df.select(F.explode(shingles_col(text, n)).alias("s")).distinct()
-    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    hits = (
-        tr.join(F.broadcast(ev), "s", "left_semi")
-        .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit"))
+    # shingles int64-hashed before the join: 8-byte probe keys and a
+    # ~3× smaller broadcast than raw shingle strings (collision odds
+    # ~n²/2⁶⁴ — same trade the n-gram near-dup path makes)
+    tr = train.select(
+        F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
+    ).select(id_col, F.xxhash64("s").alias("s"))
+    ev = (
+        eval_df.select(F.explode(shingles_col(text, n)).alias("s"))
+        .select(F.xxhash64("s").alias("s"))
+        .distinct()
     )
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return sizes.join(hits, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_sh"),
-        n_hit.alias("n_hit"),
-        (n_hit / F.col("n_sh")).alias("contaminated_frac"),
+    # ONE pass over the train shingles: broadcast left join marks hits,
+    # then a single agg counts both totals (a separate semi-join would
+    # explode the train text a second time)
+    marked = tr.join(
+        F.broadcast(ev.withColumn("_hit", F.lit(1))), "s", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            "n_sh",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_sh")).alias("contaminated_frac"),
+        )
     )

@@ -120,3 +120,40 @@ def test_simhash_pairs_contain_high_jaccard_dups(spark):
     }
     got = {(r.doc_a, r.doc_b) for r in pairs}
     assert got == truth
+
+
+def test_repetition_stats_single_word_doc(spark):
+    """A one-word document has no bigrams: ratios must come back 0.0
+    (not null) through the left join, and the word stats stay exact."""
+    from datawarehouse_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "a b a b a")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    one = rows[1]
+    assert one.n_words == 1 and one.n_distinct_words == 1
+    assert one.dup_bigram_ratio == 0.0 and one.top_bigram_ratio == 0.0
+    assert one.top_word_ratio == 1.0 and one.gopher_fail
+    two = rows[2]
+    # "a b a b a": 5 words, 2 distinct; bigrams: ab,ba,ab,ba -> 4 total 2 distinct
+    assert two.n_words == 5 and two.n_distinct_words == 2
+    assert two.dup_word_ratio == 3 / 5 and two.top_word_ratio == 3 / 5
+    assert two.dup_bigram_ratio == 2 / 4 and two.top_bigram_ratio == 2 / 4
+
+
+def test_contamination_disjoint_and_full_overlap(spark):
+    """Train docs sharing no shingle with eval score 0.0; an exact eval
+    copy scores 1.0; counts are over DISTINCT shingles."""
+    from datawarehouse_spark.operators import text
+
+    train = spark.createDataFrame(
+        [(1, "w x y z w x y"), (2, "p q r s t u")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(9, "p q r s t u")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in
+            text.contamination_check(train, ev, n=3).collect()}
+    assert rows[1].n_hit == 0 and rows[1].contaminated_frac == 0.0
+    assert rows[2].n_hit == rows[2].n_sh and rows[2].contaminated_frac == 1.0
+    # distinct: 5 shingle positions in doc 1 but "w x y" repeats -> 4
+    assert rows[1].n_sh == 4
