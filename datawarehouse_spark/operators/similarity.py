@@ -253,6 +253,87 @@ def kmeans_centroids(
     return cents.tolist()
 
 
+def nearest_cells(cents: list[list[float]], vec: str, n: int) -> Column:
+    """Array of the ``n`` centroid cell-ids nearest to column ``vec`` by
+    cosine — a pure JVM expression (argmax via struct array_sort, no
+    UDF), so coarse quantization stays inside whole-stage codegen.
+    ``cents`` is the tiny driver-side centroid table (n_cells × dim)."""
+    scored = []
+    for cell, cvals in enumerate(cents):
+        cvec = F.array(*[F.lit(float(x)) for x in cvals])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec), cvec, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cnorm = sum(float(x) * float(x) for x in cvals) ** 0.5
+        cos = dot / (norm_col(vec) * F.lit(cnorm))
+        scored.append(F.struct(cos.alias("cos"), F.lit(cell).alias("cell")))
+    ranked = F.reverse(F.array_sort(F.array(*scored)))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.42,
+    cluster_col: str | None = None,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus, then inside each
+    cluster drop every vector that is a near-duplicate (cos ≥
+    ``threshold``) of a lower-id vector.
+
+    Keep rule: a vector is kept iff NO lower-id vector in its cluster
+    has cos ≥ threshold — deterministic (id order), one pass, and
+    SQL-expressible, which is what makes the op oracle-checkable.
+    Output: vec_id, cluster, keep, max_prior_sim (rounded 6; NULL for
+    the cluster's lowest id).
+
+    Scale shape: the cluster id is the shuffle key; per-cluster scoring
+    is one BLAS GEMM inside ``applyInPandas`` (Arrow batches). With
+    k-means cells (``cluster_col=None``) cluster sizes are ~n/n_cells —
+    pick n_cells so a cell's vectors fit an executor (same math as
+    :func:`ivf_topk`); with a caller-supplied ``cluster_col`` the group
+    size is the caller's contract. Unlike all-pairs dedup this never
+    materializes O(n²) pair rows — SemDeDup's point at 100 TB.
+    """
+    cols = [
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ]
+    if cluster_col is not None:
+        cols.append(F.col(cluster_col).cast("bigint").alias("cluster"))
+    emb = corpus.select(*cols)
+    if cluster_col is None:
+        cents = kmeans_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+        emb = emb.withColumn("cluster", nearest_cells(cents, "v", 1)[0].cast("bigint"))
+
+    def mark(key, pdf):
+        pdf = pdf.sort_values("vid")
+        M = np.vstack(pdf["v"].values)
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        Mn = M / norms
+        S = np.round(Mn @ Mn.T, 6)
+        n = len(pdf)
+        prior = np.tril(np.ones((n, n), dtype=bool), k=-1)
+        mx = np.where(prior, S, -np.inf).max(axis=1, initial=-np.inf)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vid"].values,
+                "cluster": np.full(n, key[0], dtype="int64"),
+                "keep": ~(mx >= threshold),
+                "max_prior_sim": [float(x) if np.isfinite(x) else None for x in mx],
+            }
+        )
+
+    return emb.groupBy("cluster").applyInPandas(
+        mark, "vec_id long, cluster long, keep boolean, max_prior_sim double"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -279,31 +360,15 @@ def ivf_topk(
         corpus, n_cells, train_iters, id_col, vec_col
     )
 
-    def best_cells(vec: str, n: int) -> Column:
-        """Array of the n cell-ids nearest to `vec` (by cosine)."""
-        scored = []
-        for cell, cvals in enumerate(cents):
-            cvec = F.array(*[F.lit(float(x)) for x in cvals])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec), cvec, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            cnorm = sum(float(x) * float(x) for x in cvals) ** 0.5
-            cos = dot / (norm_col(vec) * F.lit(cnorm))
-            scored.append(F.struct(cos.alias("cos"), F.lit(cell).alias("cell")))
-        ranked = F.reverse(F.array_sort(F.array(*scored)))
-        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
-
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("c_vec"),
-        best_cells(vec_col, 1)[0].alias("cell"),
+        nearest_cells(cents, vec_col, 1)[0].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(best_cells(vec_col, n_probe)).alias("cell"),
+        F.explode(nearest_cells(cents, vec_col, n_probe)).alias("cell"),
     )
     pairs = c.join(F.broadcast(q), "cell").filter(F.col("q_id") != F.col("n_id"))
     cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))

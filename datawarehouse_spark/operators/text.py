@@ -131,6 +131,62 @@ def train_split(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing step of a
+    training-corpus pipeline (down-weight dominant languages/sources to
+    hit target mixture rates).
+
+    Keep decision: md5("stratum|id") mod 10000 < rate·10000 — per-row
+    JVM expressions, zero shuffle at any scale, and stable across runs,
+    engines, and repartitioning (never ``sample()``/rand(), whose
+    output depends on partitioning). Salting the hash with the stratum
+    decorrelates keep decisions across strata, so changing one
+    stratum's rate never perturbs another's sample. The rate table is
+    a tiny literal CASE chain — no join.
+
+    Output: (id, stratum, keep) for every row — downstream consumers
+    filter ``keep`` (emitting the decision, not the filtered set, is
+    what makes the op row-level verifiable).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col(strata_col), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 10000
+    )
+    permyriad = None
+    for s, r in sorted(rates.items()):
+        lit = int(round(r * 10000))
+        cond = F.col(strata_col) == s
+        permyriad = (
+            F.when(cond, lit) if permyriad is None else permyriad.when(cond, lit)
+        )
+    default_lit = int(round(default_rate * 10000))
+    permyriad = (
+        permyriad.otherwise(default_lit) if permyriad is not None
+        else F.lit(default_lit)
+    )
+    return df.select(
+        F.col(id_col), F.col(strata_col), (bucket < permyriad).alias("keep")
+    )
+
+
 def sequence_packing(df: DataFrame, id_col: str = "doc_id",
                      text: str = "text", budget: int = 4096,
                      n_shards: int = 8) -> DataFrame:

@@ -434,6 +434,28 @@ def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang,
+           (CAST('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)),
+                                1, 4) AS INTEGER) % 10000)
+             < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000
+                ELSE 10000 END) AS keep
+    FROM documents
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing / stratified sampling: per-language deterministic
+    md5-bucket keep decisions at target rates (en→30%, zh→80%, rest
+    100%) — the corpus-mixing step of a training-data pipeline. Pure
+    per-row JVM expressions: zero shuffle at any corpus size."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.stratified_sample(
+        t["documents"], rates={"en": 0.30, "zh": 0.80}
+    )
+
+
+@query(
     "llm_seq_packing",
     oracle="""
     WITH tok AS (
@@ -540,6 +562,35 @@ def llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an LSH prefilter at scale (see operators/similarity.py docstring)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     return similarity.cosine_pairs(t["embeddings"], threshold=0.42)
+
+
+@query(
+    "llm_semantic_dedup",
+    oracle="""
+    SELECT a.vec_id AS vec_id,
+           CAST(a.label AS BIGINT) AS cluster,
+           COALESCE(MAX(round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6)) < 0.42,
+                    TRUE) AS keep,
+           MAX(round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 6)) AS max_prior_sim
+    FROM embeddings a
+    LEFT JOIN embeddings b ON b.label = a.label AND b.vec_id < a.vec_id
+    GROUP BY a.vec_id, a.label
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-cluster semantic dedup — keep a vector iff no
+    lower-id vector in its cluster has cos ≥ 0.42. Cluster = the
+    fixture's `label` column here (oracle-checkable); the k-means-cell
+    path (cluster_col=None) is the production form, property-tested in
+    tests/test_llm_ops.py. One GEMM per cluster, never O(n²) pair rows."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.semantic_dedup(
+        t["embeddings"], threshold=0.42, cluster_col="label"
+    )
 
 
 @query("llm_ann_ivf_topk")  # approximate — rows-only check

@@ -192,6 +192,14 @@ SUITES: dict[str, list[Member]] = {
         ("llm_contamination", [], ["doc_id", "n_sh", "n_hit",
                                    "contaminated_frac"]),
     ],
+    # embedding-space similarity + semantic dedup: exact near-dup pairs,
+    # brute cosine top-k baseline, SemDeDup keep-list
+    "suite_embeddings": [
+        ("llm_embed_near_dup", [], ["id_a", "id_b", "cos"]),
+        ("llm_cosine_topk", [], ["q_id", "n_id", "cos", "rank"]),
+        ("llm_semantic_dedup", ["keep"],
+         ["vec_id", "cluster", "max_prior_sim"]),
+    ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
         ("mm_media_catalog", ["kind", "codec"], ["media_id", "n_bytes"]),
@@ -248,8 +256,8 @@ FINAL_ORDER: list[str] = [
     "llm_simhash_pairs",
     "llm_dedup_clusters",
     "llm_dedup_keep",
-    "llm_embed_near_dup",
-    "llm_cosine_topk",
+    "suite_embeddings",
+    "llm_stratified_sample",
     "llm_tfidf_top_terms",
     "suite_multimodal",
     "mm_feature_extraction",

@@ -157,3 +157,80 @@ def test_contamination_disjoint_and_full_overlap(spark):
     assert rows[2].n_hit == rows[2].n_sh and rows[2].contaminated_frac == 1.0
     # distinct: 5 shingle positions in doc 1 but "w x y" repeats -> 4
     assert rows[1].n_sh == 4
+
+
+def test_semantic_dedup_label_matches_bruteforce(spark):
+    """Label-cluster SemDeDup keep decisions equal the brute-force rule:
+    keep iff no lower-id same-cluster vector has round(cos,6) >= t."""
+    import numpy as np
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    out = {r.vec_id: r for r in
+           similarity.semantic_dedup(emb, 0.42, cluster_col="label").collect()}
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r.vec_id):
+        by_label.setdefault(r.label, []).append(r)
+    n_drop = 0
+    for label, members in by_label.items():
+        M = np.array([[float(x) for x in r.embedding] for r in members])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(M @ M.T, 6)
+        for i, r in enumerate(members):
+            expect_keep = not (i > 0 and S[i, :i].max() >= 0.42)
+            got = out[r.vec_id]
+            assert got.keep == expect_keep, (r.vec_id, label)
+            assert got.cluster == label
+            if i == 0:
+                assert got.max_prior_sim is None
+            else:
+                assert abs(got.max_prior_sim - S[i, :i].max()) < 1e-9
+            n_drop += 0 if expect_keep else 1
+    assert n_drop > 0  # clustered fixture must actually dedup something
+
+
+def test_semantic_dedup_kmeans_path_consistent(spark):
+    """Production path (k-means cells): decisions are internally
+    consistent with the cell assignment the op emits — keep iff no
+    lower-id member of the same cell is >= threshold."""
+    import numpy as np
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    out = similarity.semantic_dedup(emb, 0.42, cluster_col=None,
+                                    n_cells=8).collect()
+    assert len(out) == emb.count()  # exactly one decision per vector
+    vecs = {r.vec_id: np.array([float(x) for x in r.embedding])
+            for r in emb.collect()}
+    by_cell: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: r.vec_id):
+        by_cell.setdefault(r.cluster, []).append(r)
+    for cell, members in by_cell.items():
+        M = np.array([vecs[r.vec_id] for r in members])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = np.round(M @ M.T, 6)
+        for i, r in enumerate(members):
+            expect_keep = not (i > 0 and S[i, :i].max() >= 0.42)
+            assert r.keep == expect_keep, (r.vec_id, cell)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Keep fractions land near per-stratum targets, unlisted strata
+    default to 1.0, and the decision is repartition-invariant."""
+    from datawarehouse_spark.operators import text
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    rates = {"en": 0.30, "zh": 0.80}
+    out = text.stratified_sample(docs, rates).collect()
+    assert len(out) == docs.count()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.keep)
+    for lang, keeps in by_lang.items():
+        frac = sum(keeps) / len(keeps)
+        target = rates.get(lang, 1.0)
+        assert abs(frac - target) < 0.15, (lang, frac, target)
+    for lang in ("de", "es", "fr"):
+        assert all(by_lang[lang])  # default rate 1.0 keeps everything
+    again = {(r.doc_id, r.keep)
+             for r in text.stratified_sample(docs.repartition(13), rates).collect()}
+    assert again == {(r.doc_id, r.keep) for r in out}
