@@ -58,6 +58,8 @@ HEADLINE = [
     "llm_simhash",
     "llm_cosine_topk",
     "llm_embed_near_dup",
+    "llm_semantic_dedup",
+    "llm_stratified_sample",
     "llm_repetition",
     "llm_contamination",
 ]

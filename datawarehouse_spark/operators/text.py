@@ -131,6 +131,42 @@ def train_split(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# PII patterns shared verbatim by the Spark implementation and the
+# DuckDB oracle (ASCII classes only, so Java regex and RE2 agree on
+# every match; both engines use leftmost non-overlapping semantics).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ -]\d{3}[ -]\d{3,6}\b",
+}
+
+
+def pii_redact(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing — redact emails, IPv4 addresses and international
+    phone numbers to typed placeholder tokens, emitting per-document
+    match counts for audit. The compliance pass every published training
+    corpus runs (C4/RefinedWeb-style regex scrub).
+
+    All JVM expressions (regexp_count + chained regexp_replace) — no
+    Python in the loop, zero shuffle, scales linearly with corpus size.
+    Replacement order (email → ip → phone) is fixed so later patterns
+    can never match inside an earlier placeholder.
+    """
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+            .alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+        redacted.alias("redacted"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

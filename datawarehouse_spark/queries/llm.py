@@ -456,6 +456,52 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.net at 10.'
+                  || CAST(doc_id % 250 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 200 AS VARCHAR) || ' call +1 555 0'
+                  || CAST(doc_id % 900 + 100 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{text.PII_PATTERNS["email"]}'))
+                AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '{text.PII_PATTERNS["ip"]}'))
+                AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '{text.PII_PATTERNS["phone"]}'))
+                AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '{text.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+             '{text.PII_PATTERNS["ip"]}', '<IP>', 'g'),
+             '{text.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus. The fixture text is clean, so the
+    query first augments each doc with synthetic doc_id-derived PII
+    (an email, an IPv4, a phone) — both engines build the identical
+    augmented text, so the oracle verifies the actual regex redaction
+    behavior row-level instead of passing vacuously on clean input."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = F.col("doc_id")
+    aug = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail"), (d % 7).cast("string"), F.lit(".net at 10."),
+            (d % 250).cast("string"), F.lit(".0."), (d % 200).cast("string"),
+            F.lit(" call +1 555 0"), (d % 900 + 100).cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_redact(aug)
+
+
+@query(
     "llm_seq_packing",
     oracle="""
     WITH tok AS (
@@ -723,4 +769,76 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 10 != 0),
         d.filter(F.col("doc_id") % 10 == 0),
         n=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus materialization: the per-document keep decision a
+# training run consumes, composing every quality gate above. The oracle
+# is composed from the member oracles verbatim (registry.ORACLES), so
+# the two sides can never drift apart.
+from datawarehouse_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
+
+_PREP_ORACLE = f"""
+    SELECT d.doc_id,
+           (d.doc_id % 10 = 0) AS is_eval,
+           (dk.doc_id IS NOT NULL) AS dedup_keep,
+           NOT COALESCE(rep.gopher_fail, FALSE) AS gopher_ok,
+           (cont.contaminated_frac IS NULL OR cont.contaminated_frac < 0.5)
+             AS clean,
+           samp.keep AS sampled,
+           (d.doc_id % 10 <> 0 AND dk.doc_id IS NOT NULL
+            AND NOT COALESCE(rep.gopher_fail, FALSE)
+            AND (cont.contaminated_frac IS NULL
+                 OR cont.contaminated_frac < 0.5)
+            AND samp.keep) AS keep
+    FROM documents d
+    LEFT JOIN ({_ORACLES["llm_dedup_keep"]}) dk ON dk.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_repetition"]}) rep ON rep.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_contamination"]}) cont ON cont.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_stratified_sample"]}) samp
+      ON samp.doc_id = d.doc_id
+"""
+
+
+@query("llm_corpus_prep", oracle=_PREP_ORACLE)
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus materialization — one keep decision per document
+    with per-gate audit flags: eval-split exclusion, exact+near dedup
+    (llm_dedup_keep), Gopher repetition cut, benchmark-contamination cut
+    (frac ≥ 0.5 — the fixture's contaminated tail sits at ≥ 0.96, the
+    clean mass ≤ 0.30), stratified domain-mix sampling. Emitting flags
+    for ALL docs (not the filtered set) keeps every gate row-level
+    verifiable and gives the pipeline its audit table for free."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dk = llm_dedup_keep(spark, sf_dir).withColumn("dk", F.lit(True))
+    rep = llm_repetition(spark, sf_dir).select("doc_id", "gopher_fail")
+    cont = llm_contamination(spark, sf_dir).select(
+        "doc_id", "contaminated_frac"
+    )
+    samp = llm_stratified_sample(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("samp_keep")
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 10 == 0).alias("is_eval"))
+        .join(dk, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(samp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_eval",
+            F.coalesce(F.col("dk"), F.lit(False)).alias("dedup_keep"),
+            (~F.coalesce(F.col("gopher_fail"), F.lit(False))).alias("gopher_ok"),
+            (
+                F.col("contaminated_frac").isNull()
+                | (F.col("contaminated_frac") < 0.5)
+            ).alias("clean"),
+            F.col("samp_keep").alias("sampled"),
+        )
+        .withColumn(
+            "keep",
+            ~F.col("is_eval") & F.col("dedup_keep") & F.col("gopher_ok")
+            & F.col("clean") & F.col("sampled"),
+        )
     )

@@ -191,6 +191,13 @@ SUITES: dict[str, list[Member]] = {
           "dup_word_ratio", "dup_bigram_ratio", "top_bigram_ratio"]),
         ("llm_contamination", [], ["doc_id", "n_sh", "n_hit",
                                    "contaminated_frac"]),
+        # PII scrub: redacted text is an exact string key
+        ("llm_pii_redact", ["redacted"],
+         ["doc_id", "n_email", "n_ip", "n_phone"]),
+        # end-to-end corpus materialization: per-gate audit flags
+        ("llm_corpus_prep",
+         ["is_eval", "dedup_keep", "gopher_ok", "clean", "sampled", "keep"],
+         ["doc_id"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

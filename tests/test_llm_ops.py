@@ -234,3 +234,49 @@ def test_stratified_sample_rates_and_determinism(spark):
     again = {(r.doc_id, r.keep)
              for r in text.stratified_sample(docs.repartition(13), rates).collect()}
     assert again == {(r.doc_id, r.keep) for r in out}
+
+
+def test_pii_redact_constructed_examples(spark):
+    """Redaction replaces every email/IP/phone with its typed token and
+    the counts match; clean text passes through untouched."""
+    from datawarehouse_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and jo@a.io end"),
+            (2, "server 192.168.0.1 then 10.0.255.254 done"),
+            (3, "call +49 123 4567 or +1 555 012345 now"),
+            (4, "perfectly clean text with no identifiers"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.pii_redact(docs).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_ip == 0
+    assert rows[1].redacted == "mail <EMAIL> and <EMAIL> end"
+    assert rows[2].n_ip == 2
+    assert rows[2].redacted == "server <IP> then <IP> done"
+    assert rows[3].n_phone == 2
+    assert rows[3].redacted == "call <PHONE> or <PHONE> now"
+    assert rows[4].n_email == rows[4].n_ip == rows[4].n_phone == 0
+    assert rows[4].redacted == "perfectly clean text with no identifiers"
+
+
+def test_corpus_prep_keep_is_conjunction_of_gates(spark):
+    """keep == NOT is_eval AND dedup_keep AND gopher_ok AND clean AND
+    sampled, every doc gets exactly one decision, and the eval split
+    plus at least one quality gate actually drop documents."""
+    from datawarehouse_spark.queries.llm import llm_corpus_prep
+
+    out = llm_corpus_prep(spark, SF_ORACLE).collect()
+    docs_n = 500
+    assert len(out) == docs_n
+    for r in out:
+        assert r.keep == (
+            (not r.is_eval) and r.dedup_keep and r.gopher_ok
+            and r.clean and r.sampled
+        )
+    assert sum(r.is_eval for r in out) == docs_n // 10
+    assert any(not r.dedup_keep for r in out)
+    assert any(not r.sampled for r in out)
+    kept = sum(r.keep for r in out)
+    assert 0 < kept < docs_n
