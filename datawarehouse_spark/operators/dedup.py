@@ -127,13 +127,22 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
 
 
 def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
-                   band_size: int = 2) -> DataFrame:
+                   band_size: int = 2, persist: bool = True) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any MinHash band.
 
     Bands the k-column signature into k/band_size buckets and
     bucket-joins. O(sum of bucket²) instead of O(n²) — the scale path.
     Probabilistic recall: P(candidate) = 1-(1-s^band_size)^(k/band_size)
     for true Jaccard s; tune k/band_size to the target threshold.
+
+    ``persist=True`` caches the banded rows before the self-join:
+    neither physical-planning ReuseExchange nor AQE dedups the two
+    identical signature subplans here (verified empirically), so
+    without the cache the full shingle-explode → hash → min-agg
+    pipeline — the expensive stage — runs twice. The cache is
+    n_docs × n_bands short rows (tens of bytes each), far smaller than
+    the corpus; at the 100 TB regime where even that overflows,
+    ``persist=False`` trades the memory for the recompute.
     """
     n_bands = k // band_size
     bands = F.array(
@@ -154,6 +163,8 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
     exploded = sig.select(id_col, F.explode(bands).alias("b")).select(
         id_col, "b.band_idx", "b.band_key"
     )
+    if persist:
+        exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -227,3 +227,53 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_dedup_single_shuffle(spark):
+    """SemDeDup's only exchange is the hash partition on the cluster id
+    feeding the per-cluster GEMM — no pair-row blowup, no extra sort."""
+    import re
+
+    from datawarehouse_spark.operators import similarity
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    plan = (
+        similarity.semantic_dedup(emb, 0.42, cluster_col="label")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rowlevel_corpus_ops_shuffle_free(spark):
+    """stratified_sample and pii_redact are pure per-row JVM projections:
+    zero Exchange, zero Python eval — the shape that is trivially linear
+    at any corpus size."""
+    from datawarehouse_spark.operators import text
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    for df in (
+        text.stratified_sample(docs, {"en": 0.3, "zh": 0.8}),
+        text.pii_redact(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan  # no BatchEvalPython/ArrowEval
+
+
+def test_lsh_candidates_computes_signature_once(spark):
+    """The banding self-join must not recompute the minhash pipeline per
+    side: with persist=True both sides scan the cached banded rows
+    (neither ReuseExchange nor AQE dedups the twin subplans here)."""
+    from datawarehouse_spark.operators import dedup
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    sig = dedup.minhash_signature(docs)
+    cand = dedup.lsh_candidates(sig, persist=True)
+    try:
+        cand.count()
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        spark.catalog.clearCache()
