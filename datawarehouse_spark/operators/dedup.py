@@ -254,6 +254,87 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Incremental ingestion dedup — the nightly-batch production shape:
+    test each NEW document against the EXISTING corpus without ever
+    joining corpus × corpus. Work is O(|new| · avg-bucket), so a daily
+    increment against a 100 TB corpus costs proportional to the
+    increment, not the corpus.
+
+    Exact duplicates: md5-fingerprint semi-join (16-byte keys). Near
+    duplicates: shingle equi-join of the NEW side's shingles against the
+    corpus side's only, exact Jaccard ≥ ``threshold`` per (new, corpus)
+    pair, collapsed to one flag per new doc. ``max_shingle_freq`` caps
+    hot shingles by their CORPUS document frequency (broadcast
+    anti-join — same bound as :func:`ngram_jaccard_pairs`).
+
+    Output: one row per new doc — (id, dup_exact, dup_near, keep).
+    """
+    new_fp = new.select(F.col(id_col), F.md5(F.col(text)).alias("_fp"))
+    corpus_fp = corpus.select(F.md5(F.col(text)).alias("_fp")).distinct()
+    exact = (
+        new_fp.join(corpus_fp, "_fp", "left_semi")
+        .select(id_col)
+        .withColumn("_de", F.lit(True))
+    )
+
+    def _sh(df: DataFrame) -> DataFrame:
+        s = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("s"))
+        return s.select(id_col, F.xxhash64("s").alias("s"))
+
+    shn, shc = _sh(new), _sh(corpus)
+    if max_shingle_freq is not None:
+        hot = (
+            shc.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("s")
+        )
+        shn = shn.join(F.broadcast(hot), "s", "left_anti")
+        shc = shc.join(F.broadcast(hot), "s", "left_anti")
+    sizes_n = shn.groupBy(id_col).agg(F.count(F.lit(1)).alias("na"))
+    sizes_c = shc.groupBy(id_col).agg(F.count(F.lit(1)).alias("nb"))
+    inter = (
+        shn.alias("a")
+        .join(shc.alias("b"), F.col("a.s") == F.col("b.s"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    near = (
+        inter.join(sizes_n.withColumnRenamed(id_col, "new_id"), "new_id")
+        .join(sizes_c.withColumnRenamed(id_col, "corpus_id"), "corpus_id")
+        .withColumn(
+            "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+        .withColumnRenamed("new_id", id_col)
+    )
+    return (
+        new.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_de"), F.lit(False)).alias("dup_exact"),
+            (F.coalesce(F.col("n_near"), F.lit(0)) > 0).alias("dup_near"),
+        )
+        .withColumn("keep", ~F.col("dup_exact") & ~F.col("dup_near"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """63-bit SimHash per document via an Arrow-vectorized pandas UDF.
 

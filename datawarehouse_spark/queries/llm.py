@@ -318,6 +318,76 @@ def llm_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_incremental_dedup",
+    oracle=f"""
+    WITH newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 3
+    ),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+    shn0 AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM newd),
+    shc0 AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM corp),
+    hot AS (SELECT s FROM shc0 GROUP BY s
+            HAVING COUNT(*) > {NGRAM_MAX_SHINGLE_FREQ}),
+    shn AS (SELECT * FROM shn0 WHERE s NOT IN (SELECT s FROM hot)),
+    shc AS (SELECT * FROM shc0 WHERE s NOT IN (SELECT s FROM hot)),
+    sn AS (SELECT doc_id, COUNT(*) AS na FROM shn GROUP BY 1),
+    sc AS (SELECT doc_id, COUNT(*) AS nb FROM shc GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i
+      FROM shn a JOIN shc b ON a.s = b.s GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT new_id AS doc_id, COUNT(*) AS n_near
+      FROM inter
+      JOIN sn ON inter.new_id = sn.doc_id
+      JOIN sc ON inter.corpus_id = sc.doc_id
+      WHERE i * 1.0 / (na + nb - i) >= 0.3
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT doc_id FROM newd WHERE md5(text) IN (SELECT md5(text) FROM corp)
+    )
+    SELECT nd.doc_id,
+           (nd.doc_id IN (SELECT doc_id FROM exact)) AS dup_exact,
+           (near.n_near IS NOT NULL) AS dup_near,
+           (nd.doc_id NOT IN (SELECT doc_id FROM exact)
+            AND near.n_near IS NULL) AS keep
+    FROM newd nd LEFT JOIN near ON near.doc_id = nd.doc_id
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the doc_id%10==9 slice plays the
+    nightly batch, the rest the existing corpus — each new doc is
+    flagged exact-dup (fingerprint semi-join) and near-dup (shingle
+    join against corpus shingles ONLY, Jaccard ≥ 0.3). The fixture has
+    no cross-split exact duplicates, so the batch is augmented with
+    re-id'd copies of a deterministic corpus slice (doc_id%97==3 →
+    +1000000) on BOTH engines — the exact-dup path is verified for
+    real, never vacuously. Work scales with the increment, never
+    corpus², which is what makes continuous corpus refresh viable at
+    100 TB (see operators/dedup.py::incremental_dedup)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    new_batch = (
+        d.filter(F.col("doc_id") % 10 == 9)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 97 == 3).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup.incremental_dedup(
+        new_batch,
+        d.filter(F.col("doc_id") % 10 != 9),
+        threshold=0.3,
+        max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
+    )
+
+
+@query(
     "llm_minhash_lsh_candidates",
     oracle=f"""
     WITH {_DUCK_SIG_CTES},

@@ -198,6 +198,9 @@ SUITES: dict[str, list[Member]] = {
         ("llm_corpus_prep",
          ["is_eval", "dedup_keep", "gopher_ok", "clean", "sampled", "keep"],
          ["doc_id"]),
+        # incremental ingestion dedup: new batch vs existing corpus
+        ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
+         ["doc_id"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

@@ -280,3 +280,32 @@ def test_corpus_prep_keep_is_conjunction_of_gates(spark):
     assert any(not r.sampled for r in out)
     kept = sum(r.keep for r in out)
     assert 0 < kept < docs_n
+
+
+def test_incremental_dedup_flags(spark):
+    """New docs are flagged against the corpus only: exact copies via
+    fingerprint, near-dups via cross-Jaccard; fresh docs keep. New docs
+    never flag each other (the in-batch dedup is a separate op)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # exact copy of 1
+            (11, "one two three four five six EIGHT"),     # near-dup of 2
+            (12, "totally fresh content nothing shared"),  # clean
+            (13, "totally fresh content nothing shared"),  # in-batch dup only
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in
+            dedup.incremental_dedup(new, corpus, threshold=0.3).collect()}
+    assert rows[10].dup_exact and rows[10].dup_near and not rows[10].keep
+    assert not rows[11].dup_exact and rows[11].dup_near and not rows[11].keep
+    assert rows[12].keep and not rows[12].dup_exact and not rows[12].dup_near
+    # 13 duplicates 12 but both are NEW — incremental op must not flag it
+    assert rows[13].keep
