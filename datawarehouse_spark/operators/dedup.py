@@ -254,6 +254,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage: for each document, the
+    fraction of its distinct word n-gram shingles that also occur in at
+    least one OTHER place in the corpus. High coverage flags
+    boilerplate / templated / heavily-syndicated documents that exact
+    and pairwise near-dup passes both miss (no single partner document
+    is similar enough, but the text is corpus-wide commonplace) — the
+    span-level signal behind "remove duplicated substrings" corpus
+    cleaning.
+
+    Scale shape: NO self-join — one corpus-frequency aggregation over
+    int64-hashed shingles (map-combined) plus one hash join back to the
+    per-doc shingle list, both shuffling on 8-byte keys. Cost is linear
+    in total shingle count, so unlike pairwise Jaccard it needs no
+    hot-shingle cap to stay bounded at 100 TB.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text, n)).alias("s0")
+    ).select(id_col, F.xxhash64("s0").alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(freq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.col("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def incremental_dedup(
     new: DataFrame,
     corpus: DataFrame,

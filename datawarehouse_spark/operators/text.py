@@ -131,6 +131,35 @@ def train_split(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def global_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 8, seed: str = "s0") -> DataFrame:
+    """Deterministic corpus-wide shuffle into ``n_shards`` training
+    shards: every document gets a (shard, pos) address from an
+    md5-keyed permutation. The training-data analogue of ``ORDER BY
+    random()`` — but seeded, engine-independent, and re-runnable:
+    the same (seed, id) always lands at the same address, so a resumed
+    or re-executed pipeline emits byte-identical shards.
+
+    Scale shape: no global sort. Shard assignment is an embarrassingly
+    parallel hash; positions need one shuffle partitioned BY SHARD and
+    a sort within each shard (row_number over the shard partition). At
+    100 TB use n_shards in the thousands so each shard's sort fits an
+    executor — shard count, not corpus size, bounds the parallelism.
+    """
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % n_shards
+    )
+    w = W.partitionBy("shard").orderBy("k", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
 # PII patterns shared verbatim by the Spark implementation and the
 # DuckDB oracle (ASCII classes only, so Java regex and RE2 agree on
 # every match; both engines use leftmost non-overlapping semantics).

@@ -504,6 +504,65 @@ def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_global_shuffle",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             md5('s0-' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, k,
+             CAST('0x' || substr(k, 1, 4) AS INTEGER) % 8 AS shard
+      FROM t
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+    FROM s
+    """,
+)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: md5-keyed
+    permutation gives every doc a stable (shard, pos) address — seeded
+    ORDER BY random() without the rand(). No global sort: shard hash is
+    embarrassingly parallel, positions sort within shards only (see
+    operators/text.py::global_shuffle for the 100 TB sharding math)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.global_shuffle(t["documents"], n_shards=8, seed="s0")
+
+
+@query(
+    "llm_dup_span_coverage",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+    ),
+    freq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    per AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM sh JOIN freq ON sh.s = freq.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_dup,
+           ROUND(n_dup * 1.0 / n_shingles, 6) AS dup_frac
+    FROM per
+    """,
+)
+def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    distinct 3-shingles that occur anywhere else in the corpus — the
+    span-level boilerplate signal pairwise near-dup misses (commonplace
+    text with no single similar partner). Linear cost: one frequency
+    agg + one hash join, never a self-join, so it needs no hot-shingle
+    cap at 100 TB (operators/dedup.py::dup_span_coverage)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.dup_span_coverage(t["documents"], n=3)
+
+
+@query(
     "llm_stratified_sample",
     oracle="""
     SELECT doc_id, lang,

@@ -182,6 +182,11 @@ SUITES: dict[str, list[Member]] = {
         ("llm_lang_id", ["lang_label", "lang_pred"], ["doc_id"]),
         ("llm_bpe_token_count", [], ["doc_id", "n_bpe_tokens"]),
         ("llm_train_split", ["split"], ["doc_id"]),
+        # deterministic global shuffle: stable (shard, pos) addresses
+        ("llm_global_shuffle", [], ["doc_id", "shard", "pos"]),
+        # cross-doc duplicated-span coverage (boilerplate signal)
+        ("llm_dup_span_coverage",
+         [], ["doc_id", "n_shingles", "n_dup", "dup_frac"]),
         ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
         # fp is a 60-bit int — exact as a string key, NOT as a double val
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),

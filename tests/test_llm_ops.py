@@ -309,3 +309,43 @@ def test_incremental_dedup_flags(spark):
     assert rows[12].keep and not rows[12].dup_exact and not rows[12].dup_near
     # 13 duplicates 12 but both are NEW — incremental op must not flag it
     assert rows[13].keep
+
+
+def test_dup_span_coverage_fractions(spark):
+    """A doc sharing all shingles with a twin has coverage 1; a doc with
+    fully unique text has coverage 0; partial overlap lands between."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),            # full twin of 1
+            (3, "zz yy xx ww vv"),       # unique
+            (4, "a b c qq rr ss"),       # shares shingle "a b c" with 1/2
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in dedup.dup_span_coverage(docs).collect()}
+    assert rows[1].dup_frac == 1.0 and rows[2].dup_frac == 1.0
+    assert rows[3].dup_frac == 0.0 and rows[3].n_dup == 0
+    assert 0.0 < rows[4].dup_frac < 1.0
+    assert rows[4].n_dup == 1 and rows[4].n_shingles == 4
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    """Every doc gets exactly one (shard, pos) address; positions are
+    dense 1..k per shard; the assignment is seed-stable and changes
+    with the seed."""
+    from datawarehouse_spark.operators import text as text_ops
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = text_ops.global_shuffle(docs, n_shards=4, seed="s0").collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = text_ops.global_shuffle(docs, n_shards=4, seed="s0").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    other = text_ops.global_shuffle(docs, n_shards=4, seed="s1").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
