@@ -47,13 +47,28 @@ def load_tables(
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """Convert nanosecond epoch columns (read as BIGINT under
-    ``spark.sql.legacy.parquet.nanosAsLong``) to real microsecond
-    timestamps. Floor-division matches DuckDB, which also truncates
-    TIMESTAMP_NS parquet columns to µs on read.
+    """Normalize fixture timestamp columns to TIMESTAMP_LTZ µs.
+
+    - ns epochs read as BIGINT under ``spark.sql.legacy.parquet.nanosAsLong``
+      → floor-divide to µs (matches DuckDB, which truncates TIMESTAMP_NS
+      parquet columns to µs on read).
+    - TIMESTAMP_NTZ (parquet isAdjustedToUTC=false when
+      ``inferTimestampNTZ`` couldn't be disabled) → LTZ treating the wall
+      clock as UTC, tz-independently via epoch micros.
     """
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        simple = field.dataType.simpleString()
+        if field.name == "ts" and simple == "bigint":
             # integer DIV, not `/`: ns epochs (~1.7e18) exceed double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif simple == "timestamp_ntz":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {field.name})"
+                    )
+                ),
+            )
     return df

@@ -61,6 +61,11 @@ TUNED_PROFILE: dict[str, str] = {
     # The fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4
     # refuses by default; read as raw ns BIGINT, catalog converts to µs.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Fixture timestamps are parquet TIMESTAMP(isAdjustedToUTC=false); read
+    # them as TIMESTAMP_LTZ (stored micros = UTC epoch micros) instead of
+    # TIMESTAMP_NTZ so unix_micros/date_trunc/window line up with the
+    # DuckDB oracle's naive-UTC epoch_us semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Parquet: vectorized reader on (default) + pushdown everything.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
@@ -116,6 +121,7 @@ def apply_runtime_profile(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
     ):
         try:
             spark.conf.set(key, TUNED_PROFILE[key])

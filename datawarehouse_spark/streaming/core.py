@@ -22,15 +22,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from datawarehouse_spark.session import apply_runtime_profile
 
-#: events schema as stored (ts is ns-epoch BIGINT under nanosAsLong)
+#: events schema as stored (parquet TIMESTAMP µs; read LTZ, wall clock = UTC)
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -63,15 +64,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .load(_stream_source_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded twin of :func:`read_events_stream` (same schema, same ts
     normalization) — the T9 parity source."""
     apply_runtime_profile(spark)
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
 
 
 # ---------------------------------------------------------------------------
