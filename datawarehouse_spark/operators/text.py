@@ -426,3 +426,76 @@ def contamination_check(train: DataFrame, eval_df: DataFrame,
             (F.col("n_hit") / F.col("n_sh")).alias("contaminated_frac"),
         )
     )
+
+
+def importance_weights(df: DataFrame, target: Column,
+                       id_col: str = "doc_id", text: str = "text",
+                       n_buckets: int = 256) -> DataFrame:
+    """DSIR-style importance-resampling weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each document by how much its hashed-token distribution looks
+    like a target domain vs the whole corpus, so the corpus can be
+    resampled toward the target with `weight`-proportional sampling.
+
+    ``target`` is a boolean Column over ``df``'s rows marking the
+    target-domain documents (e.g. ``F.col("lang") == "en"``).
+
+    Hashed n-gram model: every whitespace token maps to one of
+    ``n_buckets`` buckets keyed by the first two hex chars of its md5
+    (256 buckets) — the bucket key is a *string*, so the identical
+    bucketing is expressible in any SQL oracle without hex→int casts.
+    With add-one smoothing, bucket probabilities are
+    ``p_t(b) = (n_t[b]+1)/(N_t+B)`` (target) and
+    ``q_c(b) = (n_c[b]+1)/(N_c+B)`` (corpus), and the per-document
+    weight is the ratio of summed likelihoods
+
+        w(doc) = sum_tokens p_t(b) / sum_tokens q_c(b)
+               = (s_t * (N_c+B)) / (s_c * (N_t+B))
+
+    — a ratio of exact int64 products followed by ONE IEEE division,
+    so it is bit-deterministic across engines (exact below 2^53; the
+    100 TB path would switch the final step to a log-space double sum,
+    trading oracle exactness for range).
+
+    Scale shape: one explode pass over the text, ONE shuffle to build
+    the 256-row bucket table, which then BROADCASTS back onto the
+    token stream — the per-doc pass is map-side — and one shuffle for
+    the per-doc aggregation. No token string ever shuffles twice.
+    """
+    b = n_buckets
+    tok = df.select(
+        F.col(id_col),
+        target.alias("is_t"),
+        F.explode(F.split(F.col(text), " ")).alias("w"),
+    ).select(
+        id_col, "is_t",
+        # 256 buckets via 2 hex chars: engine-portable string key
+        F.substring(F.md5("w"), 1, 2).alias("b"),
+    )
+    stats = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum(F.col("is_t").cast("bigint")).alias("n_t"),
+    )
+    totals = stats.agg(
+        F.sum("n_c").alias("cap_n_c"), F.sum("n_t").alias("cap_n_t")
+    )
+    stats = stats.crossJoin(F.broadcast(totals))
+    per = (
+        tok.drop("is_t")
+        .join(F.broadcast(stats), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.sum("n_t") + F.count(F.lit(1))).alias("s_target"),
+            (F.sum("n_c") + F.count(F.lit(1))).alias("s_corpus"),
+            F.max("cap_n_t").alias("cap_n_t"),
+            F.max("cap_n_c").alias("cap_n_c"),
+        )
+    )
+    return per.select(
+        id_col, "n_tok", "s_target", "s_corpus",
+        (
+            (F.col("s_target") * (F.col("cap_n_c") + b)).cast("double")
+            / (F.col("s_corpus") * (F.col("cap_n_t") + b)).cast("double")
+        ).alias("weight"),
+    )

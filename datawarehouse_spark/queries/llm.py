@@ -901,6 +901,46 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, is_t, substr(md5(w), 1, 2) AS b
+      FROM (SELECT doc_id, (lang = 'en') AS is_t,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ), stats AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+      FROM tok GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(n_c) AS BIGINT) AS cap_n_c,
+             CAST(SUM(n_t) AS BIGINT) AS cap_n_t
+      FROM stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(n_t) + COUNT(*) AS BIGINT) AS s_target,
+           CAST(SUM(n_c) + COUNT(*) AS BIGINT) AS s_corpus,
+           CAST((SUM(n_t) + COUNT(*)) * (MAX(cap_n_c) + 256) AS DOUBLE)
+             / CAST((SUM(n_c) + COUNT(*)) * (MAX(cap_n_t) + 256) AS DOUBLE)
+             AS weight
+    FROM tok JOIN stats USING (b) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling weights toward the English
+    slice of the corpus (target = ``lang = 'en'``): hashed-token
+    likelihood ratio p_target/q_corpus per document, exact-integer
+    formulation — see operators/text.py::importance_weights for the
+    scale shape (256-row bucket table broadcasts; two shuffles total)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.importance_weights(
+        t["documents"], F.col("lang") == "en"
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus materialization: the per-document keep decision a
 # training run consumes, composing every quality gate above. The oracle

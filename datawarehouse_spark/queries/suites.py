@@ -187,6 +187,9 @@ SUITES: dict[str, list[Member]] = {
         # cross-doc duplicated-span coverage (boilerplate signal)
         ("llm_dup_span_coverage",
          [], ["doc_id", "n_shingles", "n_dup", "dup_frac"]),
+        # DSIR importance-resampling weights (exact-integer formulation)
+        ("llm_importance_weights",
+         [], ["doc_id", "n_tok", "s_target", "s_corpus", "weight"]),
         ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
         # fp is a 60-bit int — exact as a string key, NOT as a double val
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),

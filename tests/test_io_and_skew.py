@@ -182,3 +182,31 @@ def test_key_distribution_and_skew_ratio(spark):
     assert len(rows) == 5
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
     assert skew.skew_ratio(t["events"], "event_type") >= 1.0
+
+
+def test_fixture_timestamps_normalize_under_plain_session(spark):
+    """Regression: the driver regenerated fixtures with parquet
+    TIMESTAMP(isAdjustedToUTC=false), which Spark 4 reads as
+    TIMESTAMP_NTZ by default and unix_micros then rejects. load_tables
+    must always hand back TIMESTAMP_LTZ with wall-clock == UTC epoch,
+    bit-identical to DuckDB's epoch_us, whatever the parquet flavor."""
+    import duckdb
+
+    from datawarehouse_spark.catalog import load_tables
+    from tests.conftest import SF_ORACLE
+
+    t = load_tables(spark, SF_ORACLE, ("events", "orders", "lineitem"))
+    for name, col in (("events", "ts"), ("orders", "o_orderdate"),
+                      ("lineitem", "l_shipdate")):
+        dtype = dict(t[name].dtypes)[col]
+        assert dtype == "timestamp", f"{name}.{col} is {dtype}, not LTZ"
+        got = t[name].select(
+            F.min(F.unix_micros(col)).alias("mn"),
+            F.max(F.unix_micros(col)).alias("mx"),
+        ).collect()[0]
+        want = duckdb.sql(
+            f"SELECT CAST(MIN(epoch_us({col})) AS BIGINT),"
+            f" CAST(MAX(epoch_us({col})) AS BIGINT)"
+            f" FROM read_parquet('{SF_ORACLE}/{name}.parquet')"
+        ).fetchone()
+        assert (got.mn, got.mx) == want, f"{name}.{col} micros drift"

@@ -349,3 +349,33 @@ def test_global_shuffle_is_a_permutation(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     other = text_ops.global_shuffle(docs, n_shards=4, seed="s1").collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_importance_weights_uniform_target_is_one(spark):
+    """If the target IS the whole corpus, n_t[b] == n_c[b] for every
+    bucket and N_t == N_c, so every document's likelihood ratio must be
+    exactly 1.0 (the formulation is exact-integer, so exactly)."""
+    from datawarehouse_spark.operators.text import importance_weights
+
+    d = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    w = importance_weights(d, F.lit(True))
+    assert w.filter(F.col("weight") != 1.0).count() == 0
+    assert w.count() == d.count()
+
+
+def test_importance_weights_excludes_nothing_and_favors_target(spark):
+    """Every doc gets a weight; docs written in the target language
+    weigh at least as much on average as the rest (the hashed-bucket
+    model must recover the directional signal)."""
+    from datawarehouse_spark.operators.text import importance_weights
+
+    d = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    w = importance_weights(d, F.col("lang") == "en")
+    assert w.count() == d.count()
+    avg = (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("weight").alias("aw"))
+    )
+    rows = {r.is_en: r.aw for r in avg.collect()}
+    assert rows[True] > rows[False]
