@@ -410,3 +410,202 @@ def ann_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization — the standard 100 TB ANN memory shape
+# (FAISS IVFPQ): corpus vectors live as m uint8 codes (m·log2(ksub)
+# bits instead of dim·32), queries score candidates with an
+# asymmetric-distance lookup table, survivors get an exact re-rank.
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 8,
+    sample_n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks: split the (L2-normalized)
+    vector into ``m`` contiguous subvectors and run Lloyd k-means with
+    ``ksub`` centroids independently in each subspace.
+
+    Deterministic like :func:`kmeans_centroids`: training runs on the
+    lowest-``sample_n``-id vectors (codebooks are trained on a bounded
+    sample at any corpus size — the FAISS recipe), greedy-farthest-point
+    init per subspace, argmin ties to the lowest code. Returns an
+    (m, ksub, dim//m) float array — a few KiB, broadcast-friendly.
+    """
+    sample_n = sample_n or max(64 * ksub, 512)
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("vid")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([list(map(float, r["v"])) for r in rows])
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < ksub:
+        raise ValueError(f"need ≥ {ksub} sample vectors, have {n}")
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        # farthest-point init (euclidean), then Lloyd
+        cent = [S[0]]
+        d = ((S - S[0]) ** 2).sum(axis=1)
+        for _ in range(ksub - 1):
+            nxt = int(np.argmax(d))
+            cent.append(S[nxt])
+            d = np.minimum(d, ((S - S[nxt]) ** 2).sum(axis=1))
+        C = np.vstack(cent)
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` uint8 codes (nearest sub-centroid per
+    subspace, after L2 normalization). One Arrow-batched pass; output is
+    (id, codes array<int>) — dim·32 bits becomes m·8, the compression
+    that lets a 100 TB embedding column sit in cluster memory.
+    """
+    mm, ksub, dsub = codebooks.shape
+    books = codebooks.copy()
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        M = np.vstack(vs.values).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        M = M / norms
+        out = np.empty((len(M), mm), dtype=np.int32)
+        for j in range(mm):
+            S = M[:, j * dsub:(j + 1) * dsub]
+            # ||s-c||² = ||s||² - 2s·c + ||c||²; argmin over codes
+            d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    return corpus.select(
+        F.col(id_col).alias("n_id"),
+        enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse IVF routing (probe ``n_probe``
+    cells), PQ asymmetric-distance scoring inside probed cells, then an
+    exact cosine re-rank of the top ``shortlist``·k PQ candidates per
+    query. Output schema matches :func:`cosine_topk` / :func:`ivf_topk`.
+
+    Scale shape: the corpus is touched as (cell, n_id, m-byte codes) —
+    the full-precision vectors are read ONLY for the per-query
+    shortlist re-rank (a semi-join on ~shortlist·k·n ids). Scoring is a
+    cogrouped ``applyInPandas`` per cell: the cell's code matrix is
+    gathered once, each probing query builds its m×ksub lookup table
+    and scores all codes with one numpy gather — no per-pair rows ever
+    shuffle, and per-task memory is one cell's codes. At 1000 executors
+    the cell id is the only shuffle key; codes are ~dim·4/m× smaller
+    than the vectors they index.
+    """
+    cents = centroids or kmeans_centroids(
+        corpus, n_cells, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_train_codebooks(
+        corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    mm, _, dsub = books.shape
+
+    codes = pq_encode(corpus, books, id_col, vec_col).join(
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            nearest_cells(cents, vec_col, 1)[0].alias("cell"),
+        ),
+        "n_id",
+    )
+    probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        F.explode(nearest_cells(cents, vec_col, n_probe)).alias("cell"),
+    )
+    n_short = shortlist * k
+
+    def adc(key, cdf, qdf):
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "score_pq": []})
+        C = np.vstack(cdf["codes"].values).astype(np.int64)  # n_c × m
+        ids = cdf["n_id"].values
+        outs = []
+        for _, qrow in qdf.iterrows():
+            qv = np.asarray(list(map(float, qrow["q_vec"])))
+            qv = qv / max(np.linalg.norm(qv), 1e-12)
+            # LUT[j, c] = q_subj · book[j][c]  (inner product on the
+            # normalized sphere ≈ cosine)
+            lut = np.stack([
+                books[j] @ qv[j * dsub:(j + 1) * dsub] for j in range(mm)
+            ])
+            s = lut[np.arange(mm)[None, :], C].sum(axis=1)
+            keep = ids != qrow["q_id"]
+            s, kid = s[keep], ids[keep]
+            top = np.argsort(-s, kind="stable")[:n_short]
+            outs.append(pd.DataFrame({
+                "q_id": np.full(len(top), qrow["q_id"], dtype="int64"),
+                "n_id": kid[top],
+                "score_pq": s[top],
+            }))
+        return pd.concat(outs) if outs else pd.DataFrame(
+            {"q_id": [], "n_id": [], "score_pq": []}
+        )
+
+    cand = (
+        codes.groupBy("cell")
+        .cogroup(probes.groupBy("cell"))
+        .applyInPandas(adc, "q_id long, n_id long, score_pq double")
+    )
+    # exact re-rank of the PQ shortlist: semi-join back to the
+    # full-precision vectors (the only place they are read)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
+    pairs = (
+        cand.groupBy("q_id", "n_id").agg(F.max("score_pq").alias("score_pq"))
+        .join(F.broadcast(q), "q_id")
+        .join(c, "n_id")
+    )
+    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
+    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

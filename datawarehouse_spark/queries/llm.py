@@ -782,6 +782,21 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("llm_ann_ivfpq_topk")  # approximate — rows-only check
+def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (FAISS IVFPQ shape): coarse IVF routing,
+    product-quantized asymmetric-distance scoring inside probed cells
+    (corpus travels as m uint8 codes — 32× smaller than float32
+    vectors), exact re-rank of the PQ shortlist only. Recall vs
+    llm_cosine_topk asserted in tests."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_cells=16, n_probe=4, m=8, ksub=16,
+    )
+
+
 @query(
     "llm_tfidf_top_terms",
     oracle="""

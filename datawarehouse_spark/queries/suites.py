@@ -283,10 +283,11 @@ FINAL_ORDER: list[str] = [
 
 # Raw queries intentionally NOT in the driver registry (no deterministic
 # SQL oracle possible — verified by dedicated pytest properties instead):
-#   llm_ann_lsh_topk, llm_ann_ivf_topk (recall properties in
-#   tests/test_llm_ops.py), mm_resize (roundtrip test).
+#   llm_ann_lsh_topk, llm_ann_ivf_topk, llm_ann_ivfpq_topk (recall
+#   properties in tests/test_llm_ops.py), mm_resize (roundtrip test).
 TESTS_ONLY: frozenset[str] = frozenset(
-    {"llm_ann_lsh_topk", "llm_ann_ivf_topk", "mm_resize"}
+    {"llm_ann_lsh_topk", "llm_ann_ivf_topk", "llm_ann_ivfpq_topk",
+     "mm_resize"}
 )
 
 

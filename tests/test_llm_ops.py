@@ -379,3 +379,48 @@ def test_importance_weights_excludes_nothing_and_favors_target(spark):
     )
     rows = {r.is_en: r.aw for r in avg.collect()}
     assert rows[True] > rows[False]
+
+
+def test_ivfpq_topk_scores_exact_and_recall(spark):
+    """IVF-PQ: the emitted hits carry the EXACT cosine (the PQ score is
+    only a shortlist pruner; survivors are re-ranked full-precision),
+    and the PQ shortlist inside 4/16 probed cells holds enough of the
+    true top-5 to match plain IVF's recall bar."""
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_all = {
+        (r.q_id, r.n_id): r.cos
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    true_top5 = {
+        (r.q_id, r.n_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    pq = similarity.ivfpq_topk(
+        emb, queries, k=5, n_cells=16, n_probe=4, m=8, ksub=16
+    ).collect()
+    assert len(pq) > 0
+    for r in pq:
+        assert abs(exact_all[(r.q_id, r.n_id)] - r.cos) < 1e-9
+    hits = {(r.q_id, r.n_id) for r in pq}
+    recall = len(hits & true_top5) / len(true_top5)
+    assert recall >= 0.4, f"IVF-PQ recall@5 = {recall}"
+
+
+def test_pq_codes_are_compact_and_deterministic(spark):
+    """PQ encoding emits exactly m codes in [0, ksub) per vector —
+    m bytes standing in for dim float32s — and re-training + re-encoding
+    reproduces identical codes (no RNG anywhere in the path)."""
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    books = similarity.pq_train_codebooks(emb, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+    books2 = similarity.pq_train_codebooks(emb, m=8, ksub=16)
+    assert (books == books2).all()
+    codes2 = {r.n_id: list(r.codes)
+              for r in similarity.pq_encode(emb, books2).collect()}
+    assert all(codes2[r.n_id] == list(r.codes) for r in codes)
