@@ -62,6 +62,10 @@ HEADLINE = [
     "llm_stratified_sample",
     "llm_repetition",
     "llm_contamination",
+    "llm_importance_weights",
+    # NOT benched: llm_ann_{lsh,ivf,ivfpq}_topk — index TRAINING (iterative
+    # k-means / codebook fitting) dominates at fixture scale and would
+    # drown the search-path cost the bench is meant to track.
 ]
 
 
