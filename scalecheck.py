@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Scaling smoke: run the heavy operators at sf0.1 and at a synthetic
+REPLICAS× blow-up of it, and report the wall-clock ratio per operator.
+
+The fixtures stop at sf0.1; the design targets 100 TB. This harness
+provides the missing measured evidence that the plan shapes actually
+scale: each operator's time ratio should track the data ratio (≈
+REPLICAS for linear work, lower when fixed overhead dominates) — a
+super-linear ratio is a red flag (an all-pairs join, a collect, a
+skew cliff) that the small-SF bench cannot see.
+
+Blow-up construction (`/tmp/dw_scale/x{R}`): every table is unioned
+R times; replica i offsets every id column by i·STRIDE so keys stay
+unique and join fan-outs are preserved, and documents' text gets a
+per-replica suffix token so near-dup structure is replicated, not
+collapsed into R-way exact dups (which would distort dedup costs).
+
+Usage:  python scalecheck.py [--replicas 8] [--rebuild]
+Prints one JSON line: {"replicas": R, "ops": {name: {"t1": s at 1x,
+"tR": s at Rx, "ratio": tR/t1}}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+STRIDE = 1_000_000_000
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/dw_scale"
+
+#: id columns to offset per replica, per table (foreign keys offset
+#: together so every join keeps its 1x fan-out inside each replica)
+ID_COLS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: operators worth scaling-curves: the shuffle/join/UDF-heavy paths
+OPS = [
+    "a1_pricing_summary",
+    "a5_conditional_multi_distinct",
+    "j1_six_way_star",
+    "w6_ranking",
+    "t3_tumbling_window_batch",
+    "t5_session_window_batch",
+    "llm_exact_dedup",
+    "llm_minhash_signature",
+    "llm_minhash_lsh_candidates",
+    "llm_simhash",
+    "llm_importance_weights",
+    "llm_contamination",
+    "llm_repetition",
+    "llm_stratified_sample",
+]
+
+
+def build(spark, replicas: int, dest: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    for name, ids in ID_COLS.items():
+        src = spark.read.parquet(f"{BASE}/{name}.parquet")
+        parts = []
+        for i in range(replicas):
+            p = src
+            for c in ids:
+                p = p.withColumn(c, F.col(c) + F.lit(i * STRIDE))
+            if name == "documents" and i > 0:
+                # new replica ≠ exact dup of replica 0, but still a
+                # near-dup of it — preserves dedup candidate structure
+                p = p.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
+
+
+def time_ops(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+    from datawarehouse_spark.queries import QUERIES_RAW
+
+    t: dict[str, float] = {}
+    for name in OPS:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = QUERIES_RAW[name](spark, sf_dir)
+            try:
+                df.write.mode("overwrite").format("noop").save()
+            except Exception:
+                df.count()
+            best = min(best, time.perf_counter() - t0)
+        t[name] = round(best, 3)
+    return t
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=8)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    from datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="dw-scalecheck")
+    dest = f"{OUT}/x{args.replicas}"
+    if args.rebuild and os.path.isdir(dest):
+        shutil.rmtree(dest)
+    if not os.path.isdir(dest):
+        build(spark, args.replicas, dest)
+
+    # warm-up: JIT/codegen at the smallest SF so t1 isn't cold-start
+    time_ops(spark, "/root/testdata/sf0.001", reps=1)
+    t1 = time_ops(spark, BASE)
+    tR = time_ops(spark, dest)
+    print(json.dumps({
+        "replicas": args.replicas,
+        "ops": {
+            n: {"t1": t1[n], "tR": tR[n],
+                "ratio": round(tR[n] / max(t1[n], 1e-9), 2)}
+            for n in OPS
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
