@@ -212,6 +212,11 @@ def kmeans_centroids(
     emb = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # each Lloyd iteration scans emb once (assign + posexplode agg);
+    # persist so iterations hit memory, not the parquet scan — at
+    # cluster scale this is the difference between n_iter scans of the
+    # corpus and one
+    emb = emb.persist()
     cents = _kmeans_pp_init(emb, n_cells)
 
     for _ in range(n_iter):
@@ -250,6 +255,7 @@ def kmeans_centroids(
             if norm > 0:
                 nxt[cell] = mean / norm
         cents = nxt
+    emb.unpersist()
     return cents.tolist()
 
 
