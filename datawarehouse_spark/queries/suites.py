@@ -78,6 +78,9 @@ SUITES: dict[str, list[Member]] = {
     # extraction, key-distribution profiling
     "suite_agg_rewrites": [
         ("a13_redundant_groupby_elim", ["event_type"], ["n_pairs"]),
+        # §4.1 candidate rule applied: N-branch union-agg as one scan
+        ("a22_union_aggs_single_scan", ["branch", "event_type"],
+         ["n", "total"]),
         ("a14_count_distinct_extraction", ["scope"], ["uv"]),
         ("a15_key_distribution", [], ["user_id", "cnt", "share"]),
         ("a21_approx_percentile", ["o_orderpriority", "approx_in_rank_band"],

@@ -169,6 +169,44 @@ def a13_redundant_groupby_elim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a22_union_aggs_single_scan",
+    oracle="""
+    SELECT 'all' AS branch, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'high' AS branch, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM events WHERE value > 50 GROUP BY 2
+    UNION ALL
+    SELECT 'purchase' AS branch, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'purchase' GROUP BY 2
+    """,
+)
+def a22_union_aggs_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — SURVEY §4.1's candidate custom rule, applied: UNION ALL of
+    N filtered aggregations over the same fact collapses to ONE scan
+    via branch-tag explode (plans/rewrite.py::union_aggs_single_scan,
+    docs/sql调优.md:73-91). The oracle runs the naive 3-scan form; the
+    Spark side scans events once (plan-asserted in tests)."""
+    from datawarehouse_spark.plans.rewrite import union_aggs_single_scan
+    from datawarehouse_spark.queries.qutil import dsum
+
+    t = load_tables(spark, sf_dir, ("events",))
+    return union_aggs_single_scan(
+        t["events"],
+        {
+            "all": F.lit(True),
+            "high": F.col("value") > 50,
+            "purchase": F.col("event_type") == "purchase",
+        },
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value").alias("total")],
+    )
+
+
+@query(
     "a14_count_distinct_extraction",
     oracle="""
     SELECT 'all' AS scope, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uv FROM events

@@ -277,3 +277,38 @@ def test_lsh_candidates_computes_signature_once(spark):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_union_aggs_single_scan_scans_once_and_matches_naive(spark):
+    """SURVEY §4.1 rule: the collapsed form must read the fact table
+    exactly ONCE (the naive union form scans it once per branch) and
+    return exactly the naive form's rows."""
+    from datawarehouse_spark.plans.rewrite import union_aggs_single_scan
+
+    e = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    branches = {
+        "all": F.lit(True),
+        "high": F.col("value") > 50,
+        "purchase": F.col("event_type") == "purchase",
+    }
+    aggs = [F.count(F.lit(1)).alias("n")]
+    fused = union_aggs_single_scan(e, branches, ["event_type"], aggs)
+
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+
+    naive = None
+    for tag, pred in branches.items():
+        b = (
+            e.filter(pred)
+            .groupBy("event_type")
+            .agg(*aggs)
+            .select(F.lit(tag).alias("branch"), "event_type", "n")
+        )
+        naive = b if naive is None else naive.unionAll(b)
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert naive_plan.count("FileScan") == 3, naive_plan
+
+    got = {tuple(r) for r in fused.collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
