@@ -118,6 +118,27 @@ def lint_plan(df: DataFrame) -> list[Advice]:
                     "docs/sql调优.md:188-198",
                 )
             )
+    # same file relation scanned N times in one plan → N passes over
+    # the fact table; the a22 rewrite (plans/rewrite.py) or a
+    # materialized intermediate (engine.materialize) makes it one
+    scans = re.findall(r"FileScan \w+ [^\[]*\[[^\]]*\]", plan)
+    rels: dict[str, int] = {}
+    for s_ in scans:
+        s_ = re.sub(r"#\d+", "", s_)  # strip per-subplan expression ids
+        rels[s_] = rels.get(s_, 0) + 1
+    dup = {s_: n for s_, n in rels.items() if n > 1}
+    if dup:
+        worst = max(dup.values())
+        out.append(
+            Advice(
+                "repeated-scan",
+                f"the same relation is scanned {worst}× in one plan; "
+                "collapse union'd aggregations to a single scan "
+                "(rewrite.union_aggs_single_scan) or materialize the "
+                "shared intermediate once",
+                "docs/sql调优.md:73-113",
+            )
+        )
     if not rep.whole_stage_codegen:
         out.append(
             Advice(

@@ -312,3 +312,27 @@ def test_union_aggs_single_scan_scans_once_and_matches_naive(spark):
     got = {tuple(r) for r in fused.collect()}
     want = {tuple(r) for r in naive.collect()}
     assert got == want
+
+
+def test_advisor_flags_repeated_scan_and_not_fused_form(spark):
+    """The repeated-scan lint fires on the naive N-branch union form
+    and stays silent on the single-scan rewrite of the same query."""
+    from datawarehouse_spark.plans.rewrite import union_aggs_single_scan
+
+    e = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    naive = (
+        e.filter(F.col("value") > 50).groupBy("event_type").agg(*aggs)
+        .unionAll(
+            e.filter(F.col("value") <= 50).groupBy("event_type").agg(*aggs)
+        )
+    )
+    assert "repeated-scan" in {a.rule for a in advisor.lint_plan(naive)}
+
+    fused = union_aggs_single_scan(
+        e,
+        {"hi": F.col("value") > 50, "lo": F.col("value") <= 50},
+        ["event_type"],
+        aggs,
+    )
+    assert "repeated-scan" not in {a.rule for a in advisor.lint_plan(fused)}
