@@ -975,13 +975,16 @@ _PREP_ORACLE = f"""
             AND NOT COALESCE(rep.gopher_fail, FALSE)
             AND (cont.contaminated_frac IS NULL
                  OR cont.contaminated_frac < 0.5)
-            AND samp.keep) AS keep
+            AND samp.keep) AS keep,
+           iw.weight AS weight
     FROM documents d
     LEFT JOIN ({_ORACLES["llm_dedup_keep"]}) dk ON dk.doc_id = d.doc_id
     LEFT JOIN ({_ORACLES["llm_repetition"]}) rep ON rep.doc_id = d.doc_id
     LEFT JOIN ({_ORACLES["llm_contamination"]}) cont ON cont.doc_id = d.doc_id
     LEFT JOIN ({_ORACLES["llm_stratified_sample"]}) samp
       ON samp.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_importance_weights"]}) iw
+      ON iw.doc_id = d.doc_id
 """
 
 
@@ -996,6 +999,7 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiable and gives the pipeline its audit table for free."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     dk = llm_dedup_keep(spark, sf_dir).withColumn("dk", F.lit(True))
+    iw = llm_importance_weights(spark, sf_dir).select("doc_id", "weight")
     rep = llm_repetition(spark, sf_dir).select("doc_id", "gopher_fail")
     cont = llm_contamination(spark, sf_dir).select(
         "doc_id", "contaminated_frac"
@@ -1025,4 +1029,5 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("is_eval") & F.col("dedup_keep") & F.col("gopher_ok")
             & F.col("clean") & F.col("sampled"),
         )
+        .join(iw, "doc_id", "left")
     )

@@ -205,10 +205,11 @@ SUITES: dict[str, list[Member]] = {
         # PII scrub: redacted text is an exact string key
         ("llm_pii_redact", ["redacted"],
          ["doc_id", "n_email", "n_ip", "n_phone"]),
-        # end-to-end corpus materialization: per-gate audit flags
+        # end-to-end corpus materialization: per-gate audit flags +
+        # DSIR resampling weight for the surviving docs
         ("llm_corpus_prep",
          ["is_eval", "dedup_keep", "gopher_ok", "clean", "sampled", "keep"],
-         ["doc_id"]),
+         ["doc_id", "weight"]),
         # incremental ingestion dedup: new batch vs existing corpus
         ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
          ["doc_id"]),
