@@ -184,3 +184,31 @@ def test_dedup_clusters_equals_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(df).collect()}
     assert got == expect
+
+
+@given(rows=ROWS, thr=st.integers(min_value=-100, max_value=100))
+@_SETTINGS
+def test_union_aggs_single_scan_equals_naive(spark, rows, thr):
+    """§4.1 rewrite: one-scan branch-tagged aggregation ≡ UNION ALL of
+    per-branch filtered aggregations, for any data and any threshold
+    (including branches matching zero rows, which must vanish from both
+    forms identically)."""
+    from datawarehouse_spark.plans.rewrite import union_aggs_single_scan
+
+    df = _df(spark, rows, ["k", "v"])
+    branches = {
+        "all": F.lit(True),
+        "hi": F.col("v") > thr,
+        "lo": F.col("v") <= thr,
+    }
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")]
+    fused = union_aggs_single_scan(df, branches, ["k"], aggs)
+
+    naive = None
+    for tag, pred in branches.items():
+        b = (
+            df.filter(pred).groupBy("k").agg(*aggs)
+            .select(F.lit(tag).alias("branch"), "k", "n", "s")
+        )
+        naive = b if naive is None else naive.unionAll(b)
+    assert _rowset(fused) == _rowset(naive)
