@@ -34,6 +34,22 @@ def norm_col(a: str) -> Column:
     )
 
 
+def exact_rerank(pairs: DataFrame, k: int) -> DataFrame:
+    """Shared ranking contract of every top-k variant (exact and
+    approximate): exact cosine over (q_vec, c_vec) pair rows, rounded
+    to 6 (engines may differ ~1ulp in the norm combination), ranked per
+    query with ties broken by neighbor id. Keeping this in ONE place
+    pins the exact/approximate outputs to the same contract — the
+    recall tests compare them set-wise."""
+    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
+    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,13 +67,7 @@ def cosine_topk(
     )
     c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec"))
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
-    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
-    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return exact_rerank(pairs, k)
 
 
 def hyperplane_lsh_buckets(
@@ -217,45 +227,55 @@ def kmeans_centroids(
     # cluster scale this is the difference between n_iter scans of the
     # corpus and one
     emb = emb.persist()
-    cents = _kmeans_pp_init(emb, n_cells)
+    try:
+        cents = _kmeans_pp_init(emb, n_cells)
 
-    for _ in range(n_iter):
-        frozen = cents.copy()
+        for _ in range(n_iter):
+            frozen = cents.copy()
 
-        # NOTE: the closure re-pickles per iteration — negligible at
-        # n_iter≈4 (centroid matrix is n_cells×dim floats); hoist to an
-        # explicit sc.broadcast if iterations ever grow large.
-        @F.pandas_udf("int")
-        def assign(vs: pd.Series) -> pd.Series:
-            m = np.vstack(vs.values)
-            # zero vectors: cos undefined → norm clamped, score 0,
-            # argmax deterministically picks cell 0 (never NaN-poisons
-            # the whole batch)
-            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            m = m / norms
-            return pd.Series(np.argmax(m @ frozen.T, axis=1).astype("int32"))
+            # NOTE: the closure re-pickles per iteration — negligible at
+            # n_iter≈4 (centroid matrix is n_cells×dim floats); hoist to
+            # an explicit sc.broadcast if iterations ever grow large.
+            @F.pandas_udf("int")
+            def assign(vs: pd.Series) -> pd.Series:
+                m = np.vstack(vs.values)
+                # zero vectors: cos undefined → norm clamped, score 0,
+                # argmax deterministically picks cell 0 (never
+                # NaN-poisons the whole batch)
+                norms = np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                m = m / norms
+                return pd.Series(
+                    np.argmax(m @ frozen.T, axis=1).astype("int32")
+                )
 
-        stats = (
-            emb.select(assign(F.col("v")).alias("cell"), F.posexplode("v").alias("d", "x"))
-            .groupBy("cell", "d")
-            .agg(
-                F.sum(F.col("x").cast("decimal(38,12)")).cast("double").alias("s"),
-                F.count(F.lit(1)).alias("n"),
+            stats = (
+                emb.select(
+                    assign(F.col("v")).alias("cell"),
+                    F.posexplode("v").alias("d", "x"),
+                )
+                .groupBy("cell", "d")
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,12)"))
+                    .cast("double").alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        nxt = frozen.copy()  # empty cells keep their previous centroid
-        by_cell: dict[int, np.ndarray] = {}
-        for r in stats:
-            by_cell.setdefault(r["cell"], np.zeros(cents.shape[1]))[r["d"]] = (
-                r["s"] / r["n"]
-            )
-        for cell, mean in by_cell.items():
-            norm = np.linalg.norm(mean)
-            if norm > 0:
-                nxt[cell] = mean / norm
-        cents = nxt
-    emb.unpersist()
+            nxt = frozen.copy()  # empty cells keep their previous centroid
+            by_cell: dict[int, np.ndarray] = {}
+            for r in stats:
+                by_cell.setdefault(r["cell"], np.zeros(cents.shape[1]))[
+                    r["d"]
+                ] = r["s"] / r["n"]
+            for cell, mean in by_cell.items():
+                norm = np.linalg.norm(mean)
+                if norm > 0:
+                    nxt[cell] = mean / norm
+            cents = nxt
+    finally:
+        emb.unpersist()
     return cents.tolist()
 
 
@@ -377,13 +397,7 @@ def ivf_topk(
         F.explode(nearest_cells(cents, vec_col, n_probe)).alias("cell"),
     )
     pairs = c.join(F.broadcast(q), "cell").filter(F.col("q_id") != F.col("n_id"))
-    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
-    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return exact_rerank(pairs, k)
 
 
 def ann_topk_lsh(
@@ -409,13 +423,7 @@ def ann_topk_lsh(
         F.col(id_col).alias("n_id"), F.col("bucket"), F.col(vec_col).alias("c_vec")
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(F.col("q_id") != F.col("n_id"))
-    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
-    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return exact_rerank(pairs, k)
 
 
 # ---------------------------------------------------------------------------
@@ -484,18 +492,10 @@ def pq_train_codebooks(
     return books
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebooks: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Encode each vector as ``m`` uint8 codes (nearest sub-centroid per
-    subspace, after L2 normalization). One Arrow-batched pass; output is
-    (id, codes array<int>) — dim·32 bits becomes m·8, the compression
-    that lets a 100 TB embedding column sit in cluster memory.
-    """
-    mm, ksub, dsub = codebooks.shape
+def _pq_encoder(codebooks: np.ndarray):
+    """Arrow-batched UDF mapping a vector column to its ``m`` PQ codes
+    (nearest sub-centroid per subspace, after L2 normalization)."""
+    mm, _, dsub = codebooks.shape
     books = codebooks.copy()
 
     @F.pandas_udf("array<int>")
@@ -511,6 +511,21 @@ def pq_encode(
             out[:, j] = np.argmin(d2, axis=1)
         return pd.Series(list(out))
 
+    return enc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` uint8 codes. One Arrow-batched pass;
+    output is (id, codes array<int>) — dim·32 bits becomes m·8, the
+    compression that lets a 100 TB embedding column sit in cluster
+    memory.
+    """
+    enc = _pq_encoder(codebooks)
     return corpus.select(
         F.col(id_col).alias("n_id"),
         enc(F.col(vec_col).cast("array<double>")).alias("codes"),
@@ -553,12 +568,14 @@ def ivfpq_topk(
     )
     mm, _, dsub = books.shape
 
-    codes = pq_encode(corpus, books, id_col, vec_col).join(
-        corpus.select(
-            F.col(id_col).alias("n_id"),
-            nearest_cells(cents, vec_col, 1)[0].alias("cell"),
-        ),
-        "n_id",
+    # codes + coarse cell in ONE projection — one corpus scan, no
+    # self-join (the corpus is touched again only for the shortlist
+    # re-rank)
+    enc = _pq_encoder(books)
+    codes = corpus.select(
+        F.col(id_col).alias("n_id"),
+        enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+        nearest_cells(cents, vec_col, 1)[0].alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("q_id"),

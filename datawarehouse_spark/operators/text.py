@@ -452,10 +452,12 @@ def importance_weights(df: DataFrame, target: Column,
         w(doc) = sum_tokens p_t(b) / sum_tokens q_c(b)
                = (s_t * (N_c+B)) / (s_c * (N_t+B))
 
-    — a ratio of exact int64 products followed by ONE IEEE division,
-    so it is bit-deterministic across engines (exact below 2^53; the
-    100 TB path would switch the final step to a log-space double sum,
-    trading oracle exactness for range).
+    — computed as doubles: every factor is an int64 exactly
+    representable below 2^53, and IEEE multiply/divide round
+    identically in any engine, so the result is bit-deterministic with
+    no int64-product overflow ceiling. Headroom is the factor bound
+    (~9e15 tokens ≈ 36 PB of text); beyond that flip the final step to
+    a per-doc log-space sum — same plan shape, unbounded range.
 
     Scale shape: one explode pass over the text, ONE shuffle to build
     the 256-row bucket table, which then BROADCASTS back onto the
@@ -494,8 +496,14 @@ def importance_weights(df: DataFrame, target: Column,
     )
     return per.select(
         id_col, "n_tok", "s_target", "s_corpus",
+        # each factor casts to double BEFORE multiplying: factors are
+        # exact below 2^53 and IEEE multiply/divide is deterministic in
+        # both engines, so there is no int64 overflow ceiling — the
+        # sums themselves hold to ~9e15 tokens
         (
-            (F.col("s_target") * (F.col("cap_n_c") + b)).cast("double")
-            / (F.col("s_corpus") * (F.col("cap_n_t") + b)).cast("double")
+            (F.col("s_target").cast("double")
+             * (F.col("cap_n_c") + b).cast("double"))
+            / (F.col("s_corpus").cast("double")
+               * (F.col("cap_n_t") + b).cast("double"))
         ).alias("weight"),
     )

@@ -118,16 +118,19 @@ def lint_plan(df: DataFrame) -> list[Advice]:
                     "docs/sql调优.md:188-198",
                 )
             )
-    # same file relation scanned N times in one plan → N passes over
-    # the fact table; the a22 rewrite (plans/rewrite.py) or a
-    # materialized intermediate (engine.materialize) makes it one
+    # same file relation scanned N times feeding a Union → N passes
+    # over the fact table; the a22 rewrite (plans/rewrite.py) or a
+    # materialized intermediate (engine.materialize) makes it one.
+    # Gated on Union: duplicate scans WITHOUT one are usually a
+    # legitimate self-join (e.g. broadcast topk, shingle self-join),
+    # where a single-scan rewrite does not apply.
     scans = re.findall(r"FileScan \w+ [^\[]*\[[^\]]*\]", plan)
     rels: dict[str, int] = {}
     for s_ in scans:
         s_ = re.sub(r"#\d+", "", s_)  # strip per-subplan expression ids
         rels[s_] = rels.get(s_, 0) + 1
     dup = {s_: n for s_, n in rels.items() if n > 1}
-    if dup:
+    if dup and re.search(r"\bUnion\b", plan):
         worst = max(dup.values())
         out.append(
             Advice(

@@ -937,8 +937,10 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_tok,
            CAST(SUM(n_t) + COUNT(*) AS BIGINT) AS s_target,
            CAST(SUM(n_c) + COUNT(*) AS BIGINT) AS s_corpus,
-           CAST((SUM(n_t) + COUNT(*)) * (MAX(cap_n_c) + 256) AS DOUBLE)
-             / CAST((SUM(n_c) + COUNT(*)) * (MAX(cap_n_t) + 256) AS DOUBLE)
+           (CAST(SUM(n_t) + COUNT(*) AS DOUBLE)
+              * CAST(MAX(cap_n_c) + 256 AS DOUBLE))
+             / (CAST(SUM(n_c) + COUNT(*) AS DOUBLE)
+                * CAST(MAX(cap_n_t) + 256 AS DOUBLE))
              AS weight
     FROM tok JOIN stats USING (b) CROSS JOIN tot
     GROUP BY doc_id

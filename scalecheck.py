@@ -9,11 +9,16 @@ REPLICAS for linear work, lower when fixed overhead dominates) — a
 super-linear ratio is a red flag (an all-pairs join, a collect, a
 skew cliff) that the small-SF bench cannot see.
 
-Blow-up construction (`/tmp/dw_scale/x{R}`): every table is unioned
-R times; replica i offsets every id column by i·STRIDE so keys stay
-unique and join fan-outs are preserved, and documents' text gets a
-per-replica suffix token so near-dup structure is replicated, not
-collapsed into R-way exact dups (which would distort dedup costs).
+Blow-up construction (`/tmp/dw_scale/x{R}`): fact/entity tables are
+unioned R times with replica i's id columns offset by i·STRIDE, so
+keys stay unique and every join keeps its 1× fan-out; region/nation
+are NOT replicated (their keys are referenced unchanged — replicating
+them would fan dimension joins out R-fold). documents' text gets a
+per-replica suffix token so copies are not R-way EXACT dups; they do
+remain near-dups of each other, so cross-replica candidate pairs grow
+~R² — the near-dup measurements are therefore an upper bound (a
+harder-than-linear workload), which makes a sub-linear result at R×
+stronger, not weaker.
 
 Usage:  python scalecheck.py [--replicas 8] [--rebuild]
 Prints one JSON line: {"replicas": R, "ops": {name: {"t1": s at 1x,
@@ -33,10 +38,9 @@ BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/dw_scale"
 
 #: id columns to offset per replica, per table (foreign keys offset
-#: together so every join keeps its 1x fan-out inside each replica)
+#: together so every join keeps its 1x fan-out inside each replica);
+#: region/nation are copied once — see module docstring
 ID_COLS = {
-    "region": [],
-    "nation": [],
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
@@ -70,6 +74,9 @@ def build(spark, replicas: int, dest: str) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dest, exist_ok=True)
+    for name in ("region", "nation"):
+        spark.read.parquet(f"{BASE}/{name}.parquet") \
+            .write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
     for name, ids in ID_COLS.items():
         src = spark.read.parquet(f"{BASE}/{name}.parquet")
         parts = []
@@ -88,6 +95,9 @@ def build(spark, replicas: int, dest: str) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
+    # marker LAST: a crashed build leaves no marker and is rebuilt
+    with open(f"{dest}/_BUILD_COMPLETE", "w") as fh:
+        fh.write(str(replicas))
 
 
 def time_ops(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
@@ -98,11 +108,10 @@ def time_ops(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            df = QUERIES_RAW[name](spark, sf_dir)
-            try:
-                df.write.mode("overwrite").format("noop").save()
-            except Exception:
-                df.count()
+            # no count() fallback: a failed noop write must FAIL the
+            # harness, not silently time a different execution
+            QUERIES_RAW[name](spark, sf_dir) \
+                .write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         t[name] = round(best, 3)
     return t
@@ -120,7 +129,9 @@ def main() -> None:
     dest = f"{OUT}/x{args.replicas}"
     if args.rebuild and os.path.isdir(dest):
         shutil.rmtree(dest)
-    if not os.path.isdir(dest):
+    if not os.path.isfile(f"{dest}/_BUILD_COMPLETE"):
+        if os.path.isdir(dest):  # partial build from a crashed run
+            shutil.rmtree(dest)
         build(spark, args.replicas, dest)
 
     # warm-up: JIT/codegen at the smallest SF so t1 isn't cold-start

@@ -336,3 +336,14 @@ def test_advisor_flags_repeated_scan_and_not_fused_form(spark):
         aggs,
     )
     assert "repeated-scan" not in {a.rule for a in advisor.lint_plan(fused)}
+
+
+def test_advisor_repeated_scan_silent_on_self_join(spark):
+    """A broadcast self-join scans the table twice legitimately — the
+    repeated-scan lint must not fire (it targets union'd re-scans)."""
+    e = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    self_join = e.alias("a").join(
+        F.broadcast(e.alias("b").filter(F.col("user_id") < 5)),
+        F.col("a.user_id") == F.col("b.user_id"),
+    )
+    assert "repeated-scan" not in {a.rule for a in advisor.lint_plan(self_join)}
