@@ -347,3 +347,29 @@ def test_advisor_repeated_scan_silent_on_self_join(spark):
         F.col("a.user_id") == F.col("b.user_id"),
     )
     assert "repeated-scan" not in {a.rule for a in advisor.lint_plan(self_join)}
+
+
+def test_entry_contract_runs_on_plain_session(spark):
+    """The driver smoke-checks __spark_entry__.entry on a session WE
+    did not build; entry must therefore pin every conf it needs at
+    runtime. The shared `spark` fixture uses the tuned profile, so
+    here we strip the two parquet-reading confs the catalog depends on
+    and prove load-time normalization restores them."""
+    import __spark_entry__ as E
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        df = E.entry(spark)
+        assert df.count() >= 0
+        assert df.schema == E.entry(spark).schema
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
