@@ -210,3 +210,51 @@ def test_fixture_timestamps_normalize_under_plain_session(spark):
             f" FROM read_parquet('{SF_ORACLE}/{name}.parquet')"
         ).fetchone()
         assert (got.mn, got.mx) == want, f"{name}.{col} micros drift"
+
+
+def test_write_clustered_produces_disjoint_minmax_stats(spark, tmp_path):
+    """Clustered write must leave near-disjoint per-file min/max ranges
+    on the cluster column (the property file skipping needs), while a
+    plain write of shuffled data leaves every file spanning ~the whole
+    domain."""
+    import pyarrow.parquet as pq
+
+    def file_ranges(path, col):
+        out = []
+        for p in sorted(__import__("pathlib").Path(path).rglob("*.parquet")):
+            md = pq.ParquetFile(str(p)).metadata
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((mn, mx))
+        return out
+
+    e = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    shuffled = e.repartition(8)  # destroys any incidental order
+
+    plain = str(tmp_path / "plain")
+    shuffled.write.mode("overwrite").parquet(plain)
+    clustered = str(tmp_path / "clustered")
+    dwio.write_clustered(shuffled, clustered, ["user_id"], n_files=8)
+
+    pr = file_ranges(plain, "user_id")
+    cr = file_ranges(clustered, "user_id")
+    assert len(cr) >= 4
+
+    def overlaps(ranges):
+        n = 0
+        for i, (a1, a2) in enumerate(ranges):
+            for b1, b2 in ranges[i + 1:]:
+                if a1 <= b2 and b1 <= a2:
+                    n += 1
+        return n
+
+    # plain: nearly every file pair overlaps; clustered: almost none
+    # (range boundaries may share one value at the seam)
+    assert overlaps(cr) <= len(cr) - 1
+    assert overlaps(pr) > overlaps(cr)
+
+    # and the rewrite is content-preserving
+    assert spark.read.parquet(clustered).count() == e.count()
