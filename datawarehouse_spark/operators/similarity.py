@@ -473,7 +473,11 @@ def pq_train_codebooks(
     books = np.empty((m, ksub, dsub))
     for j in range(m):
         S = X[:, j * dsub:(j + 1) * dsub]
-        # farthest-point init (euclidean), then Lloyd
+        # farthest-point init (euclidean), then Lloyd. Deliberately NOT
+        # shared with _kmeans_pp_init: that one is spherical (cosine,
+        # full-vector, normalized); subspace codebooks quantize raw
+        # euclidean residual-like chunks — different metric, different
+        # update rule, merging them would force one metric to lie.
         cent = [S[0]]
         d = ((S - S[0]) ** 2).sum(axis=1)
         for _ in range(ksub - 1):
