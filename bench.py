@@ -63,9 +63,11 @@ HEADLINE = [
     "llm_repetition",
     "llm_contamination",
     "llm_importance_weights",
-    # NOT benched: llm_ann_{lsh,ivf,ivfpq}_topk — index TRAINING (iterative
-    # k-means / codebook fitting) dominates at fixture scale and would
-    # drown the search-path cost the bench is meant to track.
+    # NOT benched: llm_ann_{lsh,ivf,ivfpq}_topk. LSH/IVF retrain per
+    # call; IVF-PQ caches its index (search-only after rep 1) but even
+    # its search path is fixed cogroup/Arrow startup at the 500-vector
+    # fixture (~4s of overhead, ~0 of data) — noise, not signal, until
+    # the embeddings fixture grows.
 ]
 
 

@@ -548,6 +548,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse IVF routing (probe ``n_probe``
     cells), PQ asymmetric-distance scoring inside probed cells, then an
@@ -567,7 +568,7 @@ def ivfpq_topk(
     cents = centroids or kmeans_centroids(
         corpus, n_cells, id_col=id_col, vec_col=vec_col
     )
-    books = pq_train_codebooks(
+    books = codebooks if codebooks is not None else pq_train_codebooks(
         corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
     )
     mm, _, dsub = books.shape
