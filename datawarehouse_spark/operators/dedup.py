@@ -143,6 +143,13 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
     n_docs × n_bands short rows (tens of bytes each), far smaller than
     the corpus; at the 100 TB regime where even that overflows,
     ``persist=False`` trades the memory for the recompute.
+
+    With ``persist=True`` the result is materialized eagerly
+    (``localCheckpoint``) and the banded-row cache is dropped in a
+    ``finally`` before returning — a long-lived session never
+    accumulates banded blocks waiting on the ContextCleaner; only the
+    far smaller candidate-pair result occupies storage, and it is
+    freed when the caller releases the DataFrame.
     """
     n_bands = k // band_size
     bands = F.array(
@@ -167,7 +174,7 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
         exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -179,6 +186,12 @@ def lsh_candidates(sig: DataFrame, id_col: str = "doc_id", k: int = 8,
         )
         .distinct()
     )
+    if persist:
+        try:
+            cand = cand.localCheckpoint(eager=True)
+        finally:
+            exploded.unpersist()
+    return cand
 
 
 def ngram_jaccard_pairs(
@@ -201,13 +214,15 @@ def ngram_jaccard_pairs(
 
     The shingle set feeds four consumers (freq, sizes, both self-join
     sides). ``persist=True`` (default) computes it once and caches —
-    measured 3-4× faster at sf0.1; the blocks are dropped by Spark's
-    ContextCleaner once the plan is released (or explicitly via the
-    returned plan's lineage). When the shingle set exceeds cluster
-    cache (the 100 TB regime), pass ``persist=False``: the two join
-    sides are byte-identical subplans, so AQE's ReuseExchange computes
-    their shuffle once (plan-asserted in tests/test_plans.py) and only
-    the freq/sizes aggregations recompute the explode.
+    measured 3-4× faster at sf0.1 — then materializes the (far
+    smaller) qualifying-pair result eagerly (``localCheckpoint``) and
+    drops the shingle cache in a ``finally`` before returning, so a
+    long-lived session never accumulates shingle blocks waiting on the
+    ContextCleaner. When the shingle set exceeds cluster cache (the
+    100 TB regime), pass ``persist=False``: the two join sides are
+    byte-identical subplans, so AQE's ReuseExchange computes their
+    shuffle once (plan-asserted in tests/test_plans.py) and only the
+    freq/sizes aggregations recompute the explode.
     """
     sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("s"))
     # hash shingle strings to int64 before the shuffle: the self-join
@@ -216,8 +231,9 @@ def ngram_jaccard_pairs(
     # jaccard only when two distinct shingles of a compared pair
     # collide — ~n²/2⁶⁴, vanishing even at 100 TB shingle counts.
     sh = sh.select(id_col, F.xxhash64("s").alias("s"))
+    cached = None
     if persist:
-        sh = sh.persist()
+        sh = cached = sh.persist()
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("s")
@@ -241,7 +257,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
+    pairs = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -252,6 +268,12 @@ def ngram_jaccard_pairs(
         # IEEE double division of identical operands is bit-deterministic
         .select("doc_a", "doc_b", "jaccard")
     )
+    if cached is not None:
+        try:
+            pairs = pairs.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+    return pairs
 
 
 def dup_span_coverage(

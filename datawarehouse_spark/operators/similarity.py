@@ -445,11 +445,14 @@ def pq_train_codebooks(
     vector into ``m`` contiguous subvectors and run Lloyd k-means with
     ``ksub`` centroids independently in each subspace.
 
-    Deterministic like :func:`kmeans_centroids`: training runs on the
-    lowest-``sample_n``-id vectors (codebooks are trained on a bounded
-    sample at any corpus size — the FAISS recipe), greedy-farthest-point
-    init per subspace, argmin ties to the lowest code. Returns an
-    (m, ksub, dim//m) float array — a few KiB, broadcast-friendly.
+    Deterministic like :func:`kmeans_centroids`: training runs on a
+    bounded ``sample_n`` sample picked by md5 of the id — deterministic
+    across runs yet decorrelated from insertion/id order, so codebooks
+    stay representative even when ids track content or source (the
+    FAISS recipe uses a seeded random sample for the same reason) —
+    greedy-farthest-point init per subspace, argmin ties to the lowest
+    code. Returns an (m, ksub, dim//m) float array — a few KiB,
+    broadcast-friendly.
     """
     sample_n = sample_n or max(64 * ksub, 512)
     rows = (
@@ -457,7 +460,7 @@ def pq_train_codebooks(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .orderBy("vid")
+        .orderBy(F.md5(F.col("vid").cast("string")), "vid")
         .limit(sample_n)
         .collect()
     )
@@ -564,7 +567,19 @@ def ivfpq_topk(
     shuffle, and per-task memory is one cell's codes. At 1000 executors
     the cell id is the only shuffle key; codes are ~dim·4/m× smaller
     than the vectors they index.
+
+    Requires an integral ``id_col``: the cogrouped ADC stage carries
+    ids as int64 (``q_id long, n_id long``) so the per-cell numpy
+    gather stays a primitive-typed array. (The sibling variants —
+    cosine_topk / ivf_topk / ann_topk_lsh — accept any id type.)
     """
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"ivfpq_topk requires an integral id column, got {id_col}: "
+            f"{id_type} — the ADC stage's output schema and numpy buffers "
+            "are int64; use cosine_topk/ivf_topk for non-integer ids"
+        )
     cents = centroids or kmeans_centroids(
         corpus, n_cells, id_col=id_col, vec_col=vec_col
     )
@@ -630,10 +645,4 @@ def ivfpq_topk(
         .join(F.broadcast(q), "q_id")
         .join(c, "n_id")
     )
-    cos = dot_cols("q_vec", "c_vec") / (norm_col("q_vec") * norm_col("c_vec"))
-    scored = pairs.select("q_id", "n_id", F.round(cos, 6).alias("cos"))
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-    )
+    return exact_rerank(pairs, k)

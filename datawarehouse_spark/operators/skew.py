@@ -15,12 +15,19 @@ from pyspark.sql import functions as F
 
 def key_distribution(df: DataFrame, *keys: str, top: int = 20) -> DataFrame:
     """A15 — hot-key profile (reference `countByKey` + sample,
-    docs/sql调优.md:29-36): top keys with counts and share."""
-    total = df.count()
+    docs/sql调优.md:29-36): top keys with counts and share.
+
+    Single-pass: the grand total is a scalar re-aggregation of the same
+    per-key counts, cross-joined back (broadcast of one row). Both
+    branches hang off an identical Exchange, so ReuseExchange scans and
+    pre-aggregates the fact table once — no driver-side ``count()``
+    blocking a second full scan."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
     return (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("share", F.col("cnt") / F.lit(total))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.desc("cnt"))
         .limit(top)
     )

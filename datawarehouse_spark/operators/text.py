@@ -93,20 +93,31 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window as W
 
-    n_docs = df.count()
+    # N as a one-row scalar agg cross-joined in (broadcast), not a
+    # driver-side count(): the whole computation is one job, and the
+    # count branch scans zero data columns (row-count-only parquet read)
+    # instead of blocking the driver before the query even starts.
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     terms = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").select(
-        F.col(id_col),
-        "term",
-        F.round(
-            F.col("tf")
-            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("_n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (
@@ -441,9 +452,12 @@ def importance_weights(df: DataFrame, target: Column,
     target-domain documents (e.g. ``F.col("lang") == "en"``).
 
     Hashed n-gram model: every whitespace token maps to one of
-    ``n_buckets`` buckets keyed by the first two hex chars of its md5
-    (256 buckets) — the bucket key is a *string*, so the identical
-    bucketing is expressible in any SQL oracle without hex→int casts.
+    ``n_buckets`` buckets keyed by the first ``log16(n_buckets)`` hex
+    chars of its md5 (default 256 → 2 chars) — the bucket key is a
+    *string*, so the identical bucketing is expressible in any SQL
+    oracle without hex→int casts. ``n_buckets`` must be a power of 16
+    so the bucket count and the add-one smoothing constant B stay
+    consistent (sum over buckets of n+1 == N+B).
     With add-one smoothing, bucket probabilities are
     ``p_t(b) = (n_t[b]+1)/(N_t+B)`` (target) and
     ``q_c(b) = (n_c[b]+1)/(N_c+B)`` (corpus), and the per-document
@@ -465,14 +479,25 @@ def importance_weights(df: DataFrame, target: Column,
     the per-doc aggregation. No token string ever shuffles twice.
     """
     b = n_buckets
+    # derive the key width from n_buckets so bucket count and smoothing
+    # constant can never disagree (the bug class: n_buckets=512 with a
+    # hardcoded 2-char key would smooth 512 over 256 actual buckets)
+    n_hex = 0
+    while 16 ** n_hex < n_buckets:
+        n_hex += 1
+    if 16 ** n_hex != n_buckets:
+        raise ValueError(
+            f"n_buckets must be a power of 16 (hex-prefix bucketing), "
+            f"got {n_buckets}"
+        )
     tok = df.select(
         F.col(id_col),
         target.alias("is_t"),
         F.explode(F.split(F.col(text), " ")).alias("w"),
     ).select(
         id_col, "is_t",
-        # 256 buckets via 2 hex chars: engine-portable string key
-        F.substring(F.md5("w"), 1, 2).alias("b"),
+        # n_buckets buckets via n_hex hex chars: engine-portable string key
+        F.substring(F.md5("w"), 1, n_hex).alias("b"),
     )
     stats = tok.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_c"),

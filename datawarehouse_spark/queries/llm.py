@@ -782,11 +782,32 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF-PQ index cache keyed by sf_dir: centroids + codebooks are the
-#: OFFLINE index-build artifact (deterministic, so caching is
-#: semantics-free); repeated calls then measure the search path — the
-#: serving shape an ANN system actually runs.
-_IVFPQ_INDEX: dict[str, tuple[list[list[float]], object]] = {}
+#: IVF-PQ index cache: centroids + codebooks are the OFFLINE
+#: index-build artifact (deterministic, so caching is semantics-free);
+#: repeated calls then measure the search path — the serving shape an
+#: ANN system actually runs. Keyed by (sf_dir, dataset fingerprint) —
+#: mtime+size of every embeddings parquet file — so a fixture
+#: regenerated IN PLACE (the driver does this between rounds) gets a
+#: fresh index instead of a silently stale one.
+_IVFPQ_INDEX: dict[tuple, tuple[list[list[float]], object]] = {}
+
+
+def _dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """(path, mtime_ns, size) of each parquet part of ``table`` — a
+    cheap stat-only change detector for in-place rewrites."""
+    import glob as _glob
+    import os as _os
+
+    p = _os.path.join(sf_dir, f"{table}.parquet")
+    parts = (
+        [p] if _os.path.isfile(p)
+        else sorted(_glob.glob(_os.path.join(p, "*.parquet"))) or [p]
+    )
+    out = []
+    for part in parts:
+        st = _os.stat(part)
+        out.append((part, st.st_mtime_ns, st.st_size))
+    return tuple(out)
 
 
 @query("llm_ann_ivfpq_topk")  # approximate — rows-only check
@@ -798,12 +819,16 @@ def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_cosine_topk asserted in tests."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    if sf_dir not in _IVFPQ_INDEX:
-        _IVFPQ_INDEX[sf_dir] = (
+    key = (sf_dir, _dataset_fingerprint(sf_dir))
+    if key not in _IVFPQ_INDEX:
+        # evict superseded indexes of the same path (in-place rewrite)
+        for stale in [k for k in _IVFPQ_INDEX if k[0] == sf_dir]:
+            del _IVFPQ_INDEX[stale]
+        _IVFPQ_INDEX[key] = (
             similarity.kmeans_centroids(emb, n_cells=16),
             similarity.pq_train_codebooks(emb, m=8, ksub=16),
         )
-    cents, books = _IVFPQ_INDEX[sf_dir]
+    cents, books = _IVFPQ_INDEX[key]
     return similarity.ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 5),
         k=5, n_cells=16, n_probe=4, m=8, ksub=16,

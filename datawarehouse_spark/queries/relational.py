@@ -708,14 +708,20 @@ def a15_key_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 — hot-key profiling (reference `RDD.countByKey()` + sample,
     docs/sql调优.md:29-36): top-20 keys by count with their share of all
     rows — the diagnosis step every skew remedy starts from. Ties broken
-    by key for cross-engine determinism."""
+    by key for cross-engine determinism.
+
+    Single scan: the total is re-aggregated from the per-key counts and
+    cross-joined back as one broadcast row; ReuseExchange dedupes the
+    shared groupBy shuffle, so `events` is read once (vs. the naive
+    driver-side count() + groupBy = two full scans — at 100 TB the
+    difference is a whole extra pass)."""
     t = load_tables(spark, sf_dir, ("events",))
-    total = t["events"].count()
+    counts = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
     return (
-        t["events"]
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("share", F.col("cnt") / F.lit(total))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.desc("cnt"), F.asc("user_id"))
         .limit(20)
     )

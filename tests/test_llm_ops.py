@@ -424,3 +424,94 @@ def test_pq_codes_are_compact_and_deterministic(spark):
     codes2 = {r.n_id: list(r.codes)
               for r in similarity.pq_encode(emb, books2).collect()}
     assert all(codes2[r.n_id] == list(r.codes) for r in codes)
+
+def test_ngram_pairs_persist_path_cleans_up(spark):
+    """persist=True materializes the qualifying pairs and drops the
+    shingle cache deterministically (no reliance on ContextCleaner);
+    results identical to the lazy persist=False path."""
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    sc = spark.sparkContext._jsc.sc()
+    n_before = sc.getPersistentRDDs().size()
+    eager = dedup.ngram_jaccard_pairs(docs, threshold=0.8, persist=True)
+    n_after = sc.getPersistentRDDs().size()
+    assert n_after - n_before <= 1, (n_before, n_after)
+    lazy = dedup.ngram_jaccard_pairs(docs, threshold=0.8, persist=False)
+    assert (
+        {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in eager.collect()}
+        == {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in lazy.collect()}
+    )
+
+
+def test_ivfpq_rejects_non_integral_ids(spark):
+    """The cogrouped ADC stage carries ids as int64; string ids must be
+    rejected up front, not crash mid-stage."""
+    import pytest
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    s = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(TypeError, match="integral id"):
+        similarity.ivfpq_topk(s, s.limit(2))
+
+
+def _write_tiny_embeddings(path, seed_shift):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(64, 16).astype("float32") + seed_shift
+    tbl = pa.Table.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(64, dtype="int64"),
+        "embedding": list(vecs),
+        "label": np.zeros(64, dtype="int32"),
+    }))
+    pq.write_table(tbl, path)
+
+
+def test_ivfpq_index_cache_refreshes_on_inplace_rewrite(spark, tmp_path):
+    """The driver regenerates fixtures at the SAME path between rounds:
+    a rewritten embeddings.parquet must yield a fresh index (new cache
+    key, old entry evicted), never a silently stale one."""
+    import numpy as np
+
+    from datawarehouse_spark.queries import llm
+
+    sf = str(tmp_path)
+    _write_tiny_embeddings(f"{sf}/embeddings.parquet", 0.0)
+    llm.llm_ann_ivfpq_topk(spark, sf).collect()
+    keys1 = [k for k in llm._IVFPQ_INDEX if k[0] == sf]
+    assert len(keys1) == 1
+    cents1, _ = llm._IVFPQ_INDEX[keys1[0]]
+
+    _write_tiny_embeddings(f"{sf}/embeddings.parquet", 3.0)
+    spark.catalog.refreshByPath(f"{sf}/embeddings.parquet")
+    llm.llm_ann_ivfpq_topk(spark, sf).collect()
+    keys2 = [k for k in llm._IVFPQ_INDEX if k[0] == sf]
+    assert len(keys2) == 1, "stale entry must be evicted, not accumulated"
+    assert keys2[0] != keys1[0]
+    cents2, _ = llm._IVFPQ_INDEX[keys2[0]]
+    assert not np.allclose(np.array(cents1), np.array(cents2))
+
+
+def test_importance_weights_n_buckets_consistency(spark):
+    """n_buckets drives BOTH the hex-prefix key width and the smoothing
+    constant; non-power-of-16 values are rejected (the silent-skew bug
+    class), and the 16-bucket path really produces ≤16 buckets."""
+    import pytest
+
+    from datawarehouse_spark.operators.text import importance_weights
+
+    d = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    with pytest.raises(ValueError, match="power of 16"):
+        importance_weights(d, F.col("lang") == "en", n_buckets=100)
+    w16 = importance_weights(d, F.col("lang") == "en", n_buckets=16)
+    assert w16.count() == d.count()
+    # coarser model, same signal: target-domain docs still weigh more
+    avg = (
+        w16.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("weight").alias("aw"))
+    )
+    rows = {r.is_en: r.aw for r in avg.collect()}
+    assert rows[True] > rows[False]
