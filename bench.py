@@ -13,6 +13,15 @@ Before diagnosing any cross-round regression, `pgrep -f SparkSubmit`
 must come back empty and the bench rerun alone; r2's apparent t6
 1.9x / exact-dedup 1.65x "regressions" both reversed under this
 protocol (r3 idle: t6 0.407s, exact_dedup 0.297s).
+
+KNOWN SERIES BREAK (r5→r6): llm_minhash_lsh_candidates /
+llm_ngram_near_dup / llm_dedup_keep rose 1.5-4x in r6 because their
+persisted intermediates are now unpersisted deterministically inside
+the operator. Through r5 the min-of-2 protocol's second rep silently
+re-read the FIRST rep's leaked cache (CacheManager matches
+canonicalized plans), so the recorded min was a warm-cache path no
+one-shot pipeline ever sees. The r6+ numbers are the honest cold
+cost; compare r6 against r6, not r5, for these three.
 """
 
 from __future__ import annotations
@@ -71,20 +80,31 @@ HEADLINE = [
 ]
 
 
+def bench_set() -> list[tuple[str, object]]:
+    """Every driver registry entry (suites count as one line each) plus
+    the legacy fine-grained headline queries not covered by a driver
+    key — so suite regressions are visible AND old per-query series
+    stay comparable round-over-round."""
+    from datawarehouse_spark.queries import QUERIES, QUERIES_RAW
+
+    names = list(QUERIES) + [h for h in HEADLINE if h not in QUERIES]
+    return [(n, QUERIES.get(n) or QUERIES_RAW[n]) for n in names]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    from datawarehouse_spark.queries import QUERIES_RAW as QUERIES
     from datawarehouse_spark.session import get_spark
 
     spark = get_spark(app_name="dw-bench")
+    entries = bench_set()
     # warm-up pass at the smallest SF: absorbs JVM/JIT/codegen compilation
     # and filesystem init so timings measure the engine, not cold start
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name, fn in entries:
             try:
-                QUERIES[name](spark, warm_dir).write.mode("overwrite").format(
+                fn(spark, warm_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
             except Exception:
@@ -94,8 +114,7 @@ def main() -> None:
     # queries) so round-over-round comparisons track the plan, not the host
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    for name, fn in entries:
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -158,50 +158,76 @@ class SnapshotTable:
         finally:
             os.unlink(tmp)
 
-    def append(self, df: DataFrame) -> int:
-        """New version = old file set + newly staged files."""
-        v = self.current_version()
-        m = self._manifest(v)
-        entries = m["files"] + self._stage(df)
-        self._commit(v + 1, entries, m["schema"])
-        return v + 1
+    def append(self, df: DataFrame, max_retries: int = 3) -> int:
+        """New version = old file set + newly staged files.
+
+        Optimistic concurrency with retry: files are staged ONCE (they
+        are immutable and uniquely named, so they are valid under any
+        base version), then the manifest commit is retried against the
+        freshest version up to ``max_retries`` times when another
+        writer wins the race. Appends commute, so a retry needs no
+        re-merge — the Delta/Iceberg blind-append fast path."""
+        staged = self._stage(df)
+        last: ConcurrentCommitError | None = None
+        for _ in range(max_retries + 1):
+            v = self.current_version()
+            m = self._manifest(v)
+            try:
+                self._commit(v + 1, m["files"] + staged, m["schema"])
+                return v + 1
+            except ConcurrentCommitError as exc:
+                last = exc
+        raise last
 
     def overwrite(self, df: DataFrame) -> int:
         v = self.current_version()
         self._commit(v + 1, self._stage(df), df.schema.json())
         return v + 1
 
-    def upsert(self, updates: DataFrame, key: str) -> int:
+    def upsert(self, updates: DataFrame, key: str, max_retries: int = 3) -> int:
         """MERGE: updated keys replace current rows, new keys append —
         rewriting only the files of TOUCHED partitions (manifest
         pruning). Kudu partition-local upsert semantics
         (docs/kudu.md:19): on partitioned tables `updates` must carry
-        the partition column and keys must not move partitions."""
+        the partition column and keys must not move partitions.
+
+        On a lost commit race the WHOLE merge re-runs against the new
+        current version (unlike append, the merged content depends on
+        the snapshot it read — Delta's MERGE conflict semantics);
+        files staged by the losing attempt become unreferenced and die
+        at the next `vacuum`."""
         from pyspark.sql import functions as F
 
-        v = self.current_version()
-        m = self._manifest(v)
-        if self.partition_col:
-            parts = {
-                str(r[0])
-                for r in updates.select(self.partition_col).distinct().collect()
-            }
-            touched = [e for e in m["files"] if str(e["partition"]) in parts]
-            kept = [e for e in m["files"] if str(e["partition"]) not in parts]
-        else:
-            touched, kept = m["files"], []
-        if touched:
-            cur = self.spark.read.parquet(
-                *[os.path.join(self._ddir, e["file"]) for e in touched]
-            )
-            merged = cur.join(
-                updates.select(key).distinct(), [key], "left_anti"
-            ).unionByName(updates.select(*cur.columns))
-        else:
-            merged = updates
-        entries = kept + self._stage(merged)
-        self._commit(v + 1, entries, m["schema"])
-        return v + 1
+        last: ConcurrentCommitError | None = None
+        for _ in range(max_retries + 1):
+            v = self.current_version()
+            m = self._manifest(v)
+            if self.partition_col:
+                parts = {
+                    str(r[0])
+                    for r in
+                    updates.select(self.partition_col).distinct().collect()
+                }
+                touched = [e for e in m["files"] if str(e["partition"]) in parts]
+                kept = [e for e in m["files"] if str(e["partition"]) not in parts]
+            else:
+                touched, kept = m["files"], []
+            if touched:
+                cur = self.spark.read.parquet(
+                    *[os.path.join(self._ddir, e["file"]) for e in touched]
+                )
+                merged = cur.join(
+                    updates.select(key).distinct(), [key], "left_anti"
+                ).unionByName(updates.select(*cur.columns))
+            else:
+                merged = updates
+            entries = kept + self._stage(merged)
+            try:
+                self._commit(v + 1, entries, m["schema"])
+                return v + 1
+            except ConcurrentCommitError as exc:
+                last = exc
+        raise last
 
     def delete(self, predicate) -> int:
         """DELETE WHERE predicate — full logical rewrite expressed as a

@@ -285,13 +285,25 @@ def foreach_batch_fanout(stream_df: DataFrame, sinks: dict[str, str],
                          checkpoint: str):
     """S10/S11 — multi-sink fan-out via foreachBatch: one micro-batch
     written atomically-per-sink (parquet paths here; Kudu/Kafka/DB in the
-    reference, docs/实时数仓.md:54,61-63). Returns the started query."""
+    reference, docs/实时数仓.md:54,61-63). Returns the started query.
+
+    Exactly-once under replay: each epoch writes to its own
+    ``epoch={id}`` subdirectory with mode=overwrite, keyed by the
+    checkpoint's batch id. If the process dies between the sink write
+    and the checkpoint commit, the restarted query re-runs that batch
+    with the SAME epoch id and overwrites the same directory —
+    idempotent, never double-appended (the standard foreachBatch
+    idempotent-sink recipe; asserted by the kill-replay test in
+    tests/test_streaming.py). Readers see the epoch id as a partition
+    column — free write-lineage."""
 
     def write_all(batch_df: DataFrame, epoch_id: int):
         batch_df.persist()
         try:
             for fmt_path in sinks.values():
-                batch_df.write.mode("append").parquet(fmt_path)
+                batch_df.write.mode("overwrite").parquet(
+                    f"{fmt_path}/epoch={epoch_id}"
+                )
         finally:
             batch_df.unpersist()
 

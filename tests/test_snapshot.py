@@ -101,3 +101,105 @@ def test_unpartitioned_append(spark, tmp_path):
     assert t.current_version() == 2
     assert t.read().count() == 101
     assert t.read(version=1).count() == 100
+
+def test_concurrent_writers_race_retry_succeeds(spark, tmp_path):
+    """Two writers race the same version: the loser gets
+    ConcurrentCommitError internally, retries against the fresh
+    version, and BOTH writers' rows land — staged files are reused on
+    retry (immutable + uniquely named), never re-written."""
+    t1 = _mk(spark, tmp_path)
+    t2 = SnapshotTable(spark, str(tmp_path / "snap"), partition_col="dt")
+
+    # interleave deterministically: t1 resolves its base version, then
+    # t2 commits before t1's manifest link lands
+    orig_cv = t1.current_version
+    state = {"raced": False}
+
+    def stale_once():
+        v = orig_cv()
+        if not state["raced"]:
+            state["raced"] = True
+            t2.append(spark.createDataFrame(
+                [(900, "w2", "d2")], "k long, v string, dt string"))
+            return v  # t1 proceeds with a now-stale base
+        return orig_cv()
+
+    t1.current_version = stale_once
+    v = t1.append(spark.createDataFrame(
+        [(901, "w1", "d1")], "k long, v string, dt string"))
+    assert v == 3  # v2 was taken by the racing writer
+    cur = t1.read()
+    assert cur.count() == 102
+    got = {r["k"]: r["v"] for r in cur.filter(F.col("k") >= 900).collect()}
+    assert got == {900: "w2", 901: "w1"}
+
+
+def test_concurrent_writers_exhausted_retries_raise(spark, tmp_path):
+    """With retries disabled the loser surfaces ConcurrentCommitError
+    to the caller instead of silently clobbering the winner."""
+    t1 = _mk(spark, tmp_path)
+    t2 = SnapshotTable(spark, str(tmp_path / "snap"), partition_col="dt")
+    orig_cv = t1.current_version
+
+    def always_stale():
+        v = orig_cv()
+        t2.append(spark.createDataFrame(
+            [(990, "w2", "d2")], "k long, v string, dt string"))
+        return v
+
+    t1.current_version = always_stale
+    with pytest.raises(ConcurrentCommitError):
+        t1.append(
+            spark.createDataFrame(
+                [(991, "w1", "d1")], "k long, v string, dt string"),
+            max_retries=0,
+        )
+
+
+def test_vacuum_keeps_pinned_retained_reader_alive(spark, tmp_path):
+    """A reader pinned to the retained version v{N} (file list resolved
+    BEFORE vacuum) still reads correctly after vacuum deletes
+    v{N-1}-only files — commits never delete data, and vacuum only
+    touches files no retained manifest references."""
+    t = _mk(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [(10, "NEW", "d1"), (11, "NEW", "d1")], "k long, v string, dt string"
+    )
+    t.upsert(updates, "k")  # v2 rewrites d1; v1's d1 files now stale
+    pinned = t.read(version=2)  # resolve v2's file list NOW
+    removed = t.vacuum(retain_last=1)
+    assert removed  # v1's rewritten d1 files actually died
+    assert pinned.count() == 100
+    assert pinned.filter(F.col("k") == 10).first()["v"] == "NEW"
+    # time travel past the retention boundary is gone, explicitly
+    with pytest.raises(FileNotFoundError):
+        t._manifest(1)
+
+
+def test_upsert_retry_remerges_against_new_version(spark, tmp_path):
+    """A lost upsert race must RE-MERGE against the winner's version:
+    the retried result contains the winner's rows, not a resurrection
+    of the snapshot the loser first read."""
+    t1 = _mk(spark, tmp_path)
+    t2 = SnapshotTable(spark, str(tmp_path / "snap"), partition_col="dt")
+    orig_cv = t1.current_version
+    state = {"raced": False}
+
+    def stale_once():
+        v = orig_cv()
+        if not state["raced"]:
+            state["raced"] = True
+            # the winner updates k=0 in the same partition
+            t2.upsert(spark.createDataFrame(
+                [(0, "WINNER", "d1")], "k long, v string, dt string"), "k")
+            return v
+        return orig_cv()
+
+    t1.current_version = stale_once
+    v = t1.upsert(spark.createDataFrame(
+        [(1, "LOSER-RETRIED", "d1")], "k long, v string, dt string"), "k")
+    assert v == 3
+    cur = t1.read()
+    assert cur.filter(F.col("k") == 0).first()["v"] == "WINNER"
+    assert cur.filter(F.col("k") == 1).first()["v"] == "LOSER-RETRIED"
+    assert cur.count() == 100
