@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Mechanical plan advisor sweep — runs the reference's tuning lints
+(datawarehouse_spark.plans.advisor: docs/sql规范.md items 1-30,
+docs/sql调优.md solutions 1-8) over EVERY driver registry entry and
+writes ADVISOR.md, making the tuning guidance a visible per-round
+artifact instead of a tests-only gate.
+
+Two layers per entry:
+- `lint_plan` over the optimized physical plan of the Spark query at
+  $SPARK_GRAFT_ADVISE_SF_DIR (default /root/testdata/sf0.01);
+- `lint_sql` over the entry's DuckDB oracle string (oracle-side hits
+  are labeled: an ORDER BY pinning oracle determinism is expected
+  there and costless — the column exists so the reader can tell
+  guidance from defect).
+
+Exit code is 0 unless a FORBIDDEN rule (cartesian-product,
+row-python-udf — the same set tests/test_plan_lints_sweep.py gates on)
+fires on a Spark plan, so CI and the per-round driver can both consume
+it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FORBIDDEN = {"cartesian-product", "row-python-udf"}
+
+#: rules that are deliberate for specific entries — kept visible in the
+#: report but annotated, never counted as defects.
+EXPECTED: dict[str, dict[str, str]] = {
+    "suite_scan_sort": {
+        "unbounded-global-sort": "the suite exercises O4 global sort itself"
+    },
+    "j15_asof_join": {
+        "repeated-scan": "two disjoint pushed-filter scans (purchase vs "
+        "click); a single-scan union would defeat per-side filter pushdown"
+    },
+    "scd2_dim_versioning": {
+        "repeated-scan": "one full-width pass over the dim; remaining "
+        "scans are key-only column-pruned lookups (and the demo derives "
+        "its update batch from the same table)"
+    },
+}
+
+#: suites UNION independent member queries into one frame purely so the
+#: driver can hash-compare a family as one row — each member scans the
+#: table it tests, so a repeated-scan hit on a suite is packaging, not
+#: a production plan defect (members run standalone in production).
+SUITE_EXPECTED = {
+    "repeated-scan": "driver-compare packaging; members run standalone",
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ADVISE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    from datawarehouse_spark.plans.advisor import lint_plan, lint_sql
+    from datawarehouse_spark.queries import ORACLES, QUERIES
+    from datawarehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="dw-advise")
+    lines = [
+        "# ADVISOR — mechanical plan/SQL lint sweep",
+        "",
+        f"Every driver registry entry ({len(QUERIES)}) linted at "
+        f"`{sf_dir}`. `side=plan` lints the optimized Spark physical "
+        "plan; `side=oracle` lints the DuckDB oracle SQL (determinism "
+        "scaffolding like a final ORDER BY is expected there).",
+        "",
+        "| entry | side | rule | note | reference |",
+        "|---|---|---|---|---|",
+    ]
+    n_plan = n_oracle = n_forbidden = 0
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            # execute THIS frame's own QueryExecution first (collect, not
+            # df.write — a write command plans a separate execution and
+            # leaves df's AQE plan isFinalPlan=false): the pre-execution
+            # plan has no codegen spans or runtime exchange reuse, so
+            # linting it would flag every entry as interpreter-only
+            df.collect()
+            for a in lint_plan(df):
+                note = EXPECTED.get(name, {}).get(a.rule)
+                if note is None and name.startswith("suite_"):
+                    note = SUITE_EXPECTED.get(a.rule)
+                tag = f"EXPECTED: {note}" if note else a.message
+                if a.rule in FORBIDDEN and not note:
+                    n_forbidden += 1
+                    tag = f"**FORBIDDEN** {a.message}"
+                n_plan += 1
+                lines.append(
+                    f"| {name} | plan | {a.rule} | {tag} | {a.reference} |"
+                )
+        except Exception as exc:  # surface, don't hide
+            lines.append(f"| {name} | plan | ERROR | {str(exc)[:120]} | — |")
+            n_forbidden += 1
+        for a in lint_sql(ORACLES.get(name, "")):
+            n_oracle += 1
+            lines.append(
+                f"| {name} | oracle | {a.rule} | {a.message} | {a.reference} |"
+            )
+    lines += [
+        "",
+        f"**Summary:** {n_plan} plan hits / {n_oracle} oracle hits over "
+        f"{len(QUERIES)} entries; forbidden-on-plan: {n_forbidden}.",
+        "",
+    ]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ADVISOR.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out}: {n_plan} plan / {n_oracle} oracle hits, "
+          f"{n_forbidden} forbidden")
+    spark.stop()
+    return 1 if n_forbidden else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
