@@ -317,6 +317,77 @@ def dup_span_coverage(
     )
 
 
+def dup_span_kept_ranges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Duplicated-substring REMOVAL (the cleaning step behind
+    :func:`dup_span_coverage`'s diagnostic): per document, emit the
+    maximal token ranges that survive after dropping every span covered
+    by a corpus-frequent word ``n``-gram (document frequency ≥
+    ``min_df``) — "remove duplicated substrings" for boilerplate /
+    template / syndicated text. Output: one row per kept range
+    ``(id, span_start, span_end, n_kept)``, token positions 0-based
+    inclusive; fully-duplicated documents emit no rows.
+
+    Scale shape: strictly linear, NO self-join — positional shingles
+    explode once, corpus document-frequency is one map-combined agg on
+    int64-hashed shingles, frequent-span token positions fan out by at
+    most ``n``, and the kept ranges come from one gaps-and-islands
+    window partitioned by doc id. Every shuffle key is 8-16 bytes; no
+    hot-key cap is needed because nothing is ever joined pairwise.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text), " ")
+    pos_shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_sh = df.select(
+        F.col(id_col), F.posexplode(pos_shingles).alias("pos", "sh0")
+    ).select(id_col, "pos", F.xxhash64("sh0").alias("s"))
+    # document frequency over DISTINCT per-doc shingles (a doc repeating
+    # its own boilerplate doesn't make the shingle corpus-frequent)
+    freq = (
+        pos_sh.select(id_col, "s").distinct()
+        .groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("s")
+    )
+    dup_pos = (
+        pos_sh.join(freq, "s")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    all_pos = df.select(
+        F.col(id_col), F.posexplode(toks).alias("tpos", "_t")
+    ).select(id_col, "tpos")
+    kept = all_pos.join(dup_pos, [id_col, "tpos"], "left_anti")
+    w = W.partitionBy(id_col).orderBy("tpos")
+    grp = kept.withColumn("g", F.col("tpos") - F.row_number().over(w))
+    return (
+        grp.groupBy(id_col, "g")
+        .agg(
+            F.min("tpos").cast("bigint").alias("span_start"),
+            F.max("tpos").cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .drop("g")
+    )
+
+
 def incremental_dedup(
     new: DataFrame,
     corpus: DataFrame,

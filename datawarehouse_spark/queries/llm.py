@@ -563,6 +563,62 @@ def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dup_span_remove",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    possh AS (
+      SELECT doc_id, i - 1 AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS r(i)
+      WHERE len(t) >= 3
+    ),
+    freq AS (
+      SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM possh)
+      GROUP BY sh HAVING COUNT(*) >= 2
+    ),
+    duppos AS (
+      SELECT DISTINCT p.doc_id, p.pos + o.o AS tpos
+      FROM possh p
+      JOIN freq f ON p.sh = f.sh,
+      LATERAL unnest(range(0, 3)) AS o(o)
+    ),
+    allpos AS (
+      SELECT doc_id, i - 1 AS tpos
+      FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(i)
+    ),
+    kept AS (
+      SELECT a.doc_id, a.tpos FROM allpos a
+      WHERE NOT EXISTS (SELECT 1 FROM duppos d
+                        WHERE d.doc_id = a.doc_id AND d.tpos = a.tpos)
+    ),
+    grp AS (
+      SELECT doc_id, tpos,
+             tpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tpos)
+               AS g
+      FROM kept
+    )
+    SELECT doc_id,
+           CAST(MIN(tpos) AS BIGINT) AS span_start,
+           CAST(MAX(tpos) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def llm_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring removal: per-document maximal kept token
+    ranges after dropping every span covered by a corpus-frequent
+    3-shingle (document frequency ≥ 2) — the cleaning companion to
+    llm_dup_span_coverage's diagnostic. Strictly linear (positional
+    shingle explode, one frequency agg, ≤3× span fan-out, one
+    gaps-and-islands window), never a self-join
+    (operators/dedup.py::dup_span_kept_ranges)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.dup_span_kept_ranges(t["documents"], n=3, min_df=2)
+
+
+@query(
     "llm_stratified_sample",
     oracle="""
     SELECT doc_id, lang,

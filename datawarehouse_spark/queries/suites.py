@@ -190,6 +190,10 @@ SUITES: dict[str, list[Member]] = {
         # cross-doc duplicated-span coverage (boilerplate signal)
         ("llm_dup_span_coverage",
          [], ["doc_id", "n_shingles", "n_dup", "dup_frac"]),
+        # ...and its cleaning companion: kept token ranges after
+        # corpus-frequent span removal
+        ("llm_dup_span_remove",
+         [], ["doc_id", "span_start", "span_end", "n_kept"]),
         # DSIR importance-resampling weights (exact-integer formulation)
         ("llm_importance_weights",
          [], ["doc_id", "n_tok", "s_target", "s_corpus", "weight"]),

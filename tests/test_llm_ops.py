@@ -515,3 +515,34 @@ def test_importance_weights_n_buckets_consistency(spark):
     )
     rows = {r.is_en: r.aw for r in avg.collect()}
     assert rows[True] > rows[False]
+
+def test_dup_span_remove_cuts_shared_boilerplate_only(spark):
+    """Synthetic corpus: two docs share an injected boilerplate run,
+    each has unique text around it. The kept ranges must excise exactly
+    the tokens covered by corpus-frequent shingles (the boilerplate and
+    nothing else), keep fully-unique docs whole, and emit nothing for a
+    fully-duplicated doc."""
+    boiler = "all rights reserved contact us today"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon zeta"),
+            (2, f"one two three four {boiler} five six seven"),
+            (3, "totally unique text with no duplicated spans at all"),
+            (4, boiler),
+            (5, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.dup_span_kept_ranges(docs, n=3, min_df=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_kept))
+    # doc 1: tokens 0-2 kept, 3-8 boilerplate cut, 9-11 kept
+    assert sorted(by_doc[1]) == [(0, 2, 3), (9, 11, 3)]
+    # doc 2: tokens 0-3 kept, 4-9 cut, 10-12 kept
+    assert sorted(by_doc[2]) == [(0, 3, 4), (10, 12, 3)]
+    # unique doc survives as ONE whole span
+    assert by_doc[3] == [(0, 8, 9)]
+    # fully-duplicated docs emit no kept ranges
+    assert 4 not in by_doc and 5 not in by_doc
