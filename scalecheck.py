@@ -63,6 +63,9 @@ OPS = [
     "llm_minhash_signature",
     "llm_minhash_lsh_candidates",
     "llm_simhash",
+    # span removal: claims strictly-linear cost (no self-join) — the
+    # scaling curve is the evidence
+    "llm_dup_span_remove",
     "llm_importance_weights",
     "llm_contamination",
     "llm_repetition",
