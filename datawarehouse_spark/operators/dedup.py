@@ -323,6 +323,7 @@ def dup_span_kept_ranges(
     text: str = "text",
     n: int = 3,
     min_df: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Duplicated-substring REMOVAL (the cleaning step behind
     :func:`dup_span_coverage`'s diagnostic): per document, emit the
@@ -339,6 +340,13 @@ def dup_span_kept_ranges(
     most ``n``, and the kept ranges come from one gaps-and-islands
     window partitioned by doc id. Every shuffle key is 8-16 bytes; no
     hot-key cap is needed because nothing is ever joined pairwise.
+
+    ``persist=True`` (default) caches the positional shingle set — its
+    two consumers (the frequency agg and the span join) otherwise each
+    re-explode the corpus (their shuffle keys differ, so ReuseExchange
+    cannot dedupe them) — then eagerly materializes the small
+    kept-range result and drops the cache in a ``finally``, same
+    contract as :func:`ngram_jaccard_pairs`.
     """
     from pyspark.sql import Window as W
 
@@ -353,6 +361,9 @@ def dup_span_kept_ranges(
     pos_sh = df.select(
         F.col(id_col), F.posexplode(pos_shingles).alias("pos", "sh0")
     ).select(id_col, "pos", F.xxhash64("sh0").alias("s"))
+    cached = None
+    if persist:
+        pos_sh = cached = pos_sh.persist()
     # document frequency over DISTINCT per-doc shingles (a doc repeating
     # its own boilerplate doesn't make the shingle corpus-frequent)
     freq = (
@@ -377,7 +388,7 @@ def dup_span_kept_ranges(
     kept = all_pos.join(dup_pos, [id_col, "tpos"], "left_anti")
     w = W.partitionBy(id_col).orderBy("tpos")
     grp = kept.withColumn("g", F.col("tpos") - F.row_number().over(w))
-    return (
+    spans = (
         grp.groupBy(id_col, "g")
         .agg(
             F.min("tpos").cast("bigint").alias("span_start"),
@@ -386,6 +397,12 @@ def dup_span_kept_ranges(
         )
         .drop("g")
     )
+    if cached is not None:
+        try:
+            spans = spans.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+    return spans
 
 
 def incremental_dedup(
