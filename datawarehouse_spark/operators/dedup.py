@@ -281,6 +281,7 @@ def dup_span_coverage(
     id_col: str = "doc_id",
     text: str = "text",
     n: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Cross-document duplicated-span coverage: for each document, the
     fraction of its distinct word n-gram shingles that also occur in at
@@ -296,12 +297,22 @@ def dup_span_coverage(
     per-doc shingle list, both shuffling on 8-byte keys. Cost is linear
     in total shingle count, so unlike pairwise Jaccard it needs no
     hot-shingle cap to stay bounded at 100 TB.
+
+    ``persist=True`` (default) caches the shingle set — the frequency
+    agg exchanges aggregated partials while the join side exchanges raw
+    rows, so ReuseExchange cannot dedupe the two subtrees and the
+    corpus would explode twice — then eagerly materializes the per-doc
+    result and drops the cache in a ``finally`` (the
+    :func:`ngram_jaccard_pairs` contract).
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s0")
     ).select(id_col, F.xxhash64("s0").alias("s"))
+    cached = None
+    if persist:
+        sh = cached = sh.persist()
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    out = (
         sh.join(freq, "s")
         .groupBy(id_col)
         .agg(
@@ -315,6 +326,12 @@ def dup_span_coverage(
             F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
         )
     )
+    if cached is not None:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+    return out
 
 
 def dup_span_kept_ranges(
