@@ -13,6 +13,7 @@ from datawarehouse_spark.queries import (  # noqa: F401
     multimodal,
     profiles,
     relational,
+    tpch,
     warehouse,
     windows,
 )

@@ -163,17 +163,34 @@ SUITES: dict[str, list[Member]] = {
         ("j10_or_join_union_rewrite", [], ["o_orderkey", "c_custkey"]),
         ("j13_theta_join", ["n_name"], ["n_orders"]),
     ],
-    # §2.10 pivot / unpivot (X3)
-    "suite_reshape": [
+    # §2.10 pivot / unpivot (X3) + rule/mining tag profiles (X4) —
+    # merged into one row to keep the driver registry at 50 entries
+    # after suite_tpch joined (fidelity unchanged: every member is
+    # still row-level hash-verified)
+    "suite_reshape_profiles": [
         ("x3_pivot_wide_tags", [],
          ["user_id", "click", "view", "purchase", "signup", "error"]),
         ("x3_unpivot_narrow_tags", ["tag"], ["user_id", "cnt"]),
-    ],
-    # §2.10 rule/mining tag profiles (X4)
-    "suite_profiles": [
         ("x4_rule_tag_profile", ["high_value"],
          ["user_id", "pv", "purchases", "purchase_amt"]),
         ("x4_mining_tag_scores", [], ["user_id", "score"]),
+    ],
+    # TPC-H workload suite (SURVEY §6's "TPC-H-class" claim made
+    # runnable; Q1/Q18/Q22 live on as a1/a19/p13, the partsupp- and
+    # shipmode-dependent queries are schema-bound — see queries/tpch.py)
+    "suite_tpch": [
+        ("tpch_q3", ["o_date"], ["l_orderkey", "revenue"]),
+        ("tpch_q4", ["o_orderpriority"], ["order_count"]),
+        ("tpch_q5", ["n_name"], ["revenue"]),
+        ("tpch_q6", [], ["revenue"]),
+        ("tpch_q7", ["supp_nation", "cust_nation"], ["l_year", "revenue"]),
+        ("tpch_q8", [], ["o_year", "mkt_share"]),
+        ("tpch_q10", ["c_name", "n_name"], ["c_custkey", "revenue", "c_acctbal"]),
+        ("tpch_q13", [], ["c_count", "custdist"]),
+        ("tpch_q14", [], ["promo_revenue"]),
+        ("tpch_q15", ["s_name"], ["s_suppkey", "total_revenue"]),
+        ("tpch_q17", [], ["avg_yearly"]),
+        ("tpch_q19", [], ["revenue"]),
     ],
     # LLM text metrics + corpus prep: fingerprints, quality, language-ID,
     # BPE tokens, train/val split, sequence packing
@@ -266,8 +283,8 @@ FINAL_ORDER: list[str] = [
     "suite_join_misc",
     "j15_asof_join",
     "scd2_dim_versioning",
-    "suite_reshape",
-    "suite_profiles",
+    "suite_tpch",
+    "suite_reshape_profiles",
     "x2_predicate_table_join",
     "t3_tumbling_window_batch",
     "t3_sliding_window_batch",
