@@ -532,3 +532,99 @@ def importance_weights(df: DataFrame, target: Column,
                * (F.col("cap_n_t") + b).cast("double"))
         ).alias("weight"),
     )
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the RAG-indexing /
+    long-document-pretraining prep step: split each document into
+    windows of ``chunk_tokens`` whitespace tokens starting every
+    ``stride`` tokens (overlap = chunk_tokens - stride).
+
+    Output: one row per (doc, chunk) with stable addresses —
+    ``chunk_id`` (= tok_start / stride), ``[tok_start, tok_end)``
+    token range, the chunk token count, and the chunk text. Addresses
+    are pure functions of the document, so re-running over a grown
+    corpus never renumbers existing chunks.
+
+    Scale shape: fully JVM-side — split once, ``sequence`` generates
+    the start offsets, ``explode`` fans out, ``slice``/``array_join``
+    build the chunk text. Zero shuffle, zero Python; output size is
+    ~(chunk_tokens/stride)× the corpus, produced streaming per
+    partition.
+    """
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(f"need 0 < stride <= chunk_tokens, "
+                         f"got {stride}/{chunk_tokens}")
+    toks = F.split(F.col(text_col), " ")
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+            ).alias("tok_start"),
+        )
+        .select(
+            id_col,
+            F.expr(f"tok_start div {stride}").cast("bigint").alias("chunk_id"),
+            F.col("tok_start").cast("bigint").alias("tok_start"),
+            F.least(
+                F.col("tok_start") + chunk_tokens, F.size("_toks")
+            ).cast("bigint").alias("tok_end"),
+            F.array_join(
+                F.slice("_toks", F.col("tok_start") + 1, F.lit(chunk_tokens)),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+    return out.withColumn(
+        "n_chunk_tokens", (F.col("tok_end") - F.col("tok_start")).cast("bigint")
+    )
+
+
+def domain_token_cap(df: DataFrame, cap_tokens: int = 20000,
+                     domain_col: str = "source", id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-domain token-budget capping — the corpus-balancing step that
+    stops a handful of high-volume sources from dominating the training
+    mix: within each domain, documents are admitted in a deterministic
+    md5-shuffled order until the domain's running token total reaches
+    ``cap_tokens``; the rest are dropped (audit rows kept).
+
+    A document is admitted iff the tokens accepted *before* it are
+    still under the cap, so every domain gets at least one document and
+    the budget is never overshot by more than one document — the same
+    admission rule as reservoir-style corpus capping, but deterministic
+    and engine-portable (md5 order, not rand()).
+
+    Scale shape: ONE shuffle (window partitioned by domain); the
+    cumulative sum is a per-partition streaming pass. Domains are the
+    parallelism unit — at 100 TB with few giant domains, pre-split hot
+    domains on a salt, cap each slice at cap/n_salt, and union.
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        W.partitionBy(domain_col)
+        .orderBy("k", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col), F.col(domain_col),
+            n_tok.alias("n_tokens"), key.alias("k"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            id_col, domain_col, "n_tokens",
+            F.col("cum_before").cast("bigint").alias("cum_before"),
+            (F.col("cum_before") < cap_tokens).alias("keep"),
+        )
+    )

@@ -1128,3 +1128,62 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(iw, "doc_id", "left")
     )
+
+
+@query(
+    "llm_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(tok_start // 24 AS BIGINT) AS chunk_id,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(least(tok_start + 32, len(toks)) AS BIGINT) AS tok_end,
+           array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ')
+             AS chunk_text,
+           CAST(least(tok_start + 32, len(toks)) - tok_start AS BIGINT)
+             AS n_chunk_tokens
+    FROM s
+    """,
+)
+def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks every 24
+    tokens) — the RAG-index / long-doc pretraining prep step; see
+    operators/text.py::chunk_documents for the zero-shuffle plan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.chunk_documents(t["documents"], chunk_tokens=32, stride=24)
+
+
+@query(
+    "llm_domain_cap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_before,
+           cum_before < 100 AS keep
+    FROM c
+    """,
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget capping (100-token budget per source,
+    md5-shuffled admission order) — the corpus-balancing step that
+    keeps high-volume domains from dominating the training mix; see
+    operators/text.py::domain_token_cap for the one-shuffle plan and
+    the hot-domain salting note."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.domain_token_cap(t["documents"], cap_tokens=100)

@@ -215,6 +215,13 @@ SUITES: dict[str, list[Member]] = {
         ("llm_importance_weights",
          [], ["doc_id", "n_tok", "s_target", "s_corpus", "weight"]),
         ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
+        # RAG / long-doc chunking: stable (chunk_id, token-range)
+        # addresses; chunk text is an exact string key
+        ("llm_chunk", ["chunk_text"],
+         ["doc_id", "chunk_id", "tok_start", "tok_end", "n_chunk_tokens"]),
+        # per-domain token-budget capping (corpus balancing)
+        ("llm_domain_cap", ["source", "keep"],
+         ["doc_id", "n_tokens", "cum_before"]),
         # fp is a 60-bit int — exact as a string key, NOT as a double val
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
         # Gopher repetition cuts + benchmark decontamination

@@ -546,3 +546,78 @@ def test_dup_span_remove_cuts_shared_boilerplate_only(spark):
     assert by_doc[3] == [(0, 8, 9)]
     # fully-duplicated docs emit no kept ranges
     assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_chunk_documents_reconstructs_corpus(spark):
+    """Stride == chunk_tokens (no overlap) must partition every document
+    exactly: concatenating a doc's chunks in chunk_id order rebuilds its
+    text, and token ranges tile [0, n_tokens) without gaps."""
+    from datawarehouse_spark.operators import text as T
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    chunks = T.chunk_documents(docs, chunk_tokens=16, stride=16)
+    rebuilt = (
+        chunks.orderBy("doc_id", "chunk_id")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt"),
+            F.sum("n_chunk_tokens").alias("tok_total"),
+            F.max("tok_end").alias("tok_max"),
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    bad = rebuilt.filter(
+        (F.col("rebuilt") != F.col("text"))
+        | (F.col("tok_total") != F.col("tok_max"))
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_documents_overlap_and_validation(spark):
+    """Overlapping chunks repeat stride-offset prefixes; bad strides
+    raise before any job runs."""
+    import pytest
+
+    from datawarehouse_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = {
+        r.chunk_id: r
+        for r in T.chunk_documents(docs, chunk_tokens=4, stride=2).collect()
+    }
+    # starts every 2 tokens: 0,2,4,6,8 — last two truncated
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert rows[0].chunk_text == "w0 w1 w2 w3"
+    assert rows[1].chunk_text == "w2 w3 w4 w5"
+    assert rows[4].chunk_text == "w8 w9" and rows[4].n_chunk_tokens == 2
+    with pytest.raises(ValueError):
+        T.chunk_documents(docs, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        T.chunk_documents(docs, chunk_tokens=4, stride=0)
+
+
+def test_domain_token_cap_budget_and_floor(spark):
+    """Every domain admits at least one document; admitted tokens before
+    each kept doc stay under the cap; drops resume nothing (keep is a
+    prefix of the md5 order); rerun is byte-identical."""
+    from datawarehouse_spark.operators import text as T
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    capped = T.domain_token_cap(docs, cap_tokens=100)
+    per_domain = capped.groupBy("source").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_domain.filter(F.col("n_keep") < 1).count() == 0
+    # kept rows all satisfy the admission rule; dropped rows all violate it
+    assert capped.filter(F.col("keep") & (F.col("cum_before") >= 100)).count() == 0
+    assert capped.filter(~F.col("keep") & (F.col("cum_before") < 100)).count() == 0
+    # deterministic rerun
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, T.domain_token_cap(docs, cap_tokens=100).collect()))
+    assert a == b
