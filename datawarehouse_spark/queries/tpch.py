@@ -23,8 +23,9 @@ minus the comment/address/shipmode/commitdate/receiptdate columns):
 * Q13 → the `o_comment NOT LIKE` filter becomes a join-side predicate on
         o_orderpriority (same left-outer-with-on-clause-filter shape).
 * Q17 → `p_container` filter dropped (column absent); the correlated
-        0.2*avg(l_quantity) subquery is kept, expressed as the scalable
-        aggregate-then-join plan on both engines.
+        0.2*avg(l_quantity) subquery is kept — the oracle uses the
+        aggregate-then-join form, Spark the equivalent single-scan
+        window form.
 * Q18 → already registered as ``a19_groupagg_in_subquery``.
 * Q19 → the l_shipmode/l_shipinstruct conjuncts are dropped; the
         OR-of-conjunctive-ranges over (brand, size, quantity) — the part
@@ -44,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
-from datawarehouse_spark.queries.qutil import davg, dsum, sql_davg, sql_dsum
+from datawarehouse_spark.queries.qutil import dsum, sql_davg, sql_dsum
 from datawarehouse_spark.queries.registry import query
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -436,11 +437,15 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 — top supplier: the revenue "view" is computed once and
-    reused for both the join and the scalar MAX (cached, so lineitem is
-    scanned once; the MAX over the tiny per-supplier table broadcasts
-    back as a scalar). Revenue equality is exact: both engines produce
-    the identical decimal-sum double per qutil."""
+    """TPC-H Q15 — top supplier: the revenue "view" feeds both the join
+    and the scalar MAX. The MAX is taken as an unpartitioned window
+    over the PER-SUPPLIER AGGREGATE (post-shuffle: one skinny row per
+    supplier), so lineitem is scanned exactly once — the naive
+    scalar-subquery form duplicates the whole revenue subtree and scans
+    the fact table twice. Revenue equality is exact: both engines
+    produce the identical decimal-sum double per qutil."""
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -450,14 +455,12 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(_rev(), 4).alias("total_revenue"))
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(W.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
         t["supplier"]
-        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(
-            F.broadcast(top),
-            F.col("total_revenue") == F.col("max_rev"),
-        )
+        .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -478,20 +481,28 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 — small-quantity-order revenue (fixture adaptation:
     no p_container column, brand filter only). The correlated
-    0.2*avg(l_quantity) subquery is expressed as the scalable
-    aggregate-then-join plan — per-partkey averages computed once
-    (exact decimal sum / count per qutil, so the threshold is
-    bit-identical in both engines), then joined back; lineitem is
-    scanned twice but never exploded per-pair."""
+    0.2*avg(l_quantity) subquery becomes a window average over the
+    BRAND-FILTERED join: the brand filter admits whole partkey groups
+    (every lineitem of a passing part survives), so the window average
+    equals the full-table per-partkey average the oracle computes via
+    aggregate-then-join — but lineitem is scanned ONCE and only the
+    brand rows shuffle (by partkey), instead of aggregating all
+    partkeys and scanning the fact table twice. Threshold arithmetic
+    is the exact decimal sum / count per qutil, bit-identical in both
+    engines."""
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    li = t["lineitem"]
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        davg("l_quantity").alias("avg_qty")
-    )
     p = t["part"].filter(F.col("p_brand") == "Brand#10")
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).over(w).cast("double")
+        / F.count("l_quantity").over(w)
+    )
     return (
-        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
-        .join(per_part, F.col("pk") == F.col("l_partkey"))
+        t["lineitem"]
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )

@@ -381,3 +381,37 @@ def test_entry_contract_runs_on_plain_session(spark):
     finally:
         for k, v in before.items():
             spark.conf.set(k, v)
+
+
+def test_tpch_q6_all_predicates_pushed_single_scan(spark):
+    """Q6 is the canonical pushdown check: every predicate (two dates,
+    discount band, quantity cap) must reach the parquet scan, and the
+    whole query is one scan + partial/final agg."""
+    rep = parity.analyze(QUERIES["tpch_q6"](spark, SF_ORACLE))
+    plan = rep.spark_plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters line in the plan"
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(frag in ln for ln in pushed), (
+            f"{frag} predicate not pushed: {pushed}"
+        )
+    assert plan.count("Scan parquet") == 1
+    assert "partial_sum" in plan, "aggregation must be partial→final"
+
+
+def test_tpch_q3_broadcasts_and_takes_ordered(spark):
+    """Q3: filtered customer/orders broadcast against lineitem; the
+    top-10 must plan TakeOrderedAndProject, never a global sort."""
+    rep = parity.analyze(QUERIES["tpch_q3"](spark, SF_ORACLE))
+    assert rep.broadcast_joins >= 1
+    assert "TakeOrderedAndProject" in rep.spark_plan
+
+
+def test_tpch_q15_q17_scan_lineitem_once(spark):
+    """The correlated-subquery queries must NOT duplicate the fact-table
+    scan: Q15's scalar MAX is a window over the per-supplier aggregate,
+    Q17's per-partkey average is a window over the brand-filtered join —
+    both exactly one lineitem scan."""
+    for name in ("tpch_q15", "tpch_q17"):
+        plan = parity.analyze(QUERIES[name](spark, SF_ORACLE)).spark_plan
+        assert plan.count("lineitem.parquet") == 1, f"{name} re-scans lineitem"
