@@ -415,3 +415,43 @@ def test_tpch_q15_q17_scan_lineitem_once(spark):
     for name in ("tpch_q15", "tpch_q17"):
         plan = parity.analyze(QUERIES[name](spark, SF_ORACLE)).spark_plan
         assert plan.count("lineitem.parquet") == 1, f"{name} re-scans lineitem"
+
+
+def test_runtime_bloom_filter_reduces_shuffle_join(spark):
+    """Runtime bloom-filter semi-join reduction (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled): when a selective
+    dim side can't broadcast, Spark builds a bloom filter from the dim
+    keys and applies `might_contain` on the fact side BEFORE its
+    shuffle — the 100 TB lever that turns a full fact shuffle into a
+    filtered one. The 10 GiB application-side threshold never fires at
+    fixture scale, so this test lowers it to prove the plan shape the
+    defaults produce at real scale."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        plan = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
+            "selective non-broadcast join must inject a runtime bloom filter"
+        )
+        assert "partial_bloom_filter_agg" in plan, (
+            "bloom build must itself be partial→final (map-combined)"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
