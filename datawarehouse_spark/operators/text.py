@@ -628,3 +628,33 @@ def domain_token_cap(df: DataFrame, cap_tokens: int = 20000,
             (F.col("cum_before") < cap_tokens).alias("keep"),
         )
     )
+
+
+def quality_percentile_filter(df: DataFrame, keep_frac: float = 0.8,
+                              by: str = "source", id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Per-domain quality-percentile gating — keep each source's top
+    ``keep_frac`` of documents by quality score instead of one global
+    threshold, so a uniformly-noisy domain still contributes its best
+    documents and a uniformly-clean one isn't over-pruned (the
+    per-source band trick from web-scale corpus filtering).
+
+    Score = stopword_ratio (the same deterministic JVM expression the
+    quality_stats op hash-verifies); rank = percent_rank over
+    (domain, score desc, id) — the id tiebreak makes the order total,
+    so ranks are engine-identical. keep = percent_rank < keep_frac.
+
+    Scale shape: ONE window shuffle partitioned by domain (same unit of
+    parallelism as domain_token_cap, same hot-domain salting escape
+    hatch). Score computation is map-side; nothing but (id, domain,
+    score) shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    score = stopword_hits(text_col) / n_tokens(text_col)
+    w = W.partitionBy(by).orderBy(F.desc("score"), id_col)
+    return (
+        df.select(F.col(id_col), F.col(by), score.alias("score"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("keep", F.col("pr") < keep_frac)
+    )

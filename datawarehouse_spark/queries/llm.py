@@ -1187,3 +1187,30 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot-domain salting note."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.domain_token_cap(t["documents"], cap_tokens=100)
+
+
+@query(
+    "llm_quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             (len(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+                / len(string_split(text, ' '))) AS score
+      FROM documents
+    )
+    SELECT doc_id, source, score,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS pr,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) < 0.8 AS keep
+    FROM s
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-percentile gate (keep each source's top 80%
+    by stopword-ratio score) — see
+    operators/text.py::quality_percentile_filter for the one-shuffle
+    plan and the per-source-band rationale."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.quality_percentile_filter(t["documents"], keep_frac=0.8)

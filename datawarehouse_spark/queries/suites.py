@@ -222,6 +222,9 @@ SUITES: dict[str, list[Member]] = {
         # per-domain token-budget capping (corpus balancing)
         ("llm_domain_cap", ["source", "keep"],
          ["doc_id", "n_tokens", "cum_before"]),
+        # per-domain quality-percentile gate (top-band filtering)
+        ("llm_quality_filter", ["source", "keep"],
+         ["doc_id", "score", "pr"]),
         # fp is a 60-bit int — exact as a string key, NOT as a double val
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
         # Gopher repetition cuts + benchmark decontamination

@@ -621,3 +621,26 @@ def test_domain_token_cap_budget_and_floor(spark):
     a = sorted(map(tuple, capped.collect()))
     b = sorted(map(tuple, T.domain_token_cap(docs, cap_tokens=100).collect()))
     assert a == b
+
+
+def test_quality_filter_keeps_top_band_per_source(spark):
+    """Per-source keep counts must match the percent-rank band exactly
+    (total order → n_keep = |{i : (i-1)/(n-1) < keep_frac}|), and kept
+    docs must dominate dropped ones on score within each source."""
+    from datawarehouse_spark.operators import text as T
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    out = T.quality_percentile_filter(docs, keep_frac=0.8)
+    per = out.groupBy("source").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(F.col("keep"), F.col("score"))).alias("min_kept"),
+        F.max(F.when(~F.col("keep"), F.col("score"))).alias("max_dropped"),
+    )
+    for r in per.collect():
+        expected = sum(
+            1 for i in range(r.n) if r.n == 1 or i / (r.n - 1) < 0.8
+        )
+        assert r.n_keep == expected, (r.source, r.n_keep, expected)
+        if r.max_dropped is not None:
+            assert r.min_kept >= r.max_dropped
