@@ -1060,104 +1060,6 @@ def llm_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two sides can never drift apart.
 from datawarehouse_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
 
-_PREP_ORACLE = f"""
-    SELECT d.doc_id,
-           (d.doc_id % 10 = 0) AS is_eval,
-           (dk.doc_id IS NOT NULL) AS dedup_keep,
-           NOT COALESCE(rep.gopher_fail, FALSE) AS gopher_ok,
-           (cont.contaminated_frac IS NULL OR cont.contaminated_frac < 0.5)
-             AS clean,
-           samp.keep AS sampled,
-           (d.doc_id % 10 <> 0 AND dk.doc_id IS NOT NULL
-            AND NOT COALESCE(rep.gopher_fail, FALSE)
-            AND (cont.contaminated_frac IS NULL
-                 OR cont.contaminated_frac < 0.5)
-            AND samp.keep) AS keep,
-           iw.weight AS weight
-    FROM documents d
-    LEFT JOIN ({_ORACLES["llm_dedup_keep"]}) dk ON dk.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_repetition"]}) rep ON rep.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_contamination"]}) cont ON cont.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_stratified_sample"]}) samp
-      ON samp.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_importance_weights"]}) iw
-      ON iw.doc_id = d.doc_id
-"""
-
-
-@query("llm_corpus_prep", oracle=_PREP_ORACLE)
-def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-corpus materialization — one keep decision per document
-    with per-gate audit flags: eval-split exclusion, exact+near dedup
-    (llm_dedup_keep), Gopher repetition cut, benchmark-contamination cut
-    (frac ≥ 0.5 — the fixture's contaminated tail sits at ≥ 0.96, the
-    clean mass ≤ 0.30), stratified domain-mix sampling. Emitting flags
-    for ALL docs (not the filtered set) keeps every gate row-level
-    verifiable and gives the pipeline its audit table for free."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    dk = llm_dedup_keep(spark, sf_dir).withColumn("dk", F.lit(True))
-    iw = llm_importance_weights(spark, sf_dir).select("doc_id", "weight")
-    rep = llm_repetition(spark, sf_dir).select("doc_id", "gopher_fail")
-    cont = llm_contamination(spark, sf_dir).select(
-        "doc_id", "contaminated_frac"
-    )
-    samp = llm_stratified_sample(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("samp_keep")
-    )
-    return (
-        docs.select("doc_id", (F.col("doc_id") % 10 == 0).alias("is_eval"))
-        .join(dk, "doc_id", "left")
-        .join(rep, "doc_id", "left")
-        .join(cont, "doc_id", "left")
-        .join(samp, "doc_id", "left")
-        .select(
-            "doc_id",
-            "is_eval",
-            F.coalesce(F.col("dk"), F.lit(False)).alias("dedup_keep"),
-            (~F.coalesce(F.col("gopher_fail"), F.lit(False))).alias("gopher_ok"),
-            (
-                F.col("contaminated_frac").isNull()
-                | (F.col("contaminated_frac") < 0.5)
-            ).alias("clean"),
-            F.col("samp_keep").alias("sampled"),
-        )
-        .withColumn(
-            "keep",
-            ~F.col("is_eval") & F.col("dedup_keep") & F.col("gopher_ok")
-            & F.col("clean") & F.col("sampled"),
-        )
-        .join(iw, "doc_id", "left")
-    )
-
-
-@query(
-    "llm_chunk",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), s AS (
-      SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start
-      FROM t
-    )
-    SELECT doc_id,
-           CAST(tok_start // 24 AS BIGINT) AS chunk_id,
-           CAST(tok_start AS BIGINT) AS tok_start,
-           CAST(least(tok_start + 32, len(toks)) AS BIGINT) AS tok_end,
-           array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ')
-             AS chunk_text,
-           CAST(least(tok_start + 32, len(toks)) - tok_start AS BIGINT)
-             AS n_chunk_tokens
-    FROM s
-    """,
-)
-def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (32-token chunks every 24
-    tokens) — the RAG-index / long-doc pretraining prep step; see
-    operators/text.py::chunk_documents for the zero-shuffle plan."""
-    t = load_tables(spark, sf_dir, ("documents",))
-    return text.chunk_documents(t["documents"], chunk_tokens=32, stride=24)
-
-
 @query(
     "llm_domain_cap",
     oracle="""
@@ -1214,3 +1116,119 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan and the per-source-band rationale."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.quality_percentile_filter(t["documents"], keep_frac=0.8)
+
+
+_PREP_ORACLE = f"""
+    SELECT d.doc_id,
+           (d.doc_id % 10 = 0) AS is_eval,
+           (dk.doc_id IS NOT NULL) AS dedup_keep,
+           NOT COALESCE(rep.gopher_fail, FALSE) AS gopher_ok,
+           (cont.contaminated_frac IS NULL OR cont.contaminated_frac < 0.5)
+             AS clean,
+           q.keep AS quality_ok,
+           dc.keep AS within_cap,
+           samp.keep AS sampled,
+           (d.doc_id % 10 <> 0 AND dk.doc_id IS NOT NULL
+            AND NOT COALESCE(rep.gopher_fail, FALSE)
+            AND (cont.contaminated_frac IS NULL
+                 OR cont.contaminated_frac < 0.5)
+            AND q.keep AND dc.keep
+            AND samp.keep) AS keep,
+           iw.weight AS weight
+    FROM documents d
+    LEFT JOIN ({_ORACLES["llm_dedup_keep"]}) dk ON dk.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_repetition"]}) rep ON rep.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_contamination"]}) cont ON cont.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_quality_filter"]}) q ON q.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_domain_cap"]}) dc ON dc.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_stratified_sample"]}) samp
+      ON samp.doc_id = d.doc_id
+    LEFT JOIN ({_ORACLES["llm_importance_weights"]}) iw
+      ON iw.doc_id = d.doc_id
+"""
+
+
+@query("llm_corpus_prep", oracle=_PREP_ORACLE)
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus materialization — one keep decision per document
+    with per-gate audit flags: eval-split exclusion, exact+near dedup
+    (llm_dedup_keep), Gopher repetition cut, benchmark-contamination cut
+    (frac ≥ 0.5 — the fixture's contaminated tail sits at ≥ 0.96, the
+    clean mass ≤ 0.30), per-domain quality-percentile gate, per-domain
+    token-budget cap, stratified domain-mix sampling. Emitting flags
+    for ALL docs (not the filtered set) keeps every gate row-level
+    verifiable and gives the pipeline its audit table for free."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dk = llm_dedup_keep(spark, sf_dir).withColumn("dk", F.lit(True))
+    iw = llm_importance_weights(spark, sf_dir).select("doc_id", "weight")
+    rep = llm_repetition(spark, sf_dir).select("doc_id", "gopher_fail")
+    cont = llm_contamination(spark, sf_dir).select(
+        "doc_id", "contaminated_frac"
+    )
+    qual = llm_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_ok")
+    )
+    cap = llm_domain_cap(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("within_cap")
+    )
+    samp = llm_stratified_sample(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("samp_keep")
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 10 == 0).alias("is_eval"))
+        .join(dk, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(qual, "doc_id", "left")
+        .join(cap, "doc_id", "left")
+        .join(samp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_eval",
+            F.coalesce(F.col("dk"), F.lit(False)).alias("dedup_keep"),
+            (~F.coalesce(F.col("gopher_fail"), F.lit(False))).alias("gopher_ok"),
+            (
+                F.col("contaminated_frac").isNull()
+                | (F.col("contaminated_frac") < 0.5)
+            ).alias("clean"),
+            "quality_ok",
+            "within_cap",
+            F.col("samp_keep").alias("sampled"),
+        )
+        .withColumn(
+            "keep",
+            ~F.col("is_eval") & F.col("dedup_keep") & F.col("gopher_ok")
+            & F.col("clean") & F.col("quality_ok") & F.col("within_cap")
+            & F.col("sampled"),
+        )
+        .join(iw, "doc_id", "left")
+    )
+
+
+@query(
+    "llm_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(tok_start // 24 AS BIGINT) AS chunk_id,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(least(tok_start + 32, len(toks)) AS BIGINT) AS tok_end,
+           array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ')
+             AS chunk_text,
+           CAST(least(tok_start + 32, len(toks)) - tok_start AS BIGINT)
+             AS n_chunk_tokens
+    FROM s
+    """,
+)
+def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks every 24
+    tokens) — the RAG-index / long-doc pretraining prep step; see
+    operators/text.py::chunk_documents for the zero-shuffle plan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.chunk_documents(t["documents"], chunk_tokens=32, stride=24)
+

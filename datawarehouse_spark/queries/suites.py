@@ -239,7 +239,8 @@ SUITES: dict[str, list[Member]] = {
         # end-to-end corpus materialization: per-gate audit flags +
         # DSIR resampling weight for the surviving docs
         ("llm_corpus_prep",
-         ["is_eval", "dedup_keep", "gopher_ok", "clean", "sampled", "keep"],
+         ["is_eval", "dedup_keep", "gopher_ok", "clean", "quality_ok",
+          "within_cap", "sampled", "keep"],
          ["doc_id", "weight"]),
         # incremental ingestion dedup: new batch vs existing corpus
         ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],

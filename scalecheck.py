@@ -56,6 +56,10 @@ OPS = [
     "a1_pricing_summary",
     "a5_conditional_multi_distinct",
     "j1_six_way_star",
+    # TPC-H multi-way joins: replica ids offset together, so every join
+    # keeps its 1x fan-out — ratios should track the data ratio
+    "tpch_q5",
+    "tpch_q8",
     "w6_ranking",
     "t3_tumbling_window_batch",
     "t5_session_window_batch",
@@ -70,6 +74,12 @@ OPS = [
     "llm_contamination",
     "llm_repetition",
     "llm_stratified_sample",
+    # chunking claims zero-shuffle linear cost; domain cap and quality
+    # filter claim one domain-partitioned window shuffle (replicas pile
+    # all copies into the same 20 domains — the hot-domain stress case)
+    "llm_chunk",
+    "llm_domain_cap",
+    "llm_quality_filter",
 ]
 
 

@@ -263,8 +263,9 @@ def test_pii_redact_constructed_examples(spark):
 
 def test_corpus_prep_keep_is_conjunction_of_gates(spark):
     """keep == NOT is_eval AND dedup_keep AND gopher_ok AND clean AND
-    sampled, every doc gets exactly one decision, and the eval split
-    plus at least one quality gate actually drop documents."""
+    quality_ok AND within_cap AND sampled, every doc gets exactly one
+    decision, and the eval split plus at least one quality gate
+    actually drop documents."""
     from datawarehouse_spark.queries.llm import llm_corpus_prep
 
     out = llm_corpus_prep(spark, SF_ORACLE).collect()
@@ -273,11 +274,13 @@ def test_corpus_prep_keep_is_conjunction_of_gates(spark):
     for r in out:
         assert r.keep == (
             (not r.is_eval) and r.dedup_keep and r.gopher_ok
-            and r.clean and r.sampled
+            and r.clean and r.quality_ok and r.within_cap and r.sampled
         )
     assert sum(r.is_eval for r in out) == docs_n // 10
     assert any(not r.dedup_keep for r in out)
     assert any(not r.sampled for r in out)
+    assert any(not r.quality_ok for r in out)
+    assert any(not r.within_cap for r in out)
     kept = sum(r.keep for r in out)
     assert 0 < kept < docs_n
 
