@@ -13,13 +13,17 @@ Fixture-schema adaptations (the fixture is TPC-H minus `partsupp` and
 minus the comment/address/shipmode/commitdate/receiptdate columns):
 
 * Q1  → already registered as ``a1_pricing_summary`` (exact shape).
-* Q2, Q9, Q11, Q16, Q20 need `partsupp` — not expressible; documented.
+* Q2, Q11, Q16, Q20 are structurally `partsupp` queries — not
+        expressible on this schema; every other TPC-H query is covered
+        (18 of 22).
 * Q4  → "late order" test uses EXISTS(l_shipdate > o_orderdate) in place
         of the commit/receipt-date comparison (same plan shape: a
         correlated EXISTS semi-join under an aggregation).
-* Q12, Q21 need l_shipmode / l_commitdate / l_receiptdate — the
-        correlated-EXISTS skeleton of Q21 is covered by Q4's semi-join
-        and p10's anti-join; documented.
+* Q9  → no ps_supplycost, so "profit" is the revenue term; the 5-way
+        join + LIKE part filter + (nation, year) grouping is kept.
+* Q12 → no l_shipmode/commit/receipt dates: group key becomes
+        l_returnflag, "late" is l_shipdate > o_orderdate; the
+        conditional-count pair over a non-equi join residual is kept.
 * Q13 → the `o_comment NOT LIKE` filter becomes a join-side predicate on
         o_orderpriority (same left-outer-with-on-clause-filter shape).
 * Q17 → `p_container` filter dropped (column absent); the correlated
@@ -30,6 +34,11 @@ minus the comment/address/shipmode/commitdate/receiptdate columns):
 * Q19 → the l_shipmode/l_shipinstruct conjuncts are dropped; the
         OR-of-conjunctive-ranges over (brand, size, quantity) — the part
         of Q19 that stresses the optimizer — is kept verbatim.
+* Q21 → "late" is l_shipdate > o_orderdate; the double correlated
+        subquery (EXISTS other supplier / NOT EXISTS other late
+        supplier) is kept in the oracle and rewritten to the set form
+        (per-(order,supplier) reduction + two window aggregates) on the
+        Spark side.
 * Q22 → already registered as ``p13_scalar_subquery_anti``.
 
 Scale notes (100 TB): every query below is a declarative plan —
@@ -543,4 +552,155 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(dsum(_rev(), 4).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           {sql_dsum('amount', 4)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year, {_REV} AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%widget%'
+    ) AS profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 — product-type profit by supplier nation and order year
+    (fixture adaptation: no partsupp, so profit is the revenue term
+    without the ps_supplycost subtraction — the 5-way join + LIKE part
+    filter + two-level grouping shape is what the query stresses)."""
+    t = load_tables(
+        spark, sf_dir, ("part", "supplier", "lineitem", "orders", "nation")
+    )
+    p = t["part"].filter(F.col("p_name").like("%widget%"))
+    return (
+        t["lineitem"]
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(_rev(), 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 — shipping-priority distribution (fixture adaptation:
+    no l_shipmode/l_commitdate/l_receiptdate, so the group key is
+    l_returnflag and "late" is l_shipdate > o_orderdate). The
+    conditional-count pair over a join with a non-equi residual is the
+    shape under test."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 — suppliers who kept orders waiting (fixture
+    adaptation: "late" is l_shipdate > o_orderdate; no receipt/commit
+    dates). The double correlated subquery (EXISTS another supplier,
+    NOT EXISTS another LATE supplier) is rewritten to its set form:
+    reduce lineitem to one row per (order, supplier) with its late-line
+    count, then two window aggregates over the order give n_suppliers
+    and n_late_suppliers — the EXISTS pair is exactly (n_supp >= 2 AND
+    n_late_supp = 1 AND this supplier late). ONE lineitem scan and two
+    shuffles over per-pair reduced rows, where the naive form scans
+    lineitem three times and correlates twice."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    pair = (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("n_late_lines")
+        )
+    )
+    w = W.partitionBy("l_orderkey")
+    cand = (
+        pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("n_late_lines") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    n = t["nation"].filter(F.col("n_name") == "NATION_3")
+    return (
+        cand.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
     )

@@ -410,9 +410,11 @@ def test_tpch_q3_broadcasts_and_takes_ordered(spark):
 def test_tpch_q15_q17_scan_lineitem_once(spark):
     """The correlated-subquery queries must NOT duplicate the fact-table
     scan: Q15's scalar MAX is a window over the per-supplier aggregate,
-    Q17's per-partkey average is a window over the brand-filtered join —
-    both exactly one lineitem scan."""
-    for name in ("tpch_q15", "tpch_q17"):
+    Q17's per-partkey average is a window over the brand-filtered join,
+    Q21's double correlated EXISTS is a per-(order,supplier) reduction
+    plus two window aggregates — each exactly one lineitem scan (the
+    naive Q21 scans it three times)."""
+    for name in ("tpch_q15", "tpch_q17", "tpch_q21"):
         plan = parity.analyze(QUERIES[name](spark, SF_ORACLE)).spark_plan
         assert plan.count("lineitem.parquet") == 1, f"{name} re-scans lineitem"
 
