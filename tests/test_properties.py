@@ -212,3 +212,42 @@ def test_union_aggs_single_scan_equals_naive(spark, rows, thr):
         )
         naive = b if naive is None else naive.unionAll(b)
     assert _rowset(fused) == _rowset(naive)
+
+
+TOKENS = st.lists(
+    st.sampled_from(["aa", "b", "ccc", "d1", "e"]), min_size=0, max_size=30
+)
+
+
+@given(
+    docs=st.lists(TOKENS, min_size=1, max_size=6),
+    chunk=st.integers(min_value=1, max_value=8),
+    stride_off=st.integers(min_value=0, max_value=7),
+)
+@_SETTINGS
+def test_chunk_documents_equals_python_reference(spark, docs, chunk, stride_off):
+    """chunk_documents ≡ the obvious per-doc Python chunker for any
+    (chunk_tokens, stride <= chunk_tokens) and any token content,
+    including empty docs (split('') -> [''] -> one 1-token chunk)."""
+    from datawarehouse_spark.operators import text as T
+
+    stride = max(1, min(chunk, stride_off))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.tok_start, r.tok_end, r.chunk_text,
+         r.n_chunk_tokens)
+        for r in T.chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    )
+    want = []
+    for i, (_, txt) in enumerate(rows):
+        toks = txt.split(" ")
+        for start in range(0, len(toks), stride):
+            end = min(start + chunk, len(toks))
+            want.append(
+                (i, start // stride, start, end,
+                 " ".join(toks[start:end]), end - start)
+            )
+    assert got == sorted(want)
