@@ -675,6 +675,10 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         t["lineitem"]
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        # hash(l_orderkey) satisfies BOTH the (l_orderkey, l_suppkey)
+        # aggregation's clustering requirement and the window's — one
+        # shuffle instead of two (agg by pair, re-shuffle by order)
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.sum(
