@@ -144,6 +144,8 @@ SUITES: dict[str, list[Member]] = {
         ("w7_explicit_frames", [],
          ["event_id", "user_id", "running_total", "moving_3", "n_all"]),
         ("s13_window_dedupe", ["event_type"], ["event_id", "user_id"]),
+        # cohort retention matrix (window-min cohort + distinct rollup)
+        ("w9_cohort_retention", ["cohort_dt"], ["day_offset", "n_users"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [

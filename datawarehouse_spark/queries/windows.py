@@ -301,3 +301,42 @@ def w8_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("first_purchase") > F.col("first_click"), 1)
         ).alias("converted"),
     )
+
+
+@query(
+    "w9_cohort_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), c AS (
+      SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_dt
+      FROM e
+    )
+    SELECT cohort_dt,
+           CAST(date_diff('day', cohort_dt, d) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c
+    GROUP BY cohort_dt, day_offset
+    """,
+)
+def w9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the warehouse staple the reference's
+    DWS/ADS layer exists to serve: users are cohorted by their first
+    active day, and each (cohort, day-offset) cell counts the distinct
+    users still active that many days later.
+
+    The cohort date is a window MIN over the user partition, NOT an
+    aggregate-then-self-join — events is scanned ONCE, shuffled once by
+    user_id (one skinny (user, day) row per event), and the
+    (cohort, offset) rollup reuses the reduced rows. At 100 TB the
+    user-partition window is the same shape as w1/w5; no fact re-scan."""
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    c = e.withColumn(
+        "cohort_dt", F.min("d").over(W.partitionBy("user_id"))
+    )
+    return c.groupBy(
+        "cohort_dt",
+        F.datediff(F.col("d"), F.col("cohort_dt")).cast("bigint")
+        .alias("day_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
