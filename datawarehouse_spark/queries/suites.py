@@ -62,11 +62,15 @@ SUITES: dict[str, list[Member]] = {
         ("p10_not_in_subquery", [], ["o_orderkey", "o_custkey"]),
         ("p13_scalar_subquery_anti", [], ["c_custkey", "c_acctbal"]),
     ],
-    # §2.4 basic aggregates: min/max, avg+having, DISTINCT
+    # §2.4 basic aggregates: min/max, avg+having, DISTINCT, top-N,
+    # exact percentiles (a17/a20 folded in to free registry slots —
+    # row-level verification unchanged)
     "suite_agg_basic": [
         ("a7_min_max_times", [], ["user_id", "first_time_us", "last_time_us", "n_events"]),
         ("a8_avg_having", [], ["c_nationkey", "avg_bal", "n_cust"]),
         ("a12_distinct", ["c_mktsegment"], ["c_nationkey"]),
+        ("a17_top_n", ["c_name"], ["c_custkey", "revenue"]),
+        ("a20_percentiles", ["o_orderpriority"], ["p50", "p95"]),
     ],
     # §2.4 multi-dimensional: CUBE, ROLLUP, GROUPING SETS
     "suite_cube_rollup": [
@@ -279,8 +283,7 @@ FINAL_ORDER: list[str] = [
     "a5_conditional_multi_distinct",
     "suite_agg_basic",
     "suite_cube_rollup",
-    "a17_top_n",
-    "a20_percentiles",
+    "dq_audit",
     "a11_salted_two_phase_agg",
     "a18_approx_distinct",
     "a19_groupagg_in_subquery",

@@ -454,3 +454,103 @@ def t10_stream_batch_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.total_value").alias("batch_total"),
         F.col("s.total_value").alias("stream_total"),
     )
+
+
+@query(
+    "dq_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_enum',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'P', 'O')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_nonnull',
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_fk_customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the dbt-style test battery every warehouse
+    layer runs before publishing (the reference's 规范/质量 discipline as
+    an executable check set): primary-key uniqueness, enum domain,
+    non-null, value range, and referential integrity, one row per check
+    with its violation count.
+
+    Scale shape: the per-table value checks FOLD into one aggregate
+    scan per table (orders once for pk+enum, lineitem once for
+    null+range) — adding a check adds a column, not a scan. The two FK
+    checks are left-anti joins on the key only (column-pruned scans);
+    at 100 TB each is the same one-shuffle shape as p10. All checks run
+    as ONE union job, so the audit is a single action per table pair.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
+    o, li, c = t["orders"], t["lineitem"], t["customer"]
+
+    o_stats = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "P", "O")).cast("bigint")
+        ).alias("enum"),
+    )
+    li_stats = li.agg(
+        F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("nn"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("bigint")
+        ).alias("rng"),
+    )
+    fk_oc = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fk_lo = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # stack the one-row per-table stats into (check, count) rows so the
+    # union reads each aggregate ONCE — selecting the same agg twice
+    # would duplicate its whole scan subtree
+    o_rows = o_stats.selectExpr(
+        "stack(2, 'orders_pk_unique', CAST(pk AS BIGINT), "
+        "'orders_status_enum', CAST(enum AS BIGINT)) "
+        "AS (check_name, n_violations)"
+    )
+    li_rows = li_stats.selectExpr(
+        "stack(2, 'lineitem_qty_nonnull', CAST(nn AS BIGINT), "
+        "'lineitem_discount_range', CAST(rng AS BIGINT)) "
+        "AS (check_name, n_violations)"
+    )
+
+    def one(df: DataFrame, col: str, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col(col).cast("bigint").alias("n_violations"),
+        )
+
+    return (
+        o_rows
+        .union(li_rows)
+        .union(one(fk_oc, "n", "orders_fk_customer"))
+        .union(one(fk_lo, "n", "lineitem_fk_orders"))
+    )

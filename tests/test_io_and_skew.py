@@ -258,3 +258,33 @@ def test_write_clustered_produces_disjoint_minmax_stats(spark, tmp_path):
 
     # and the rewrite is content-preserving
     assert spark.read.parquet(clustered).count() == e.count()
+
+
+def test_dq_audit_counts_injected_violations(spark, tmp_path):
+    """dq_audit is vacuously green on the clean fixture; prove each
+    check actually fires by running it over a synthetic sf_dir with one
+    violation of every class injected."""
+    from datawarehouse_spark.queries.warehouse import dq_audit
+
+    spark.createDataFrame(
+        [(1, 1, "F"), (1, 2, "F"), (2, 1, "X"), (3, 99, "O")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, None, 0.05), (1, 2.0, 1.5), (77, 3.0, 0.0)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1,), (2,)], "c_custkey long"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+
+    got = {r.check_name: r.n_violations
+           for r in dq_audit(spark, str(tmp_path)).collect()}
+    assert got == {
+        "orders_pk_unique": 1,        # orderkey 1 twice
+        "orders_status_enum": 1,      # 'X'
+        "lineitem_qty_nonnull": 1,    # None qty
+        "lineitem_discount_range": 1, # 1.5
+        "orders_fk_customer": 1,      # custkey 99
+        "lineitem_fk_orders": 1,      # orderkey 77
+    }
