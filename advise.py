@@ -43,6 +43,12 @@ EXPECTED: dict[str, dict[str, str]] = {
         "scans are key-only column-pruned lookups (and the demo derives "
         "its update batch from the same table)"
     },
+    "dq_audit": {
+        "repeated-scan": "per-table value checks fold into ONE stats "
+        "scan each; the second scan per table is the key-only "
+        "column-pruned side of the referential-integrity anti-join, "
+        "which no aggregate fold can absorb"
+    },
 }
 
 #: suites UNION independent member queries into one frame purely so the

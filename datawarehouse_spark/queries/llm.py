@@ -1118,33 +1118,59 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_percentile_filter(t["documents"], keep_frac=0.8)
 
 
+#: The domain token cap inside corpus prep deliberately re-states the
+#: domain_token_cap window (same md5 admission order, same 100-token
+#: budget) restricted to documents that survive every upstream gate:
+#: budgeting over ALL documents would let eval-split/dedup-rejected/
+#: low-quality docs consume a domain's budget and under-fill its
+#: contribution to the final corpus. Non-survivors contribute 0 tokens
+#: to the cumulative sum, so the survivors' admission order is
+#: identical to capping the filtered set — in ONE window pass, no
+#: second scan. The standalone llm_domain_cap row still verifies the
+#: operator itself over the raw corpus.
 _PREP_ORACLE = f"""
-    SELECT d.doc_id,
-           (d.doc_id % 10 = 0) AS is_eval,
-           (dk.doc_id IS NOT NULL) AS dedup_keep,
-           NOT COALESCE(rep.gopher_fail, FALSE) AS gopher_ok,
-           (cont.contaminated_frac IS NULL OR cont.contaminated_frac < 0.5)
-             AS clean,
-           q.keep AS quality_ok,
-           dc.keep AS within_cap,
-           samp.keep AS sampled,
-           (d.doc_id % 10 <> 0 AND dk.doc_id IS NOT NULL
-            AND NOT COALESCE(rep.gopher_fail, FALSE)
-            AND (cont.contaminated_frac IS NULL
-                 OR cont.contaminated_frac < 0.5)
-            AND q.keep AND dc.keep
-            AND samp.keep) AS keep,
-           iw.weight AS weight
-    FROM documents d
-    LEFT JOIN ({_ORACLES["llm_dedup_keep"]}) dk ON dk.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_repetition"]}) rep ON rep.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_contamination"]}) cont ON cont.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_quality_filter"]}) q ON q.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_domain_cap"]}) dc ON dc.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_stratified_sample"]}) samp
-      ON samp.doc_id = d.doc_id
-    LEFT JOIN ({_ORACLES["llm_importance_weights"]}) iw
-      ON iw.doc_id = d.doc_id
+    WITH pre AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(d.doc_id AS VARCHAR)) AS k,
+             (d.doc_id % 10 = 0) AS is_eval,
+             (dk.doc_id IS NOT NULL) AS dedup_keep,
+             NOT COALESCE(rep.gopher_fail, FALSE) AS gopher_ok,
+             (cont.contaminated_frac IS NULL OR cont.contaminated_frac < 0.5)
+               AS clean,
+             q.keep AS quality_ok,
+             samp.keep AS sampled,
+             (d.doc_id % 10 <> 0 AND dk.doc_id IS NOT NULL
+              AND NOT COALESCE(rep.gopher_fail, FALSE)
+              AND (cont.contaminated_frac IS NULL
+                   OR cont.contaminated_frac < 0.5)
+              AND q.keep AND samp.keep) AS pre_keep,
+             iw.weight AS weight
+      FROM documents d
+      LEFT JOIN ({_ORACLES["llm_dedup_keep"]}) dk ON dk.doc_id = d.doc_id
+      LEFT JOIN ({_ORACLES["llm_repetition"]}) rep ON rep.doc_id = d.doc_id
+      LEFT JOIN ({_ORACLES["llm_contamination"]}) cont
+        ON cont.doc_id = d.doc_id
+      LEFT JOIN ({_ORACLES["llm_quality_filter"]}) q ON q.doc_id = d.doc_id
+      LEFT JOIN ({_ORACLES["llm_stratified_sample"]}) samp
+        ON samp.doc_id = d.doc_id
+      LEFT JOIN ({_ORACLES["llm_importance_weights"]}) iw
+        ON iw.doc_id = d.doc_id
+    ), capped AS (
+      SELECT *,
+             COALESCE(SUM(CASE WHEN pre_keep THEN n_tokens ELSE 0 END)
+               OVER (PARTITION BY source ORDER BY k, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM pre
+    )
+    SELECT doc_id, is_eval, dedup_keep, gopher_ok, clean, quality_ok,
+           CASE WHEN pre_keep THEN cum_before < 100 END AS within_cap,
+           sampled,
+           (pre_keep AND COALESCE(
+              CASE WHEN pre_keep THEN cum_before < 100 END, FALSE)) AS keep,
+           weight
+    FROM capped
 """
 
 
@@ -1157,7 +1183,14 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean mass ≤ 0.30), per-domain quality-percentile gate, per-domain
     token-budget cap, stratified domain-mix sampling. Emitting flags
     for ALL docs (not the filtered set) keeps every gate row-level
-    verifiable and gives the pipeline its audit table for free."""
+    verifiable and gives the pipeline its audit table for free.
+
+    The token cap runs LAST, over the documents that survive every
+    other gate (see the note above _PREP_ORACLE): rejected documents
+    contribute zero tokens to the conditional window cumsum, so the
+    budget fills with actual training tokens — and the whole cap is
+    one window pass, no second corpus scan. within_cap is NULL for
+    docs the upstream gates rejected (never considered)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     dk = llm_dedup_keep(spark, sf_dir).withColumn("dk", F.lit(True))
     iw = llm_importance_weights(spark, sf_dir).select("doc_id", "weight")
@@ -1168,22 +1201,23 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = llm_quality_filter(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("quality_ok")
     )
-    cap = llm_domain_cap(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("within_cap")
-    )
     samp = llm_stratified_sample(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("samp_keep")
     )
-    return (
-        docs.select("doc_id", (F.col("doc_id") % 10 == 0).alias("is_eval"))
+    pre = (
+        docs.select(
+            "doc_id", "source",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("k"),
+            (F.col("doc_id") % 10 == 0).alias("is_eval"),
+        )
         .join(dk, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(cont, "doc_id", "left")
         .join(qual, "doc_id", "left")
-        .join(cap, "doc_id", "left")
         .join(samp, "doc_id", "left")
         .select(
-            "doc_id",
+            "doc_id", "source", "n_tokens", "k",
             "is_eval",
             F.coalesce(F.col("dk"), F.lit(False)).alias("dedup_keep"),
             (~F.coalesce(F.col("gopher_fail"), F.lit(False))).alias("gopher_ok"),
@@ -1192,14 +1226,42 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("contaminated_frac") < 0.5)
             ).alias("clean"),
             "quality_ok",
-            "within_cap",
             F.col("samp_keep").alias("sampled"),
         )
         .withColumn(
-            "keep",
+            "pre_keep",
             ~F.col("is_eval") & F.col("dedup_keep") & F.col("gopher_ok")
-            & F.col("clean") & F.col("quality_ok") & F.col("within_cap")
-            & F.col("sampled"),
+            & F.col("clean") & F.col("quality_ok") & F.col("sampled"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(
+            F.when(F.col("pre_keep"), F.col("n_tokens")).otherwise(0)
+        ).over(w),
+        F.lit(0),
+    )
+    within_cap = F.when(F.col("pre_keep"), F.col("cum_before") < 100)
+    return (
+        pre.withColumn("cum_before", cum_before)
+        .select(
+            "doc_id", "is_eval", "dedup_keep", "gopher_ok", "clean",
+            "quality_ok",
+            within_cap.alias("within_cap"),
+            "sampled",
+            (
+                F.col("pre_keep")
+                & F.coalesce(
+                    F.when(F.col("pre_keep"), F.col("cum_before") < 100),
+                    F.lit(False),
+                )
+            ).alias("keep"),
         )
         .join(iw, "doc_id", "left")
     )

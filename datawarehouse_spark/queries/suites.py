@@ -170,9 +170,9 @@ SUITES: dict[str, list[Member]] = {
         ("j13_theta_join", ["n_name"], ["n_orders"]),
     ],
     # §2.10 pivot / unpivot (X3) + rule/mining tag profiles (X4) —
-    # merged into one row to keep the driver registry at 50 entries
-    # after suite_tpch joined (fidelity unchanged: every member is
-    # still row-level hash-verified)
+    # merged into one row to keep the driver registry within the ~50-
+    # entry budget when suite_tpch joined (fidelity unchanged: every
+    # member is still row-level hash-verified)
     "suite_reshape_profiles": [
         ("x3_pivot_wide_tags", [],
          ["user_id", "click", "view", "purchase", "signup", "error"]),

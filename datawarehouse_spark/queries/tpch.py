@@ -229,20 +229,30 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 — volume shipping between two nations: the two nation
-    aliases broadcast; the OR-of-nation-pairs predicate is applied after
-    the joins exactly as specified (Catalyst cannot split it into a
-    union without changing the plan semantics — and need not: both
-    broadcast joins are map-side)."""
+    """TPC-H Q7 — volume shipping between two nations. Both nation
+    aliases are pre-filtered to the two participating nations and
+    broadcast onto supplier and customer BEFORE the fact-side joins, so
+    rows from the other ~23 nations die before any shuffle instead of
+    riding the lineitem→orders→customer shuffles only to be discarded
+    at the end (Catalyst does not reorder the join to do this for us).
+    The OR-of-ordered-pairs residual still applies after the joins to
+    exclude the same-nation combinations."""
     t = load_tables(
         spark, sf_dir,
         ("supplier", "lineitem", "orders", "customer", "nation"),
     )
-    n1 = t["nation"].select(
+    nations = ("NATION_3", "NATION_8")
+    n1 = t["nation"].filter(F.col("n_name").isin(*nations)).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = t["nation"].select(
+    n2 = t["nation"].filter(F.col("n_name").isin(*nations)).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s2 = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    c2 = t["customer"].join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
     )
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -253,12 +263,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     )
     return (
-        t["supplier"]
-        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        s2.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(c2, F.col("c_custkey") == F.col("o_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation",
@@ -446,15 +453,19 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 — top supplier: the revenue "view" feeds both the join
-    and the scalar MAX. The MAX is taken as an unpartitioned window
-    over the PER-SUPPLIER AGGREGATE (post-shuffle: one skinny row per
-    supplier), so lineitem is scanned exactly once — the naive
-    scalar-subquery form duplicates the whole revenue subtree and scans
-    the fact table twice. Revenue equality is exact: both engines
-    produce the identical decimal-sum double per qutil."""
-    from pyspark.sql import Window as W
-
+    """TPC-H Q15 — top supplier: the revenue "view" (TPC-H defines it
+    as a VIEW) feeds both the join and the scalar MAX. It is persisted
+    — one lineitem scan materializes the per-supplier aggregate, the
+    MAX is a tree-reduced aggregate over the cached rows, and the
+    equality join reads them again — because neither ReuseExchange nor
+    AQE dedups the duplicated subtree (verified empirically, same
+    finding as dedup.lsh_candidates), and the alternative single-scan
+    form (an unpartitioned window) funnels every per-supplier row
+    through ONE task — a spill cliff when suppliers number billions.
+    Same eager-localCheckpoint + finally-unpersist discipline as
+    lsh_candidates, so no cached blocks outlive the call. Revenue
+    equality is exact: both engines produce the identical decimal-sum
+    double per qutil."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -463,15 +474,20 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(_rev(), 4).alias("total_revenue"))
+        .persist()
     )
-    top = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
-    return (
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    out = (
         t["supplier"]
-        .join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        revenue.unpersist()
+    return out
 
 
 @query(

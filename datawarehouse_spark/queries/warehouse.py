@@ -468,6 +468,11 @@ def t10_stream_batch_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
+    SELECT 'orders_status_nonnull',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
     SELECT 'lineitem_qty_nonnull',
            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
@@ -503,11 +508,15 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "lineitem", "customer"))
     o, li, c = t["orders"], t["lineitem"], t["customer"]
 
+    # the enum check is NULL-blind by SQL semantics (NULL NOT IN (...)
+    # is NULL), so it is PAIRED with an explicit not-null check — the
+    # dbt accepted_values + not_null combination
     o_stats = o.agg(
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk"),
         F.sum(
             (~F.col("o_orderstatus").isin("F", "P", "O")).cast("bigint")
         ).alias("enum"),
+        F.sum(F.col("o_orderstatus").isNull().cast("bigint")).alias("st_nn"),
     )
     li_stats = li.agg(
         F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("nn"),
@@ -532,8 +541,9 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # union reads each aggregate ONCE — selecting the same agg twice
     # would duplicate its whole scan subtree
     o_rows = o_stats.selectExpr(
-        "stack(2, 'orders_pk_unique', CAST(pk AS BIGINT), "
-        "'orders_status_enum', CAST(enum AS BIGINT)) "
+        "stack(3, 'orders_pk_unique', CAST(pk AS BIGINT), "
+        "'orders_status_enum', CAST(enum AS BIGINT), "
+        "'orders_status_nonnull', CAST(st_nn AS BIGINT)) "
         "AS (check_name, n_violations)"
     )
     li_rows = li_stats.selectExpr(

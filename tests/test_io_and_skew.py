@@ -267,7 +267,7 @@ def test_dq_audit_counts_injected_violations(spark, tmp_path):
     from datawarehouse_spark.queries.warehouse import dq_audit
 
     spark.createDataFrame(
-        [(1, 1, "F"), (1, 2, "F"), (2, 1, "X"), (3, 99, "O")],
+        [(1, 1, "F"), (1, 2, "F"), (2, 1, "X"), (3, 99, "O"), (4, 2, None)],
         "o_orderkey long, o_custkey long, o_orderstatus string",
     ).write.parquet(f"{tmp_path}/orders.parquet")
     spark.createDataFrame(
@@ -282,7 +282,8 @@ def test_dq_audit_counts_injected_violations(spark, tmp_path):
            for r in dq_audit(spark, str(tmp_path)).collect()}
     assert got == {
         "orders_pk_unique": 1,        # orderkey 1 twice
-        "orders_status_enum": 1,      # 'X'
+        "orders_status_enum": 1,      # 'X' (NULL is invisible to NOT IN)
+        "orders_status_nonnull": 1,   # the NULL the enum check misses
         "lineitem_qty_nonnull": 1,    # None qty
         "lineitem_discount_range": 1, # 1.5
         "orders_fk_customer": 1,      # custkey 99

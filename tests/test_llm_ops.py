@@ -262,25 +262,28 @@ def test_pii_redact_constructed_examples(spark):
 
 
 def test_corpus_prep_keep_is_conjunction_of_gates(spark):
-    """keep == NOT is_eval AND dedup_keep AND gopher_ok AND clean AND
-    quality_ok AND within_cap AND sampled, every doc gets exactly one
-    decision, and the eval split plus at least one quality gate
-    actually drop documents."""
+    """keep == every-upstream-gate AND within_cap, where the token cap
+    is budgeted over upstream-surviving docs only: within_cap is NULL
+    exactly for docs some other gate already rejected, every doc gets
+    one decision, and each gate actually drops documents."""
     from datawarehouse_spark.queries.llm import llm_corpus_prep
 
     out = llm_corpus_prep(spark, SF_ORACLE).collect()
     docs_n = 500
     assert len(out) == docs_n
     for r in out:
-        assert r.keep == (
+        pre = (
             (not r.is_eval) and r.dedup_keep and r.gopher_ok
-            and r.clean and r.quality_ok and r.within_cap and r.sampled
+            and r.clean and r.quality_ok and r.sampled
         )
+        assert (r.within_cap is None) == (not pre)
+        assert r.keep == (pre and bool(r.within_cap))
     assert sum(r.is_eval for r in out) == docs_n // 10
     assert any(not r.dedup_keep for r in out)
     assert any(not r.sampled for r in out)
     assert any(not r.quality_ok for r in out)
-    assert any(not r.within_cap for r in out)
+    assert any(r.within_cap is False for r in out)
+    assert any(r.within_cap is True for r in out)
     kept = sum(r.keep for r in out)
     assert 0 < kept < docs_n
 
