@@ -127,12 +127,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # the continuing round-over-round series: the fine-grained headline
+    # set benched since r1, so the full-registry widening (r6+) doesn't
+    # read as a regression of the historical total
+    legacy = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "legacy_headline_total": legacy,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
