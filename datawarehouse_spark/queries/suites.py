@@ -246,12 +246,6 @@ SUITES: dict[str, list[Member]] = {
         # PII scrub: redacted text is an exact string key
         ("llm_pii_redact", ["redacted"],
          ["doc_id", "n_email", "n_ip", "n_phone"]),
-        # end-to-end corpus materialization: per-gate audit flags +
-        # DSIR resampling weight for the surviving docs
-        ("llm_corpus_prep",
-         ["is_eval", "dedup_keep", "gopher_ok", "clean", "quality_ok",
-          "within_cap", "sampled", "keep"],
-         ["doc_id", "weight"]),
         # incremental ingestion dedup: new batch vs existing corpus
         ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
          ["doc_id"]),
@@ -311,6 +305,11 @@ FINAL_ORDER: list[str] = [
     "t5_session_window_batch",
     "t6_interval_attribution_batch",
     "suite_text_metrics",
+    # the end-to-end corpus pipeline is the single heaviest entry (it
+    # recomputes the dedup keep-list, contamination scan, repetition,
+    # quality band, cap and DSIR weights in one job) — standalone so
+    # the driver verifies and the bench times it as its own line
+    "llm_corpus_prep",
     "llm_exact_dedup",
     "llm_minhash_signature",
     "llm_minhash_lsh_candidates",
