@@ -3,11 +3,19 @@ oracle must match DuckDB exactly (mirrors the driver's t2 check)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from datawarehouse_spark.queries import ORACLES, QUERIES, QUERIES_RAW, TESTS_ONLY
 from tests.conftest import SF_ORACLE
 from tests.oracle_compare import compare_query
+
+
+#: the driver's correctness gate runs at sf0.01 — non-emptiness is
+#: asserted THERE (SF_ORACLE defaults to sf0.001 for local speed, where
+#: a handful of selective members are legitimately empty)
+SF_DRIVER = os.environ.get("SPARK_GRAFT_DRIVER_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -29,3 +37,41 @@ def test_tests_only_queries_run(spark, name):
     tests/test_llm_ops.py / test_engine_and_multimodal.py."""
     df = QUERIES_RAW[name](spark, SF_ORACLE)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize(
+    "suite_name", sorted(__import__(
+        "datawarehouse_spark.queries.suites", fromlist=["SUITES"]
+    ).SUITES)
+)
+def test_suite_members_nonempty(spark, suite_name):
+    """A suite row stays green if ONE member silently goes empty (its
+    siblings keep the union non-empty and the oracle matches
+    vacuously). Every member must contribute at least one row AT THE
+    DRIVER'S sf0.01 — emptiness there means fixture drift killed a
+    filter and the member verifies nothing."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_spark.queries.suites import SUITES
+
+    df = QUERIES[suite_name](spark, SF_DRIVER)
+    counts = {
+        r["op"]: r["n"]
+        for r in df.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = [t for t, _, _ in SUITES[suite_name] if not counts.get(t)]
+    assert not missing, f"{suite_name}: empty members {missing}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(QUERIES) - set(__import__(
+        "datawarehouse_spark.queries.suites", fromlist=["SUITES"]
+    ).SUITES))
+)
+def test_standalone_entries_nonempty(spark, name):
+    """Standalone driver entries must return rows at the driver's
+    sf0.01 — an empty result hash-matches an empty oracle vacuously
+    (the known fixture-regeneration failure mode)."""
+    assert QUERIES[name](spark, SF_DRIVER).head(1), (
+        f"{name} empty at sf0.01 — fixture drift?"
+    )
