@@ -43,9 +43,11 @@ minus the comment/address/shipmode/commitdate/receiptdate columns):
 
 Scale notes (100 TB): every query below is a declarative plan —
 filters reach the parquet scan, nation/region broadcast, lineitem is
-never shuffled more than once per aggregation, and the Q15/Q17
-aggregate-then-join forms avoid re-scanning lineitem for the correlated
-subquery. No collect, no Python in any hot path.
+never shuffled more than once per aggregation, and the correlated
+subqueries never re-scan the fact table (Q17/Q21 via windows over
+reduced rows; Q15 by materializing the TPC-H revenue VIEW once —
+executor-local blocks, not a driver collect). No driver-side loops, no
+Python in any hot path.
 """
 
 from __future__ import annotations
