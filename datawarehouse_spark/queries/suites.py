@@ -182,10 +182,11 @@ SUITES: dict[str, list[Member]] = {
         ("x4_mining_tag_scores", [], ["user_id", "score"]),
     ],
     # TPC-H workload suite (SURVEY §6's "TPC-H-class" claim made
-    # runnable; Q1/Q18/Q22 live on as a1/a19/p13 → 18 of 22 queries
-    # covered, the other 4 are structurally partsupp-bound — see
-    # queries/tpch.py)
+    # runnable; Q1/Q18/Q22 live on as a1/a19/p13 → all 22 queries
+    # covered, the 4 partsupp queries via the lineitem-derived
+    # part-supplier relation — see queries/tpch.py)
     "suite_tpch": [
+        ("tpch_q2", ["s_name", "n_name"], ["s_acctbal", "p_partkey"]),
         ("tpch_q3", ["o_date"], ["l_orderkey", "revenue"]),
         ("tpch_q4", ["o_orderpriority"], ["order_count"]),
         ("tpch_q5", ["n_name"], ["revenue"]),
@@ -194,12 +195,15 @@ SUITES: dict[str, list[Member]] = {
         ("tpch_q8", [], ["o_year", "mkt_share"]),
         ("tpch_q9", ["nation"], ["o_year", "sum_profit"]),
         ("tpch_q10", ["c_name", "n_name"], ["c_custkey", "revenue", "c_acctbal"]),
+        ("tpch_q11", [], ["l_partkey", "value"]),
         ("tpch_q12", ["l_returnflag"], ["high_line_count", "low_line_count"]),
         ("tpch_q13", [], ["c_count", "custdist"]),
         ("tpch_q14", [], ["promo_revenue"]),
         ("tpch_q15", ["s_name"], ["s_suppkey", "total_revenue"]),
+        ("tpch_q16", ["p_brand", "p_type"], ["p_size", "supplier_cnt"]),
         ("tpch_q17", [], ["avg_yearly"]),
         ("tpch_q19", [], ["revenue"]),
+        ("tpch_q20", ["s_name"], ["s_acctbal"]),
         ("tpch_q21", ["s_name"], ["numwait"]),
     ],
     # LLM text metrics + corpus prep: fingerprints, quality, language-ID,
