@@ -251,3 +251,50 @@ def test_chunk_documents_equals_python_reference(spark, docs, chunk, stride_off)
                  " ".join(toks[start:end]), end - start)
             )
     assert got == sorted(want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 3),
+                  st.integers(1, 50), st.integers(100, 999)),
+        min_size=1, max_size=40,
+    ),
+    brands=st.sets(st.integers(0, 4), min_size=1, max_size=3),
+)
+@_SETTINGS
+def test_q17_window_avg_equals_aggregate_join(spark, rows, brands):
+    """The Q17 single-scan form is only sound because the part filter
+    admits WHOLE partkey groups: the windowed per-partkey average over
+    the brand-filtered join must equal the aggregate-then-join average
+    computed over the full table. If someone adds a lineitem-level
+    filter before the window, this property breaks loudly."""
+    from pyspark.sql import Window as W
+
+    li = _df(spark, [(pk, 0, q, p) for pk, _, q, p in rows],
+             ["l_partkey", "pad", "l_quantity", "l_extendedprice"])
+    part = spark.createDataFrame(
+        [(pk, f"B{pk % 5}") for pk in range(5)],
+        "p_partkey long, p_brand string",
+    ).filter(F.col("p_brand").isin([f"B{b}" for b in brands]))
+
+    w = W.partitionBy("l_partkey")
+    window_form = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn(
+            "avg_qty",
+            F.sum(F.col("l_quantity").cast("decimal(38,2)")).over(w)
+            .cast("double") / F.count("l_quantity").over(w),
+        )
+        .select("l_partkey", "l_quantity", "avg_qty")
+    )
+    agg_form = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double")
+             / F.count("l_quantity")).alias("avg_qty")
+        )
+        .join(li.join(part, F.col("p_partkey") == F.col("l_partkey")),
+              F.col("pk") == F.col("l_partkey"))
+        .select("l_partkey", "l_quantity", "avg_qty")
+    )
+    assert _rowset(window_form) == _rowset(agg_form)
