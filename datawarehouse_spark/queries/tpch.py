@@ -765,16 +765,23 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
         F.col("n_regionkey") == F.col("r_regionkey"),
     )
-    ps = (
+    # distinct on the NARROW key pair first (16 bytes/row through the
+    # dedup shuffle), then attach supplier attributes — they are
+    # functionally determined by s_suppkey, so this equals the oracle's
+    # distinct over the wide row but never shuffles names/balances
+    pairs = (
         t["lineitem"]
         .join(
             t["part"].filter(F.col("p_size") <= 10),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("p_partkey", "l_suppkey")
+        .distinct()
+    )
+    ps = (
+        pairs.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
-        .distinct()
     )
     w = W.partitionBy("p_partkey")
     return (
