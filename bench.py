@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line: {"metric", "value", "unit", "legacy_headline_total",
+"queries", "sf"} — legacy_headline_total sums the r1-era HEADLINE set
+so the series stays comparable after the r6 full-registry widening.
 
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver) — the honest measure of operator cost.
