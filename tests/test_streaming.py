@@ -232,3 +232,77 @@ def test_foreach_batch_epoch_replay_is_exactly_once(spark, tmpdir):
     )
     assert mtime_after > mtime_before, "the lost epoch must actually replay"
     assert spark.read.parquet(out).count() == n, "replay must not duplicate"
+
+
+def test_continuous_ingestion_dedup_stream(spark, tmpdir):
+    """The production shape of incremental dedup: a document stream
+    consumed micro-batch by micro-batch, each batch tested against the
+    ACCUMULATED corpus (foreachBatch + incremental_dedup), survivors
+    appended. Cross-batch exact and near duplicates must be dropped;
+    within-run work stays O(batch), never corpus². (The batch twin is
+    the oracle-checked llm_incremental_dedup.)"""
+    import os
+
+    from datawarehouse_spark.operators import dedup
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    batches = [
+        [(1, base + " one"), (2, "completely different text here alpha")],
+        # 3 = exact dup of 1 (cross-batch); 4 = near-dup of 1; 5 = fresh
+        [(3, base + " one"), (4, base + " two"),
+         (5, "another unrelated document beta gamma")],
+    ]
+    src = f"{tmpdir}/incoming"
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        staged = f"{tmpdir}/stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(staged)
+        part = next(
+            f for f in os.listdir(staged) if f.endswith(".parquet")
+        )
+        # the file stream source lists plain files, not directories
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    corpus_dir = f"{tmpdir}/corpus"
+
+    def ingest(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        if os.path.isdir(corpus_dir):
+            corpus = s.read.parquet(corpus_dir)
+            flags = dedup.incremental_dedup(
+                batch_df, corpus, threshold=0.5, n=3
+            )
+            keep_ids = [r.doc_id for r in flags.filter("keep").collect()]
+            accepted = batch_df.filter(F.col("doc_id").isin(keep_ids))
+        else:
+            # first batch bootstraps the corpus (no prior state to
+            # dedup against; within-batch dedup is llm_exact_dedup's
+            # job upstream)
+            accepted = batch_df
+        accepted.write.mode("append").parquet(corpus_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    final = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    # batch order within the stream is file order: b0 then b1
+    assert 1 in final and 2 in final and 5 in final
+    assert 3 not in final, "cross-batch exact dup must be dropped"
+    assert 4 not in final, "cross-batch near dup must be dropped"
+    texts = [r.text for r in spark.read.parquet(corpus_dir).collect()]
+    assert len(texts) == len(set(texts)), "corpus contains exact dups"
