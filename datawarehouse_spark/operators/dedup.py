@@ -665,21 +665,35 @@ def simhash_near_dup(sim: DataFrame, id_col: str = "doc_id",
     (slice_idx, slice_bits) — O(Σ bucket²), never O(n²). Candidates are
     then verified exactly with bit_count(xor) — all JVM expressions.
     """
-    if n_slices <= max_hamming:
-        raise ValueError("need n_slices > max_hamming for full recall")
-    # ceil, NOT floor+1: 9 slices need width 7 (offsets 0..56). A width
-    # putting the last offset at ≥64 would wrap (JVM shifts are mod 64)
-    # and silently duplicate slice 0 — breaking the pigeonhole bound.
+    # Slices must PARTITION bits 0..62 exactly. Deriving offsets as
+    # i*width for i in range(n_slices) has two silent failure modes:
+    # an offset landing ON bit 63 yields a slice of the always-zero
+    # sign bit — every signature shares that bucket and the join
+    # degenerates to the O(n²) product this op exists to avoid (e.g.
+    # n_slices=10 → width 7 → offset 63); and offsets ≥ 64 wrap (JVM
+    # shifts are mod 64), aliasing earlier slices and BREAKING the
+    # pigeonhole recall bound (e.g. n_slices=43 → width 2 → offset 84
+    # ≡ 20). So: width = ceil(63/n_slices), offsets = range(0,63,width)
+    # — never degenerate, never wrapping — and the pigeonhole guard
+    # checks the EFFECTIVE slice count (which caps at ceil(63/width),
+    # possibly below the requested n_slices).
     width = -(-63 // n_slices)
+    offsets = list(range(0, 63, width))
+    if len(offsets) <= max_hamming:
+        raise ValueError(
+            f"n_slices={n_slices} yields only {len(offsets)} distinct "
+            f"slices over 63 bits; pigeonhole recall needs more than "
+            f"max_hamming={max_hamming}"
+        )
     slices = F.array(
         *[
             F.struct(
                 F.lit(i).alias("slice_idx"),
-                F.shiftrightunsigned(F.col(sig_col), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                F.shiftrightunsigned(F.col(sig_col), off)
+                .bitwiseAND(F.lit((1 << min(width, 63 - off)) - 1))
                 .alias("slice_bits"),
             )
-            for i in range(n_slices)
+            for i, off in enumerate(offsets)
         ]
     )
     ex = sim.select(id_col, sig_col, F.explode(slices).alias("sl")).select(

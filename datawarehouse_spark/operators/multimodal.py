@@ -101,10 +101,16 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
 def frame_sample(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
     """'Frame sampling' stub: slice the payload at a fixed stride —
     structurally identical to video frame extraction (one row in, many
-    frame rows out) via posexplode."""
+    frame rows out) via posexplode. A payload shorter than the stride
+    yields ONE partial frame; an empty payload yields none. (The naive
+    `sequence(0, n-1)` is a trap here: for n = 0 Spark defaults the
+    step to -1 and returns [0, -1] — two fabricated frames.)"""
     frames = F.expr(
-        f"transform(sequence(0, CAST(length(payload)/{every_n_bytes} AS INT) - 1), "
-        f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
+        f"CASE WHEN payload IS NULL OR length(payload) = 0 "
+        f"THEN array() "
+        f"ELSE transform("
+        f"sequence(0, CAST(ceil(length(payload) / {every_n_bytes}) AS INT) - 1), "
+        f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes})) END"
     )
     return media.select(
         "media_id",

@@ -75,7 +75,7 @@ def hyperplane_lsh_buckets(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-bucket each vector against deterministic pseudo-random
     hyperplanes (components derived from md5 of (plane, dim-index) —
@@ -85,7 +85,21 @@ def hyperplane_lsh_buckets(
     vectors are ANN candidates; expected candidate fraction 2^-n_planes
     per pair for random data. This is the 100 TB path: the bucket id is
     a shuffle key, so candidate generation is a hash join, not O(n²).
+
+    ``dim`` defaults to the length of the first vector (one head()
+    probe at index-build time). Passing a WRONG dim is silently fatal:
+    ``zip_with`` null-pads the shorter side, the projection becomes
+    NULL, every bit falls to '0' and ALL vectors collapse into one
+    bucket — the candidate join degenerates to the O(n²) product this
+    function exists to avoid. Hence the explicit probe, never a
+    hardcoded default.
     """
+    if dim is None:
+        first = df.select(vec_col).head()
+        if first is None:
+            dim = 1  # empty input: any plane length bucket-tags nothing
+        else:
+            dim = len(first[0])
     # plane component p_{j,i} in [-0.5, 0.5): md5-derived uniform
     def plane_component(j: int, i: int) -> float:
         import hashlib
@@ -293,8 +307,24 @@ def nearest_cells(cents: list[list[float]], vec: str, n: int) -> Column:
             lambda acc, v: acc + v,
         )
         cnorm = sum(float(x) * float(x) for x in cvals) ** 0.5
-        cos = dot / (norm_col(vec) * F.lit(cnorm))
-        scored.append(F.struct(cos.alias("cos"), F.lit(cell).alias("cell")))
+        # zero-norm vectors (cos NULL via /0) pin to -2.0 so every cell
+        # ties and the tie-break resolves them to cell 0 — the same
+        # convention as the k-means assignment UDF
+        cos = F.coalesce(
+            dot / (norm_col(vec) * F.lit(cnorm)), F.lit(-2.0)
+        )
+        # sort key carries -cell so reversed ascending order = cos DESC,
+        # cell ASC: cosine ties break to the LOWEST cell id, matching
+        # the k-means argmax convention (reversing a (cos, cell) struct
+        # would tie to the HIGHEST cell — routing a tied vector to a
+        # different cell than the one its training statistics built)
+        scored.append(
+            F.struct(
+                cos.alias("cos"),
+                F.lit(-cell).alias("neg_cell"),
+                F.lit(cell).alias("cell"),
+            )
+        )
     ranked = F.reverse(F.array_sort(F.array(*scored)))
     return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
 
@@ -407,13 +437,20 @@ def ann_topk_lsh(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket join, exact cosine re-rank within
-    candidates. Recall < 1 by construction (documented approximate op)."""
-    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col).join(
+    candidates. Recall < 1 by construction (documented approximate op).
+    ``dim`` is probed from the corpus when not given — corpus and
+    queries must share it (see hyperplane_lsh_buckets on why a wrong
+    dim silently degenerates to one bucket)."""
+    if dim is None:
+        first = corpus.select(vec_col).head()
+        dim = len(first[0]) if first is not None else 1
+    cb = hyperplane_lsh_buckets(corpus, n_planes, id_col, vec_col, dim).join(
         corpus, id_col
     )
-    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col).join(
+    qb = hyperplane_lsh_buckets(queries, n_planes, id_col, vec_col, dim).join(
         queries, id_col
     )
     q = qb.select(

@@ -86,6 +86,13 @@ def split_skew_join(
     pays the ×n_salt replication, unlike full-expansion salting (J6)
     which replicates the whole small side.
     """
+    if key_big == key_small:
+        raise ValueError(
+            f"split_skew_join: key_big and key_small are both "
+            f"'{key_big}' — F.col('{key_big}') == F.col('{key_big}') is "
+            "ambiguous across the two sides; rename one side's key "
+            "first (mirrors salted_join's loud mode guard)"
+        )
     hot = (
         big.groupBy(key_big)
         .agg(F.count(F.lit(1)).alias("_cnt"))

@@ -61,19 +61,26 @@ def asof_join(
             "for internal tagging; rename them first"
         )
 
+    # the right row travels as ONE struct, non-null exactly on right
+    # rows: per-column last(ignorenulls) would skip a matched right
+    # row whose individual value is NULL and stitch together columns
+    # from DIFFERENT right rows — the struct keeps the match atomic
+    # (a matched row with NULL members stays the match, as in DuckDB
+    # ASOF / pandas merge_asof)
+    rv_schema = ",".join(f"`{c}`:{rtypes[c]}" for c in rvals)
     r = right.select(
         on,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *rvals,
+        F.struct(*rvals).alias("_rv"),
     )
     l = left.select(
         on,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_tag"),
         *lcols,
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rvals],
+        F.lit(None).cast(f"struct<{rv_schema}>").alias("_rv"),
     )
     merged = r.unionByName(l)
     w = (
@@ -85,6 +92,12 @@ def asof_join(
         on,
         "_tag",
         *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rvals],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
-    return resolved.filter(F.col("_tag") == 1).drop("_tag")
+    return (
+        resolved.filter(F.col("_tag") == 1)
+        .select(
+            on, *lcols,
+            *[F.col("_rv").getField(c).alias(c) for c in rvals],
+        )
+    )

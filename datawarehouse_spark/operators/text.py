@@ -52,11 +52,16 @@ def bpe_token_count(text: str = "text") -> Column:
     )
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+def language_id(df: DataFrame, id_col: str = "doc_id", text: str = "text",
+                label_col: str | None = "lang") -> DataFrame:
     """Stopword-vote language ID: argmax over per-language hit counts.
 
     Deterministic tie-break by language code order; 'und' when no
-    stopword list fires.
+    stopword list fires. ``label_col`` (the fixture's ground-truth
+    label, emitted as ``lang_label`` for accuracy checks) is attached
+    only when the column exists — real corpora have no label, which is
+    the whole point of the classifier; pass ``label_col=None`` or just
+    a DataFrame without the column.
     """
     hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
     best = F.greatest(*hits.values())
@@ -65,7 +70,10 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     for lang in sorted(STOPWORDS, reverse=True):
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
-    return df.select(id_col, F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+    cols = [F.col(id_col)]
+    if label_col and label_col in df.columns:
+        cols.append(F.col(label_col).alias("lang_label"))
+    return df.select(*cols, pred.alias("lang_pred"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -131,10 +139,12 @@ def train_split(df: DataFrame, id_col: str = "doc_id",
     """Deterministic hash-based train/val split — the standard
     training-corpus partitioner. md5-derived bucket (not rand()) so the
     split is stable across runs, engines, and re-partitioning; changing
-    membership requires changing the id, never the execution plan."""
+    membership requires changing the id, never the execution plan.
+    32-bit hash prefix: 2^32 mod 100 biases the split by ~2e-8
+    (a 16-bit prefix would run ~0.15% hot on buckets 0-35)."""
     bucket = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
     )
     return df.select(
         F.col(id_col),
@@ -226,6 +236,12 @@ def stratified_sample(
     stratum's rate never perturbs another's sample. The rate table is
     a tiny literal CASE chain — no join.
 
+    The bucket takes 8 hex chars (32 bits) of the md5: 2^32 mod 10000
+    leaves a relative rate bias of ~2e-6. (A 16-bit prefix — the
+    obvious 4-char choice — is visibly non-uniform mod 10000: low
+    residues occur 7/65536 vs 6/65536, over-sampling every rate below
+    0.554 by ~6.8% relative.)
+
     Output: (id, stratum, keep) for every row — downstream consumers
     filter ``keep`` (emitting the decision, not the filtered set, is
     what makes the op row-level verifiable).
@@ -239,11 +255,11 @@ def stratified_sample(
                     )
                 ),
                 1,
-                4,
+                8,
             ),
             16,
             10,
-        ).cast("int")
+        ).cast("bigint")
         % 10000
     )
     permyriad = None
@@ -266,15 +282,27 @@ def stratified_sample(
 def sequence_packing(df: DataFrame, id_col: str = "doc_id",
                      text: str = "text", budget: int = 4096,
                      n_shards: int = 8) -> DataFrame:
-    """Sequence packing: bin documents into fixed token-budget packs —
-    the trainer-side batching step (context-length packing).
+    """Sequence packing: bin documents into token-budget packs — the
+    trainer-side batching step (context-length packing).
 
     Greedy-by-id within a shard: shard = id mod n_shards (the
     parallelism unit — packing is embarrassingly parallel per shard at
     any scale), then a running token cumsum assigns pack_id =
     floor((cumsum-1)/budget). One window shuffle per shard key;
     deterministic and SQL-expressible, unlike first-fit-decreasing
-    (whose global order dependence defeats distribution)."""
+    (whose global order dependence defeats distribution).
+
+    Budget semantics — concatenate-and-wrap, NOT strict bin capacity:
+    a document is assigned to the pack where its cumulative range ENDS,
+    so a pack containing a boundary-straddling document can exceed
+    ``budget`` by up to that document's length minus one token (e.g.
+    budget 8, docs of 3/6/7 tokens → packs {3} and {6,7}=13). This is
+    the streaming "fill, carry the straddler, continue" model trainers
+    pair with truncation; exact capacity-respecting greedy is
+    inherently sequential per shard (non-associative) and would trade
+    the one-window SQL-expressible plan for applyInPandas. Callers
+    needing hard caps must pre-split documents longer than ``budget``
+    (chunk_documents) and accept ≤ one straddler of slack per pack."""
     from pyspark.sql import Window as W
 
     toks = df.select(
@@ -558,13 +586,21 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
         raise ValueError(f"need 0 < stride <= chunk_tokens, "
                          f"got {stride}/{chunk_tokens}")
     toks = F.split(F.col(text_col), " ")
+    # drop trailing starts whose chunk is fully contained in the
+    # previous chunk (previous end s-stride+chunk already reached the
+    # doc end): with overlap, the naive start grid emits one redundant
+    # tail chunk per document — pure index bloat for a RAG store
     out = (
         df.select(F.col(id_col), toks.alias("_toks"))
         .select(
             id_col,
             "_toks",
             F.explode(
-                F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+                F.filter(
+                    F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride)),
+                    lambda s: (s == 0)
+                    | (s + (chunk_tokens - stride) < F.size("_toks")),
+                )
             ).alias("tok_start"),
         )
         .select(

@@ -489,8 +489,8 @@ def llm_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_train_split",
     oracle="""
     SELECT doc_id,
-           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                     AS INTEGER) % 100 < 5
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 < 5
                 THEN 'val' ELSE 'train' END AS split
     FROM documents
     """,
@@ -623,7 +623,7 @@ def llm_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang,
            (CAST('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)),
-                                1, 4) AS INTEGER) % 10000)
+                                1, 8) AS BIGINT) % 10000)
              < (CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 8000
                 ELSE 10000 END) AS keep
     FROM documents
@@ -1273,7 +1273,10 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), s AS (
-      SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS tok_start
+      SELECT doc_id, toks,
+             unnest(list_filter(range(0, len(toks), 24),
+                                s -> s = 0 OR s + 8 < len(toks)))
+               AS tok_start
       FROM t
     )
     SELECT doc_id,

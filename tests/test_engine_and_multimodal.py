@@ -208,3 +208,25 @@ def test_read_lake_orc_and_text_roundtrip(spark, tmp_path):
     src.select(F.col("n_name").alias("value")).write.mode("overwrite").text(text_p)
     got_text = dw.read_lake(text_p, "text")
     assert got_text.count() == src.count()
+
+
+def test_frame_sample_short_and_empty_payload_edges(spark):
+    """Payload shorter than the stride → ONE partial frame; empty
+    payload → zero frames (never the sequence(0,-1) ghost pair);
+    non-multiple payloads keep their partial tail frame."""
+    from datawarehouse_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc")), (2, "audio", bytearray(b"")),
+         (3, "video", bytearray(b"0123456789abcdefGHIJ"))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sorted(
+        (r.media_id, r.frame_idx, bytes(r.frame_bytes))
+        for r in mm.frame_sample(media, every_n_bytes=16).collect()
+    )
+    assert rows == [
+        (1, 0, b"abc"),
+        (3, 0, b"0123456789abcdef"),
+        (3, 1, b"GHIJ"),
+    ]

@@ -596,11 +596,12 @@ def test_chunk_documents_overlap_and_validation(spark):
         r.chunk_id: r
         for r in T.chunk_documents(docs, chunk_tokens=4, stride=2).collect()
     }
-    # starts every 2 tokens: 0,2,4,6,8 — last two truncated
-    assert sorted(rows) == [0, 1, 2, 3, 4]
+    # start grid 0,2,4,6,8 — the chunk at 8 ([8,10)) is fully contained
+    # in the chunk at 6 ([6,10)) and must be dropped, not emitted
+    assert sorted(rows) == [0, 1, 2, 3]
     assert rows[0].chunk_text == "w0 w1 w2 w3"
     assert rows[1].chunk_text == "w2 w3 w4 w5"
-    assert rows[4].chunk_text == "w8 w9" and rows[4].n_chunk_tokens == 2
+    assert rows[3].chunk_text == "w6 w7 w8 w9" and rows[3].n_chunk_tokens == 4
     with pytest.raises(ValueError):
         T.chunk_documents(docs, chunk_tokens=4, stride=5)
     with pytest.raises(ValueError):
@@ -650,3 +651,42 @@ def test_quality_filter_keeps_top_band_per_source(spark):
         assert r.n_keep == expected, (r.source, r.n_keep, expected)
         if r.max_dropped is not None:
             assert r.min_kept >= r.max_dropped
+
+
+def test_lsh_buckets_infer_dim_not_hardcoded(spark):
+    """Non-64-dim embeddings must spread across buckets: a wrong plane
+    length null-pads every projection and collapses ALL vectors into
+    one bucket (silently O(n²)). dim is probed from the data now."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = {
+        r.bucket
+        for r in similarity.hyperplane_lsh_buckets(df, n_planes=6).collect()
+    }
+    assert len(buckets) > 1, "all 32-dim vectors fell into one bucket"
+
+
+def test_simhash_slices_never_degenerate_or_wrap(spark):
+    """n_slices values whose naive i*width offsets land on bit 63 (one
+    all-zero shared bucket → O(n²)) or past it (mod-64 wrap → recall
+    loss) must still partition bits 0..62 correctly: results equal the
+    n_slices=9 reference for every radius-8 pair, and no slice bucket
+    holds every document."""
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    sim = dedup.simhash64(docs)
+    ref = {(r.doc_a, r.doc_b)
+           for r in dedup.simhash_near_dup(sim, max_hamming=8,
+                                           n_slices=9).collect()}
+    for n_slices in (10, 43):
+        got = {(r.doc_a, r.doc_b)
+               for r in dedup.simhash_near_dup(sim, max_hamming=8,
+                                               n_slices=n_slices).collect()}
+        assert got == ref, f"n_slices={n_slices} changed the pair set"
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        # width 32 → only 2 effective slices; cannot cover hamming 8
+        dedup.simhash_near_dup(sim, max_hamming=8, n_slices=2)

@@ -245,6 +245,9 @@ def test_chunk_documents_equals_python_reference(spark, docs, chunk, stride_off)
     for i, (_, txt) in enumerate(rows):
         toks = txt.split(" ")
         for start in range(0, len(toks), stride):
+            # skip chunks fully contained in the previous chunk
+            if start != 0 and start + (chunk - stride) >= len(toks):
+                continue
             end = min(start + chunk, len(toks))
             want.append(
                 (i, start // stride, start, end,

@@ -113,3 +113,20 @@ def test_kmeans_centroids_deterministic(spark):
     a = kmeans_centroids(emb, n_cells=8, n_iter=2)
     b = kmeans_centroids(emb, n_cells=8, n_iter=2)
     assert a == b
+
+
+def test_asof_join_null_valued_match_stays_the_match(spark):
+    """A matched right row whose value column is NULL must BE the match
+    (DuckDB ASOF / merge_asof semantics) — not be skipped in favor of a
+    staler row, and never mix columns across different right rows."""
+    from datawarehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 10, 5.0, "a"), (1, 20, None, "b")],
+        "k long, rt long, v double, s string",
+    )
+    row = asof_join(left, right, on="k", left_time="lt",
+                    right_time="rt").collect()[0]
+    assert row.rt == 20 and row.s == "b"
+    assert row.v is None, "stale v=5.0 leaked from the t=10 row"
