@@ -694,3 +694,136 @@ def quality_percentile_filter(df: DataFrame, keep_frac: float = 0.8,
         .withColumn("pr", F.percent_rank().over(w))
         .withColumn("keep", F.col("pr") < keep_frac)
     )
+
+
+def lm_score(df: DataFrame, id_col: str = "doc_id",
+             text: str = "text") -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    KenLM-style perplexity quality filter (CCNet, Wenzek et al. 2020):
+    documents whose token sequences are improbable under a language
+    model trained on the corpus itself are flagged as noise. With no
+    external model artifacts available, the LM is the corpus's own
+    add-one-smoothed bigram model, which is exactly how the real
+    pipeline behaves when the reference corpus IS the training corpus.
+
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V), V = |distinct w2|.
+    Per doc: avg_logp = mean log2 P over its bigrams, ppl = 2^-avg_logp.
+    Docs with < 2 tokens emit n_bigrams = 0 and NULL scores.
+
+    Scale shape: bigrams are built in-row (zip_with over two array
+    slices — zero shuffle); the corpus is scanned exactly TWICE (model
+    build + scoring — rescanning columnar text beats caching a 2× token
+    stream at 100 TB), plus a doc_id-only column-pruned scan for the
+    left join. The model lineage is ONE map-combined count (shuffle
+    volume = distinct bigrams, not token instances) followed by window
+    aggregates over the vocab²-bounded count table — context counts and
+    V derive from it in the SAME lineage (no per-branch recompute of
+    the corpus scan, the round-5 double-scan bug class). The scoring
+    join shuffles the doc bigram stream once on (w1, w2); hot stopword
+    bigrams are exactly the keys partial aggregation collapses first.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text), " ")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = df.select(F.col(id_col), F.explode(bgs).alias("b")).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    # marginals via windows over the counted table: c1 (context count)
+    # and V (distinct successors) stay in one lineage — no branch ever
+    # re-aggregates the corpus scan
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    marked = (
+        c2.withColumn("c1", F.sum("c2").over(W.partitionBy("w1")))
+        .withColumn(
+            "_first_w2",
+            F.when(
+                F.row_number().over(W.partitionBy("w2").orderBy("w1")) == 1, 1
+            ).otherwise(0),
+        )
+        .withColumn("_v", F.sum("_first_w2").over(W.partitionBy()))
+    )
+    # per-bigram logp is rounded to 6 BEFORE aggregation (absorbs the
+    # ≤1-ulp libm log2 differences between engines), then summed exactly
+    # via decimal so float addition order can't move the average — the
+    # same order-independence trick as qutil.davg
+    model = marked.select(
+        "w1", "w2",
+        F.round(
+            F.log2((F.col("c2") + F.lit(1)).cast("double"))
+            - F.log2((F.col("c1") + F.col("_v")).cast("double")),
+            6,
+        ).alias("logp"),
+    )
+    scored = bg.join(model, ["w1", "w2"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_logp"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.round(F.col("avg_logp"), 6).alias("avg_logp"),
+            F.round(F.pow(F.lit(2.0), -F.col("avg_logp")), 6).alias("ppl"),
+        )
+    )
+
+
+def domain_divergence(df: DataFrame, domain_col: str = "source",
+                      text: str = "text") -> DataFrame:
+    """Per-domain distribution-shift diagnostic: KL(P_domain || P_corpus)
+    in bits over unigram token distributions, plus token/vocab volumes.
+    The data-mixing companion to DSIR (importance_weights reweights
+    documents; this measures how far each whole domain sits from the
+    corpus mix — the number a curriculum/mixture tuner actually reads).
+
+    KL is finite by construction: every domain token is a corpus token,
+    so P_corpus > 0 wherever P_domain > 0. No smoothing needed.
+
+    Scale shape: ONE corpus scan, ONE map-combined (domain, token)
+    count — shuffle volume is distinct keys, not token instances. All
+    three marginals (per-domain totals, corpus token marginal, grand
+    total) are window aggregates over the counted table, so they live
+    in the same lineage — no branch re-aggregates the corpus scan (the
+    round-5 double-scan bug class). The windowed table is
+    vocab × n_domains — broadcast-sized at any corpus scale; even the
+    single-partition grand-total window is bounded by it.
+    """
+    from pyspark.sql import Window as W
+
+    sc = (
+        df.select(F.col(domain_col), F.explode(F.split(F.col(text), " "))
+                  .alias("t"))
+        .groupBy(domain_col, "t").agg(F.count(F.lit(1)).alias("c_s"))
+    )
+    marked = (
+        sc.withColumn("n_s", F.sum("c_s").over(W.partitionBy(domain_col)))
+        .withColumn("c_t", F.sum("c_s").over(W.partitionBy("t")))
+        .withColumn("_n", F.sum("c_s").over(W.partitionBy()))
+    )
+    p_s = F.col("c_s") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("_n")
+    return (
+        marked.groupBy(domain_col)
+        .agg(
+            F.sum("c_s").cast("bigint").alias("n_tok"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            # per-term round 9 absorbs libm log2 ulp skew; exact decimal
+            # sum makes the reduction order-independent (qutil.dsum)
+            F.round(
+                F.sum(
+                    F.round(p_s * (F.log2(p_s) - F.log2(p_c)), 9)
+                    .cast("decimal(38,9)")
+                ).cast("double"),
+                6,
+            ).alias("kl_bits"),
+        )
+    )

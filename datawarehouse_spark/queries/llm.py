@@ -1297,3 +1297,79 @@ def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return text.chunk_documents(t["documents"], chunk_tokens=32, stride=24)
 
+
+
+@query(
+    "llm_lm_perplexity",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, s[i] AS w1, s[i + 1] AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d,
+           UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS v FROM c2
+    ), model AS (
+      SELECT c2.w1, c2.w2,
+             ROUND(log2(CAST(c2.c2 + 1 AS DOUBLE))
+                   - log2(CAST(c1.c1 + v.v AS DOUBLE)), 6) AS logp
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+    ), scored AS (
+      SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS avg_logp
+      FROM bg JOIN model USING (w1, w2) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(s.avg_logp, 6) AS avg_logp,
+           ROUND(POW(2.0, -s.avg_logp), 6) AS ppl
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document — the
+    CCNet/KenLM quality-filter shape (low-probability docs are noise).
+    Model marginals are window aggregates over one map-combined bigram
+    count (single lineage, no per-branch corpus re-scan); see
+    operators/text.py::lm_score for the 100 TB notes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.lm_score(t["documents"])
+
+
+@query(
+    "llm_domain_kl",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ), sc AS (
+      SELECT source, t, COUNT(*) AS c_s FROM w GROUP BY 1, 2
+    ), ns AS (
+      SELECT source, SUM(c_s) AS n_s FROM sc GROUP BY 1
+    ), ct AS (
+      SELECT t, SUM(c_s) AS c_t FROM sc GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n_s) AS n FROM ns
+    )
+    SELECT sc.source,
+           CAST(SUM(sc.c_s) AS BIGINT) AS n_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           ROUND(CAST(SUM(CAST(ROUND((sc.c_s * 1.0 / ns.n_s)
+                     * (log2(sc.c_s * 1.0 / ns.n_s)
+                        - log2(ct.c_t * 1.0 / tot.n)), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE), 6) AS kl_bits
+    FROM sc JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def llm_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain unigram KL divergence vs the corpus mix (bits) — the
+    distribution-shift number a mixture tuner reads; companion to DSIR
+    (which reweights documents; this scores whole domains). One token
+    pass, then vocab-sized arithmetic; see
+    operators/text.py::domain_divergence."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.domain_divergence(t["documents"])

@@ -253,6 +253,11 @@ SUITES: dict[str, list[Member]] = {
         # incremental ingestion dedup: new batch vs existing corpus
         ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
          ["doc_id"]),
+        # corpus-trained bigram-LM perplexity (CCNet/KenLM filter shape)
+        ("llm_lm_perplexity", [],
+         ["doc_id", "n_bigrams", "avg_logp", "ppl"]),
+        # per-domain unigram KL vs the corpus mix (data-mixing dial)
+        ("llm_domain_kl", ["source"], ["n_tok", "n_vocab", "kl_bits"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

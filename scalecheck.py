@@ -80,6 +80,13 @@ OPS = [
     "llm_chunk",
     "llm_domain_cap",
     "llm_quality_filter",
+    # bigram-LM scoring claims one token-stream shuffle + vocab²-sized
+    # model tables; domain KL claims one map-combined token pass with
+    # vocab-sized arithmetic after (replicas repeat the same text, so
+    # the vocab stays constant while the stream grows — the exact
+    # regime where both claims must show sub-linear ratios)
+    "llm_lm_perplexity",
+    "llm_domain_kl",
 ]
 
 

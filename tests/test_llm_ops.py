@@ -690,3 +690,52 @@ def test_simhash_slices_never_degenerate_or_wrap(spark):
     with pytest.raises(ValueError, match="pigeonhole"):
         # width 32 → only 2 effective slices; cannot cover hamming 8
         dedup.simhash_near_dup(sim, max_hamming=8, n_slices=2)
+
+
+def test_lm_score_properties(spark):
+    """Bigram-LM perplexity: short docs degenerate gracefully, repeated
+    corpus-dominant sequences score higher probability (lower ppl) than
+    one-off shuffled sequences, and probabilities are valid (logp < 0,
+    ppl > 1 for any nontrivial model)."""
+    from datawarehouse_spark.operators.text import lm_score
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, "dog lazy the over jumps fox brown quick the"))
+    rows.append((200, "solo"))  # 1 token -> no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_score(df).collect()}
+    assert out[200]["n_bigrams"] == 0 and out[200]["ppl"] is None
+    assert out[0]["n_bigrams"] == 8
+    # every scored doc: avg_logp < 0 and ppl = 2^-avg_logp > 1
+    for d, r in out.items():
+        if d != 200:
+            assert r["avg_logp"] < 0 and r["ppl"] > 1
+    # the 8x-repeated sentence is far more probable under the corpus
+    # model than its shuffled one-off permutation
+    assert out[0]["ppl"] < out[100]["ppl"]
+    # identical docs get identical scores
+    assert out[0]["ppl"] == out[7]["ppl"]
+
+
+def test_domain_divergence_zero_for_identical_mix(spark):
+    """KL(P_domain || P_corpus) is 0 when every domain has the same
+    token distribution, positive (never negative) otherwise, and larger
+    for a domain further from the corpus mix."""
+    from datawarehouse_spark.operators.text import domain_divergence
+
+    same = [(s, "a b c d") for s in ("x", "y", "z") for _ in range(4)]
+    df = spark.createDataFrame(same, "source string, text string")
+    for r in domain_divergence(df).collect():
+        assert r["kl_bits"] == 0.0
+        assert r["n_tok"] == 16 and r["n_vocab"] == 4
+
+    skewed = (
+        [("near", "a b c d"), ("near", "a b c a")]
+        + [("far", "z z z z"), ("far", "z z q z")]
+        + [("base", "a b c d")] * 6
+    )
+    df2 = spark.createDataFrame(skewed, "source string, text string")
+    out = {r["source"]: r for r in domain_divergence(df2).collect()}
+    assert all(r["kl_bits"] >= 0 for r in out.values())
+    assert out["far"]["kl_bits"] > out["near"]["kl_bits"] > 0
