@@ -827,3 +827,60 @@ def domain_divergence(df: DataFrame, domain_col: str = "source",
             ).alias("kl_bits"),
         )
     )
+
+
+def domain_overlap(df: DataFrame, domain_col: str = "source",
+                   text: str = "text", n: int = 3) -> DataFrame:
+    """Domain-pair overlap matrix: exact word-n-gram-shingle-set
+    Jaccard between every pair of domains. The corpus-level leakage
+    diagnostic — per-doc dedup (MinHash/LSH) answers "which documents
+    repeat"; this answers "which SOURCES share content" (mirror sites,
+    syndicated feeds, train/benchmark leakage at acquisition level).
+    Documents shorter than ``n`` tokens contribute no shingles.
+
+    Scale shape: ONE explode into distinct (domain, shingle) — the
+    distinct is map-combined, so shuffle volume is per-domain shingle
+    vocabulary, not token instances. The self-join fans out at most
+    n_domains² rows per shingle (domains are few; this is NOT a
+    doc-level pair join), and the sizes table broadcasts. At 100 TB
+    swap the string shingle for xxhash64 as the join key (the
+    ngram_jaccard_pairs trick) — the string form here is what the
+    cross-engine oracle can reproduce exactly.
+    """
+    toks = F.split(F.col(text), " ")
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    sh = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(domain_col).alias("src"), F.explode(sh_arr).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("source_a"),
+                 F.col("b.src").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("source_b"),
+                      F.col("n_sh").alias("n_b"))
+    pairs = sa.crossJoin(sb).filter(F.col("source_a") < F.col("source_b"))
+    inter_n = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            inter_n.cast("bigint").alias("n_common"),
+            F.round(
+                inter_n / (F.col("n_a") + F.col("n_b") - inter_n), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -1373,3 +1373,41 @@ def llm_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::domain_divergence."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.domain_divergence(t["documents"])
+
+
+@query(
+    "llm_domain_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source AS src,
+             s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS sh
+      FROM (SELECT source, string_split(text, ' ') AS s
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3) d,
+           UNNEST(generate_series(1, len(s) - 2)) AS u(i)
+    ), sizes AS (
+      SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT sa.src AS source_a, sb.src AS source_b,
+           CAST(sa.n_sh AS BIGINT) AS n_a,
+           CAST(sb.n_sh AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(COALESCE(i.n_common, 0) * 1.0
+                 / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)), 6)
+             AS jaccard
+    FROM sizes sa
+    JOIN sizes sb ON sa.src < sb.src
+    LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
+    """,
+)
+def llm_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-pair shingle-set Jaccard matrix — which SOURCES share
+    content (mirrors, syndication, acquisition-level leakage); the
+    corpus-level counterpart of per-doc near-dup detection. See
+    operators/text.py::domain_overlap for the 100 TB notes."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.domain_overlap(t["documents"])

@@ -258,6 +258,9 @@ SUITES: dict[str, list[Member]] = {
          ["doc_id", "n_bigrams", "avg_logp", "ppl"]),
         # per-domain unigram KL vs the corpus mix (data-mixing dial)
         ("llm_domain_kl", ["source"], ["n_tok", "n_vocab", "kl_bits"]),
+        # domain-pair shingle Jaccard (acquisition-level leakage matrix)
+        ("llm_domain_overlap", ["source_a", "source_b"],
+         ["n_a", "n_b", "n_common", "jaccard"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

@@ -739,3 +739,27 @@ def test_domain_divergence_zero_for_identical_mix(spark):
     out = {r["source"]: r for r in domain_divergence(df2).collect()}
     assert all(r["kl_bits"] >= 0 for r in out.values())
     assert out["far"]["kl_bits"] > out["near"]["kl_bits"] > 0
+
+
+def test_domain_overlap_jaccard_extremes(spark):
+    """Identical domains → jaccard 1; disjoint domains → 0 (and the
+    zero-overlap pair still appears in the matrix); short docs (< n
+    tokens) contribute no shingles."""
+    from datawarehouse_spark.operators.text import domain_overlap
+
+    rows = [
+        ("m1", "a b c d e f"), ("m1", "g h i j"),
+        ("m2", "a b c d e f"), ("m2", "g h i j"),   # exact mirror of m1
+        ("dz", "q r s t u v"),                        # disjoint
+        ("dz", "x y"),                                # too short: ignored
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in domain_overlap(df).collect()}
+    assert len(out) == 3  # all pairs present, including zero-overlap
+    assert out[("m1", "m2")]["jaccard"] == 1.0
+    assert out[("dz", "m1")]["n_common"] == 0
+    assert out[("dz", "m1")]["jaccard"] == 0.0
+    # "x y" contributed nothing: dz's shingle count comes only from the
+    # 6-token doc (4 trigrams)
+    assert out[("dz", "m1")]["n_a"] == 4

@@ -490,3 +490,14 @@ def test_lm_and_kl_marginals_stay_in_one_lineage(spark):
     assert plan.count("documents.parquet") == 3, plan
     # the left-join branch must be column-pruned to doc_id alone
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_domain_overlap_reuses_shingle_exchange(spark):
+    """The domain-pair Jaccard self-join must reuse the distinct
+    (domain, shingle) exchange at runtime rather than rebuilding the
+    shingle set per branch — the executed plan carries ReusedExchange
+    nodes for the duplicated lineage."""
+    df = QUERIES["llm_domain_overlap"](spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3, plan
