@@ -884,3 +884,73 @@ def domain_overlap(df: DataFrame, domain_col: str = "source",
             ).alias("jaccard"),
         )
     )
+
+
+def bm25_topk(df: DataFrame, queries: list[tuple[str, str]],
+              id_col: str = "doc_id", text: str = "text",
+              k: int = 5, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-k documents per query string —
+    the lexical sibling of the embedding ANN path (cosine_topk /
+    ivfpq_topk) and the scoring backbone of every search engine.
+    Lucene's positive-idf variant: idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: the corpus-side artifacts — the map-combined
+    (doc, term) tf with its per-doc dl window (bounded by a doc's
+    distinct terms), the vocab-sized df table, and the one-row (N,
+    avgdl) stats — are the OFFLINE INDEX: in production they are built
+    once (or incrementally) and persisted, never recomputed per query;
+    this function recomputes them inline only because the fixture
+    contract is a self-contained query. The ONLINE path is the cheap
+    part and is shaped right here: query terms broadcast, the
+    vocab-sized df table broadcasts (never a shuffle join on the hot
+    stopword key), stats cross-join broadcast, and scoring is one
+    map-side join over the tf rows followed by a (qid, doc) agg.
+    Per-term scores round to 6 before an exact decimal sum
+    (engine-order-independent); ranking uses the rounded score with an
+    id tiebreak, so top-k is total-ordered.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    toks = F.split(F.col(text), " ")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    enr = tf.withColumn("dl", F.sum("tf").over(W.partitionBy(id_col)))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum(F.size(toks)) / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    qt = spark.createDataFrame(queries, "qid string, qtext string").select(
+        "qid", F.explode(F.split(F.col("qtext"), " ")).alias("term")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tfcomp = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("dl") / F.col("_avgdl")))
+    )
+    scored = (
+        enr.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", id_col, F.round(idf * tfcomp, 6).alias("s"))
+        .groupBy("qid", id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

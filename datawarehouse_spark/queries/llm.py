@@ -1411,3 +1411,62 @@ def llm_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::domain_overlap for the 100 TB notes."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.domain_overlap(t["documents"])
+
+
+@query(
+    "llm_bm25_topk",
+    oracle="""
+    WITH q(qid, qtext) AS (
+      VALUES ('q1', 'spark join table'),
+             ('q2', 'stream window agg'),
+             ('q3', 'customer order data')
+    ), qt AS (
+      SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q
+    ), words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
+    ), enr AS (
+      SELECT doc_id, term, tf,
+             SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+             COUNT(*) OVER (PARTITION BY term) AS df_t
+      FROM tf
+    ), stats AS (
+      SELECT COUNT(*) AS n,
+             SUM(len(string_split(text, ' '))) * 1.0 / COUNT(*) AS avgdl
+      FROM documents
+    ), sc AS (
+      SELECT qt.qid, enr.doc_id,
+             ROUND(ln(1 + (stats.n - enr.df_t + 0.5) / (enr.df_t + 0.5))
+                   * enr.tf * (1.2 + 1.0)
+                   / (enr.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * enr.dl / stats.avgdl)),
+                   6) AS s
+      FROM enr JOIN qt USING (term) CROSS JOIN stats
+    ), agg AS (
+      SELECT qid, doc_id,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS score
+      FROM sc GROUP BY 1, 2
+    )
+    SELECT qid, doc_id, score,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM agg
+    QUALIFY rank <= 5
+    """,
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-5 per query — the retrieval counterpart
+    of the embedding ANN family, over a fixed 3-query workload on the
+    fixture vocabulary. See operators/text.py::bm25_topk for the
+    100 TB notes (tf exchange reuse, broadcast df/stats)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.bm25_topk(
+        t["documents"],
+        [("q1", "spark join table"),
+         ("q2", "stream window agg"),
+         ("q3", "customer order data")],
+        k=5,
+    )

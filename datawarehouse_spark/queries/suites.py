@@ -269,6 +269,8 @@ SUITES: dict[str, list[Member]] = {
         ("llm_cosine_topk", [], ["q_id", "n_id", "cos", "rank"]),
         ("llm_semantic_dedup", ["keep"],
          ["vec_id", "cluster", "max_prior_sim"]),
+        # BM25 lexical retrieval — the embedding family's lexical twin
+        ("llm_bm25_topk", ["qid"], ["doc_id", "score", "rank"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [

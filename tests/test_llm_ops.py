@@ -763,3 +763,29 @@ def test_domain_overlap_jaccard_extremes(spark):
     # "x y" contributed nothing: dz's shingle count comes only from the
     # 6-token doc (4 trigrams)
     assert out[("dz", "m1")]["n_a"] == 4
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """BM25: a document saturated with the query terms outranks one
+    with a single mention; docs without any query term never appear;
+    rare terms outweigh ubiquitous ones (idf)."""
+    from datawarehouse_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark spark spark join join filler filler"),
+        (2, "spark other words here padding padding padding"),
+        (3, "nothing relevant at all in this document"),
+        (4, "rareterm common common common common common common"),
+        (5, "common common common common common common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, [("qa", "spark join"), ("qb", "rareterm common")],
+                    k=3).collect()
+    qa = sorted((r for r in out if r["qid"] == "qa"), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in qa][:2] == [1, 2]
+    assert all(r["doc_id"] != 3 for r in out)
+    qb = sorted((r for r in out if r["qid"] == "qb"), key=lambda r: r["rank"])
+    # doc 4 holds the rare term: idf must put it above the
+    # common-term-only doc 5 despite fewer matching tokens
+    assert [r["doc_id"] for r in qb][:2] == [4, 5]
+    assert all(r["score"] > 0 for r in out)
