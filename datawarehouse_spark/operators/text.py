@@ -954,3 +954,69 @@ def bm25_topk(df: DataFrame, queries: list[tuple[str, str]],
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cms_heavy_hitters(df: DataFrame, text: str = "text", d: int = 4,
+                      w: int = 256, k: int = 20) -> DataFrame:
+    """Count-min-sketch heavy hitters: the top-``k`` corpus tokens by
+    exact count, with the CMS frequency estimate alongside — completing
+    the sketch family (HLL distinct in a18, approx-percentile in a21).
+    The sketch is d rows × w counters keyed by md5-derived buckets, so
+    BOTH engines build bit-identical sketches and the estimates are
+    oracle-EXACT, not band-checked. overcount = est − exact ≥ 0 by the
+    CMS guarantee (E[overcount] ≤ token_stream/w per collision row).
+
+    Scale shape: the SKETCH is the production artifact — one
+    map-combined shuffle of at most d·w keys (collisions collapse
+    map-side; no hot-key risk because the keyspace IS d·w), and it is
+    MERGEABLE (counters add), which is why CMS is the streaming /
+    pre-aggregation answer to token frequency at 100 TB. The exact
+    branch (one groupBy over the token stream) exists only for the
+    diagnostic comparison; estimation probes derive from the
+    vocab-sized exact table in-row (no third corpus pass) and join the
+    broadcast sketch.
+    """
+    from pyspark.sql import Window as W
+
+    stream = df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
+
+    def bucket(r: int, tok) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(r)), tok)), 1, 8
+                ), 16, 10
+            ).cast("bigint") % w
+        )
+
+    hash_arr = F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(r, F.col("t")).alias("b"))
+        for r in range(d)
+    ])
+    sketch = (
+        stream.select(F.explode(hash_arr).alias("x"))
+        .select(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+        .groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = stream.groupBy("t").agg(F.count(F.lit(1)).alias("exact_c"))
+    probes = exact.select("t", "exact_c", F.explode(hash_arr).alias("x")) \
+        .select("t", "exact_c", F.col("x.r").alias("r"),
+                F.col("x.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("t", "exact_c")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    win = W.orderBy(F.desc("exact_c"), F.asc("t"))
+    return (
+        est.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("t").alias("token"),
+            F.col("exact_c").cast("bigint").alias("exact_c"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_c")).cast("bigint")
+            .alias("overcount"),
+            "rank",
+        )
+    )

@@ -1470,3 +1470,46 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("q3", "customer order data")],
         k=5,
     )
+
+
+@query(
+    "llm_cms_heavy_hitters",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), hashes AS (
+      SELECT w.t, u.r,
+             CAST('0x' || substr(
+               md5(CAST(u.r AS VARCHAR) || '|' || w.t), 1, 8)
+               AS BIGINT) % 256 AS b
+      FROM words w, UNNEST(generate_series(0, 3)) AS u(r)
+    ), sketch AS (
+      SELECT r, b, COUNT(*) AS c FROM hashes GROUP BY 1, 2
+    ), exact AS (
+      SELECT t, COUNT(*) AS exact_c FROM words GROUP BY 1
+    ), probes AS (
+      SELECT DISTINCT t, r, b FROM hashes
+    ), est AS (
+      SELECT p.t, MIN(s.c) AS cms_est
+      FROM probes p JOIN sketch s USING (r, b) GROUP BY 1
+    ), ranked AS (
+      SELECT e.t AS token,
+             CAST(e.exact_c AS BIGINT) AS exact_c,
+             CAST(est.cms_est AS BIGINT) AS cms_est,
+             CAST(est.cms_est - e.exact_c AS BIGINT) AS overcount,
+             CAST(ROW_NUMBER() OVER (ORDER BY e.exact_c DESC, e.t)
+                  AS BIGINT) AS rank
+      FROM exact e JOIN est ON est.t = e.t
+    )
+    SELECT token, exact_c, cms_est, overcount, rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (top-20 corpus tokens, exact vs
+    CMS estimate). md5-derived buckets make the sketch bit-identical
+    across engines, so the estimates are oracle-EXACT; see
+    operators/text.py::cms_heavy_hitters for why the mergeable sketch
+    is the 100 TB / streaming artifact and exact is the diagnostic."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.cms_heavy_hitters(t["documents"], d=4, w=256, k=20)

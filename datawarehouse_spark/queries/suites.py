@@ -261,6 +261,10 @@ SUITES: dict[str, list[Member]] = {
         # domain-pair shingle Jaccard (acquisition-level leakage matrix)
         ("llm_domain_overlap", ["source_a", "source_b"],
          ["n_a", "n_b", "n_common", "jaccard"]),
+        # count-min-sketch heavy hitters (oracle-exact: md5 buckets
+        # make both engines' sketches bit-identical)
+        ("llm_cms_heavy_hitters", ["token"],
+         ["exact_c", "cms_est", "overcount", "rank"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

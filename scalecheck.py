@@ -87,6 +87,10 @@ OPS = [
     # regime where both claims must show sub-linear ratios)
     "llm_lm_perplexity",
     "llm_domain_kl",
+    # domain overlap claims fan-out bounded by domains² per shingle;
+    # bm25 claims broadcast-only online scoring over the tf stream
+    "llm_domain_overlap",
+    "llm_bm25_topk",
 ]
 
 

@@ -789,3 +789,23 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     # common-term-only doc 5 despite fewer matching tokens
     assert [r["doc_id"] for r in qb][:2] == [4, 5]
     assert all(r["score"] > 0 for r in out)
+
+
+def test_cms_heavy_hitters_never_undercounts(spark):
+    """CMS property: estimate >= exact for every token (min over d
+    rows of summed counters can only overcount), exact top-k ordering
+    is preserved, and with vocab << d*w the overcount is zero here."""
+    from datawarehouse_spark.operators.text import cms_heavy_hitters
+
+    rows = [(i, "alpha alpha alpha beta beta gamma") for i in range(10)]
+    rows += [(100 + i, "delta epsilon") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cms_heavy_hitters(df, d=4, w=256, k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["token"] for r in by_rank][:3] == ["alpha", "beta", "gamma"]
+    assert by_rank[0]["exact_c"] == 30
+    for r in out:
+        assert r["overcount"] >= 0
+        assert r["cms_est"] == r["exact_c"] + r["overcount"]
+    # 5 distinct tokens into 4x256 counters: no collisions expected
+    assert all(r["overcount"] == 0 for r in out)
