@@ -88,9 +88,11 @@ OPS = [
     "llm_lm_perplexity",
     "llm_domain_kl",
     # domain overlap claims fan-out bounded by domains² per shingle;
-    # bm25 claims broadcast-only online scoring over the tf stream
+    # bm25 claims broadcast-only online scoring over the tf stream;
+    # cms claims a fixed d·w keyspace regardless of stream size
     "llm_domain_overlap",
     "llm_bm25_topk",
+    "llm_cms_heavy_hitters",
 ]
 
 
