@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
-from datawarehouse_spark.operators import dedup, similarity, text
+from datawarehouse_spark.operators import dedup, graph, similarity, text
 from datawarehouse_spark.queries.registry import query
 
 # DuckDB rendering of the word-3-shingle list (shared by minhash/jaccard
@@ -1513,3 +1513,21 @@ def llm_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 100 TB / streaming artifact and exact is the diagnostic."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.cms_heavy_hitters(t["documents"], d=4, w=256, k=20)
+
+
+@query(
+    "llm_pagerank",
+    oracle=graph.pagerank_oracle_sql(_DUCK_NGRAM_CTES, n_iters=10),
+)
+def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact near-dup pair graph — ranks documents
+    by duplication-cluster centrality (the "keep the hub, drop the
+    mirrors" authority signal). 10 fixed iterations; EXACT cross-engine
+    parity with no rounding (PageRank needs no libm — IEEE ops plus
+    decimal-summed contributions only); the oracle unrolls the
+    iterations as chained CTEs. See operators/graph.py::pagerank."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+    return graph.pagerank(pairs, n_iters=10)

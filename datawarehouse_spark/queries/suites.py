@@ -265,6 +265,9 @@ SUITES: dict[str, list[Member]] = {
         # make both engines' sketches bit-identical)
         ("llm_cms_heavy_hitters", ["token"],
          ["exact_c", "cms_est", "overcount", "rank"]),
+        # PageRank over the near-dup graph (iterative, bit-exact:
+        # IEEE ops + decimal-summed contributions, no libm)
+        ("llm_pagerank", [], ["node", "pr"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

@@ -809,3 +809,22 @@ def test_cms_heavy_hitters_never_undercounts(spark):
         assert r["cms_est"] == r["exact_c"] + r["overcount"]
     # 5 distinct tokens into 4x256 counters: no collisions expected
     assert all(r["overcount"] == 0 for r in out)
+
+
+def test_pagerank_hub_ranks_highest_and_mass_conserves(spark):
+    """PageRank on a star graph: the hub outranks the leaves, leaves
+    tie exactly (symmetric positions -> identical arithmetic), total
+    mass stays ~1 (no dangling leakage since every graph node has an
+    edge), and isolated pairs rank independent of the star."""
+    from datawarehouse_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 6)]           # hub 0 with 5 leaves
+    island = [(100, 101)]                           # disjoint edge pair
+    pairs = spark.createDataFrame(star + island, "doc_a long, doc_b long")
+    out = {r["node"]: r["pr"] for r in pagerank(pairs, n_iters=10).collect()}
+    assert len(out) == 8
+    assert all(out[0] > out[i] for i in range(1, 6))
+    leaves = {out[i] for i in range(1, 6)}
+    assert len(leaves) == 1          # bit-identical by symmetry
+    assert out[100] == out[101]
+    assert abs(sum(out.values()) - 1.0) < 1e-9
