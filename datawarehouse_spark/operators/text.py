@@ -956,6 +956,39 @@ def bm25_topk(df: DataFrame, queries: list[tuple[str, str]],
     )
 
 
+def _cms_hash_arr(tok: Column, d: int, w: int) -> Column:
+    """The d (row, bucket) probes for one token — md5-derived so every
+    engine (and every micro-batch) buckets identically."""
+    def bucket(r: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(r)), tok)), 1, 8
+                ), 16, 10
+            ).cast("bigint") % w
+        )
+
+    return F.array(*[
+        F.struct(F.lit(r).alias("r"), bucket(r).alias("b"))
+        for r in range(d)
+    ])
+
+
+def cms_sketch(df: DataFrame, text: str = "text", d: int = 4,
+               w: int = 256) -> DataFrame:
+    """Build the (r, b, c) count-min sketch over a token stream — the
+    mergeable unit: sketches of disjoint batches combine by summing
+    counters on (r, b), which is what makes CMS the streaming /
+    pre-aggregation frequency artifact (asserted by the foreachBatch
+    merge test in tests/test_streaming.py)."""
+    stream = df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
+    return (
+        stream.select(F.explode(_cms_hash_arr(F.col("t"), d, w)).alias("x"))
+        .select(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+        .groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def cms_heavy_hitters(df: DataFrame, text: str = "text", d: int = 4,
                       w: int = 256, k: int = 20) -> DataFrame:
     """Count-min-sketch heavy hitters: the top-``k`` corpus tokens by
@@ -979,25 +1012,8 @@ def cms_heavy_hitters(df: DataFrame, text: str = "text", d: int = 4,
     from pyspark.sql import Window as W
 
     stream = df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
-
-    def bucket(r: int, tok) -> Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.lit(str(r)), tok)), 1, 8
-                ), 16, 10
-            ).cast("bigint") % w
-        )
-
-    hash_arr = F.array(*[
-        F.struct(F.lit(r).alias("r"), bucket(r, F.col("t")).alias("b"))
-        for r in range(d)
-    ])
-    sketch = (
-        stream.select(F.explode(hash_arr).alias("x"))
-        .select(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
-        .groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
-    )
+    hash_arr = _cms_hash_arr(F.col("t"), d, w)
+    sketch = cms_sketch(df, text, d, w)
     exact = stream.groupBy("t").agg(F.count(F.lit(1)).alias("exact_c"))
     probes = exact.select("t", "exact_c", F.explode(hash_arr).alias("x")) \
         .select("t", "exact_c", F.col("x.r").alias("r"),

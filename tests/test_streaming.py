@@ -306,3 +306,62 @@ def test_continuous_ingestion_dedup_stream(spark, tmpdir):
     assert 4 not in final, "cross-batch near dup must be dropped"
     texts = [r.text for r in spark.read.parquet(corpus_dir).collect()]
     assert len(texts) == len(set(texts)), "corpus contains exact dups"
+
+
+def test_cms_sketch_merges_across_stream_batches(spark, tmpdir):
+    """The CMS mergeability claim, exercised as a real stream: each
+    micro-batch's partial sketch is appended by foreachBatch, and the
+    counter-sum of the partials equals the batch sketch of the whole
+    corpus EXACTLY (counters add; md5 buckets are batch-invariant).
+    This is the streaming token-frequency path at 100 TB: no batch
+    ever re-reads the corpus, and the merged artifact stays d*w rows."""
+    import os
+
+    from datawarehouse_spark.operators.text import cms_sketch
+
+    batches = [
+        [(1, "alpha alpha beta"), (2, "gamma beta beta")],
+        [(3, "alpha delta delta"), (4, "epsilon alpha beta")],
+        [(5, "zeta zeta zeta zeta")],
+    ]
+    src = f"{tmpdir}/incoming"
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        staged = f"{tmpdir}/stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    parts_dir = f"{tmpdir}/partials"
+
+    def build_partial(batch_df, epoch_id):
+        cms_sketch(batch_df, d=4, w=64).write.mode("append").parquet(
+            parts_dir
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(build_partial).option(
+        "checkpointLocation", f"{tmpdir}/ckpt"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    from pyspark.sql import functions as F
+
+    merged = (
+        spark.read.parquet(parts_dir)
+        .groupBy("r", "b").agg(F.sum("c").alias("c"))
+    )
+    full = cms_sketch(
+        spark.createDataFrame(
+            [r for rows in batches for r in rows], "doc_id long, text string"
+        ),
+        d=4, w=64,
+    )
+    m = {(r["r"], r["b"]): r["c"] for r in merged.collect()}
+    f = {(r["r"], r["b"]): r["c"] for r in full.collect()}
+    assert m == f and len(f) > 0
