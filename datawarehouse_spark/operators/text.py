@@ -1036,3 +1036,68 @@ def cms_heavy_hitters(df: DataFrame, text: str = "text", d: int = 4,
             "rank",
         )
     )
+
+
+def pmi_collocations(df: DataFrame, text: str = "text", min_count: int = 5,
+                     k: int = 20) -> DataFrame:
+    """Collocation mining: top-``k`` adjacent word pairs by pointwise
+    mutual information, PMI = log2(N·c12 / (c1·c2)) — the phrase-mining
+    signal ("new york"-style units) that seeds tokenizer merges and
+    multi-word dictionary entries. A ``min_count`` floor removes the
+    classic PMI pathology (rare pairs score arbitrarily high).
+
+    N = total bigram positions; c1/c2 = the word's occurrences as
+    left/right member of any bigram; c12 = the pair's count. All four
+    are counts over the SAME bigram stream, so the estimate is
+    self-consistent (no off-by-one from document edges).
+
+    Scale shape: bigrams in-row (zip_with), ONE map-combined count to
+    the vocab²-bounded pair table, and ALL marginals (c1, c2, N) are
+    window aggregates over that table — single lineage, one corpus
+    scan (the same no-per-branch-re-scan discipline as lm_score /
+    domain_divergence, plan-asserted). PMI rounds to 6 (one libm log2
+    absorbed) and ranking uses the rounded score with a pair tiebreak,
+    so top-k is total-ordered and engine-identical.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text), " ")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    c12 = (
+        df.select(F.explode(bgs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    marked = (
+        c12.withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
+        .withColumn("c2", F.sum("c12").over(W.partitionBy("w2")))
+        .withColumn("_n", F.sum("c12").over(W.partitionBy()))
+    )
+    # cast each factor to double BEFORE multiplying: the int64 products
+    # N·c12 and c1·c2 overflow at web scale (N ~ 1e14 tokens), while
+    # double products are exact-factor IEEE multiplies — deterministic
+    # in both engines and never wrap
+    pmi = F.round(
+        F.log2(
+            (F.col("_n").cast("double") * F.col("c12").cast("double"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    win = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        marked.filter(F.col("c12") >= min_count)
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            pmi.alias("pmi"),
+        )
+        .withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1531,3 +1531,44 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
     )
     return graph.pagerank(pairs, n_iters=10)
+
+
+@query(
+    "llm_pmi_collocations",
+    oracle="""
+    WITH bg AS (
+      SELECT s[i] AS w1, s[i + 1] AS w2
+      FROM (SELECT string_split(text, ' ') AS s FROM documents) d,
+           UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ), marked AS (
+      SELECT w1, w2, c12,
+             SUM(c12) OVER (PARTITION BY w1) AS c1,
+             SUM(c12) OVER (PARTITION BY w2) AS c2,
+             SUM(c12) OVER () AS n
+      FROM c12
+    ), scored AS (
+      SELECT w1, w2,
+             CAST(c12 AS BIGINT) AS c12,
+             CAST(c1 AS BIGINT) AS c1,
+             CAST(c2 AS BIGINT) AS c2,
+             ROUND(log2((CAST(n AS DOUBLE) * CAST(c12 AS DOUBLE))
+                        / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))),
+                   6) AS pmi
+      FROM marked WHERE c12 >= 5
+    )
+    SELECT w1, w2, c12, c1, c2, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent word pairs by PMI (min-count 5) — collocation /
+    phrase mining for tokenizer merges and dictionary units. Single
+    corpus scan; all marginals are window aggregates over the bigram
+    count table. See operators/text.py::pmi_collocations."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.pmi_collocations(t["documents"], min_count=5, k=20)

@@ -268,6 +268,9 @@ SUITES: dict[str, list[Member]] = {
         # PageRank over the near-dup graph (iterative, bit-exact:
         # IEEE ops + decimal-summed contributions, no libm)
         ("llm_pagerank", [], ["node", "pr"]),
+        # PMI collocation mining (phrase/tokenizer-merge candidates)
+        ("llm_pmi_collocations", ["w1", "w2"],
+         ["c12", "c1", "c2", "pmi", "rank"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

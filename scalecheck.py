@@ -93,6 +93,9 @@ OPS = [
     "llm_domain_overlap",
     "llm_bm25_topk",
     "llm_cms_heavy_hitters",
+    # PMI shares lm_perplexity's shape: one bigram count + window
+    # marginals over the vocab²-bounded table
+    "llm_pmi_collocations",
 ]
 
 

@@ -828,3 +828,21 @@ def test_pagerank_hub_ranks_highest_and_mass_conserves(spark):
     assert len(leaves) == 1          # bit-identical by symmetry
     assert out[100] == out[101]
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pmi_collocations_finds_glued_pair(spark):
+    """PMI: a pair that ALWAYS co-occurs ("san francisco") outranks
+    pairs of independent frequent words; the min-count floor drops
+    rare pairs entirely."""
+    from datawarehouse_spark.operators.text import pmi_collocations
+
+    glued = "san francisco is big and san francisco is far"
+    noise = "big and far is big and far is big and"
+    rows = [(i, glued) for i in range(5)] + [(100 + i, noise) for i in range(5)]
+    rows.append((999, "rare pairxyz"))  # c12=1 < min_count: dropped
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert (by_rank[0]["w1"], by_rank[0]["w2"]) == ("san", "francisco")
+    assert all((r["w1"], r["w2"]) != ("rare", "pairxyz") for r in out)
+    assert all(r["c12"] >= 5 for r in out)
