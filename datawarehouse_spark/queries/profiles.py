@@ -92,3 +92,71 @@ def x2_predicate_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(allow), "event_type")
         .select("event_id", "user_id", "event_type")
     )
+
+
+@query(
+    "x5_rfm_segmentation",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_dt,
+             CAST(COUNT(*) AS BIGINT) AS f_cnt,
+             {sql_dsum("o_totalprice")} AS m_amt
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT custkey, last_dt, f_cnt, m_amt,
+             CAST(NTILE(5) OVER (ORDER BY last_dt DESC, custkey)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY f_cnt DESC, custkey)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY m_amt DESC, custkey)
+                  AS BIGINT) AS m_score
+      FROM base
+    )
+    SELECT custkey, last_dt, f_cnt, m_amt, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+)
+def x5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic ADS-layer profile:
+    recency (last order date), frequency (order count), monetary
+    (exact-decimal revenue sum), each quintile-bucketed by NTILE over
+    a total order (metric + custkey tiebreak, so bucket assignment is
+    engine-identical), concatenated into the familiar 'rfm' code.
+
+    Scale shape: one map-combined per-customer aggregate; the three
+    NTILE windows run over the customers-sized rollup, not orders. The
+    global NTILE sort is the only single-partition step — at 100 TB
+    replace it with percentile boundaries from approx_percentile and a
+    broadcast CASE bucket join (same output contract, fully parallel);
+    the fixture keeps exact NTILE because the oracle can mirror it.
+    """
+    from pyspark.sql import Window as W
+
+    from datawarehouse_spark.queries.qutil import dsum
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_dt"),
+        F.count(F.lit(1)).cast("bigint").alias("f_cnt"),
+        dsum("o_totalprice").alias("m_amt"),
+    )
+    r = F.ntile(5).over(W.orderBy(F.desc("last_dt"), F.asc("custkey")))
+    fq = F.ntile(5).over(W.orderBy(F.desc("f_cnt"), F.asc("custkey")))
+    m = F.ntile(5).over(W.orderBy(F.desc("m_amt"), F.asc("custkey")))
+    scored = base.select(
+        "custkey", "last_dt", "f_cnt", "m_amt",
+        r.cast("bigint").alias("r_score"),
+        fq.cast("bigint").alias("f_score"),
+        m.cast("bigint").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat(F.col("r_score").cast("string"),
+                 F.col("f_score").cast("string"),
+                 F.col("m_score").cast("string")),
+    )

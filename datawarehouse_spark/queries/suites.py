@@ -150,6 +150,8 @@ SUITES: dict[str, list[Member]] = {
         ("s13_window_dedupe", ["event_type"], ["event_id", "user_id"]),
         # cohort retention matrix (window-min cohort + distinct rollup)
         ("w9_cohort_retention", ["cohort_dt"], ["day_offset", "n_users"]),
+        # Markov-funnel transition matrix P(next | current)
+        ("w10_event_transitions", ["src", "dst"], ["n", "p_next"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [
@@ -180,6 +182,9 @@ SUITES: dict[str, list[Member]] = {
         ("x4_rule_tag_profile", ["high_value"],
          ["user_id", "pv", "purchases", "purchase_amt"]),
         ("x4_mining_tag_scores", [], ["user_id", "score"]),
+        # RFM quintile segmentation (date key is exact as ISO string)
+        ("x5_rfm_segmentation", ["last_dt", "rfm"],
+         ["custkey", "f_cnt", "m_amt", "r_score", "f_score", "m_score"]),
     ],
     # TPC-H workload suite (SURVEY §6's "TPC-H-class" claim made
     # runnable; Q1/Q18/Q22 live on as a1/a19/p13 → all 22 queries

@@ -340,3 +340,49 @@ def w9_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("d"), F.col("cohort_dt")).cast("bigint")
         .alias("day_offset"),
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+@query(
+    "w10_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY event_id) AS dst
+      FROM events
+    ), pairs AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT src, dst, n,
+           n * 1.0 / SUM(n) OVER (PARTITION BY src) AS p_next
+    FROM pairs
+    """,
+)
+def w10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event transition matrix P(next | current) per user journey —
+    the path-analysis / Markov-funnel building block (which step
+    follows which, and with what probability). Ordering inside each
+    user is by event_id (the fixture's arrival order), sidestepping
+    the parquet ns-vs-µs timestamp comparison hazard the same way
+    w6_lag_lead does.
+
+    Scale shape: ONE window shuffle partitioned by user (per-user
+    partitions are small), then a map-combined (src, dst) count —
+    type² rows at most — and the normalizing share is a window over
+    that tiny table. The division is a single IEEE op over exact
+    bigints: engine-identical with no rounding.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    pairs = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window as W2
+    share = F.col("n") / F.sum("n").over(W2.partitionBy("src"))
+    return pairs.select("src", "dst", "n", share.alias("p_next"))
