@@ -301,3 +301,118 @@ def test_q17_window_avg_equals_aggregate_join(spark, rows, brands):
         .select("l_partkey", "l_quantity", "avg_qty")
     )
     assert _rowset(window_form) == _rowset(agg_form)
+
+
+# --- differential tests for the corpus-statistics operators: random
+# corpora vs pure-Python references (counts exact; scores within the
+# documented rounding tolerance: per-term round-6/9 before exact sums)
+
+TOKENS = st.sampled_from(["a", "b", "c", "d"])
+DOCS = st.lists(
+    st.lists(TOKENS, min_size=1, max_size=8), min_size=1, max_size=10
+)
+_SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(docs=DOCS)
+@_SLOW
+def test_pmi_equals_python_reference(spark, docs):
+    import math
+    from collections import Counter
+
+    from datawarehouse_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {(r["w1"], r["w2"]): r
+           for r in pmi_collocations(df, min_count=1, k=10**6).collect()}
+
+    c12 = Counter()
+    for d in docs:
+        for x, y in zip(d, d[1:]):
+            c12[(x, y)] += 1
+    if not c12:
+        assert not out
+        return
+    n = sum(c12.values())
+    c1 = Counter(); c2 = Counter()
+    for (x, y), c in c12.items():
+        c1[x] += c; c2[y] += c
+    assert set(out) == set(c12)
+    for (x, y), c in c12.items():
+        r = out[(x, y)]
+        assert (r["c12"], r["c1"], r["c2"]) == (c, c1[x], c2[y])
+        ref = math.log2((n * c) / (c1[x] * c2[y]))
+        assert abs(r["pmi"] - ref) <= 5.1e-7, ((x, y), r["pmi"], ref)
+
+
+@given(docs=DOCS)
+@_SLOW
+def test_domain_kl_equals_python_reference(spark, docs):
+    import math
+    from collections import Counter
+
+    from datawarehouse_spark.operators.text import domain_divergence
+
+    # round-robin docs over up to 3 domains
+    rows = [(f"s{i % 3}", " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in domain_divergence(df).collect()}
+
+    per = {}
+    for s, t in rows:
+        per.setdefault(s, Counter()).update(t.split(" "))
+    corpus = Counter()
+    for c in per.values():
+        corpus.update(c)
+    n = sum(corpus.values())
+    assert set(out) == set(per)
+    for s, c in per.items():
+        ns = sum(c.values())
+        ref = sum((v / ns) * (math.log2(v / ns) - math.log2(corpus[t] / n))
+                  for t, v in c.items())
+        r = out[s]
+        assert r["n_tok"] == ns and r["n_vocab"] == len(c)
+        assert abs(r["kl_bits"] - ref) <= 1e-6, (s, r["kl_bits"], ref)
+
+
+@given(docs=DOCS)
+@_SLOW
+def test_lm_score_equals_python_reference(spark, docs):
+    import math
+    from collections import Counter
+
+    from datawarehouse_spark.operators.text import lm_score
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_score(df).collect()}
+
+    c2 = Counter()
+    for d in docs:
+        for x, y in zip(d, d[1:]):
+            c2[(x, y)] += 1
+    c1 = Counter()
+    for (x, _), c in c2.items():
+        c1[x] += c
+    v = len({y for (_, y) in c2})
+    for i, d in enumerate(docs):
+        bgs = list(zip(d, d[1:]))
+        r = out[i]
+        assert r["n_bigrams"] == len(bgs)
+        if not bgs:
+            assert r["avg_logp"] is None and r["ppl"] is None
+            continue
+        ref = sum(
+            math.log2((c2[b] + 1) / (c1[b[0]] + v)) for b in bgs
+        ) / len(bgs)
+        assert abs(r["avg_logp"] - ref) <= 1.1e-6, (i, r["avg_logp"], ref)
+        assert abs(r["ppl"] - 2 ** -ref) <= abs(2 ** -ref) * 1e-5
