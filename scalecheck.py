@@ -96,6 +96,10 @@ OPS = [
     # PMI shares lm_perplexity's shape: one bigram count + window
     # marginals over the vocab²-bounded table
     "llm_pmi_collocations",
+    # RFM windows run over the customers-sized rollup; transitions are
+    # one user-partitioned window + a type²-bounded count
+    "x5_rfm_segmentation",
+    "w10_event_transitions",
 ]
 
 
