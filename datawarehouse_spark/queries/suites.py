@@ -94,6 +94,10 @@ SUITES: dict[str, list[Member]] = {
         ("t10_stream_batch_reconcile", ["event_type"],
          ["window_start_us", "batch_pv", "stream_pv",
           "batch_total", "stream_total"]),
+        # daily-volume z-score anomaly scan (monitoring companion to
+        # dq_audit; exact-integer variance, sqrt is the only libm)
+        ("t11_daily_anomaly_scan", ["event_type", "dt", "is_anomaly"],
+         ["c", "mean_c", "z"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [

@@ -564,3 +564,80 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(one(fk_oc, "n", "orders_fk_customer"))
         .union(one(fk_lo, "n", "lineitem_fk_orders"))
     )
+
+
+@query(
+    "t11_daily_anomaly_scan",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), marked AS (
+      SELECT event_type, dt, c,
+             COUNT(*) OVER w AS n_days,
+             SUM(c) OVER w AS sum_c,
+             SUM(c * c) OVER w AS sum_c2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type)
+    ), scored AS (
+      SELECT event_type, dt, c,
+             CAST(sum_c AS DOUBLE) / n_days AS mean_c,
+             sqrt((CAST(sum_c2 AS DOUBLE)
+                   - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE)
+                     / n_days) / n_days) AS std_c
+      FROM marked
+    )
+    SELECT event_type, dt, c,
+           ROUND(mean_c, 6) AS mean_c,
+           CASE WHEN std_c > 0
+                THEN ROUND((c - mean_c) / std_c, 6) END AS z,
+           CASE WHEN std_c > 0
+                THEN abs((c - mean_c) / std_c) > 2.5
+                ELSE FALSE END AS is_anomaly
+    FROM scored
+    """,
+)
+def t11_daily_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly scan per event type — the monitoring
+    companion to dq_audit: z-score of each day's event count against
+    that type's own series, flagging |z| > 2.5 days (traffic drops,
+    ingestion gaps, bot spikes). Population variance from EXACT integer
+    sums (Σc, Σc²) via windows over the days-sized daily rollup —
+    factors cast to double before multiplying so Σc² can't overflow
+    int64 at scale; sqrt is the only libm call and the emitted z rounds
+    to 6. A constant series (std = 0) yields NULL z, never a division
+    blowup.
+
+    Scale shape: one map-combined (type, day) count over the fact scan;
+    everything after runs on the types × days rollup — window
+    partitions are per-type series, trivially bounded. The is_anomaly
+    flag compares the UNROUNDED z so the threshold can't straddle the
+    rounding boundary differently per engine.
+    """
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = t["events"].groupBy(
+        "event_type", F.col("ts").cast("date").alias("dt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = W.partitionBy("event_type")
+    marked = (
+        daily.withColumn("n_days", F.count(F.lit(1)).over(w))
+        .withColumn("sum_c", F.sum("c").over(w))
+        .withColumn("sum_c2", F.sum(F.col("c") * F.col("c")).over(w))
+    )
+    mean_c = F.col("sum_c").cast("double") / F.col("n_days")
+    std_c = F.sqrt(
+        (F.col("sum_c2").cast("double")
+         - F.col("sum_c").cast("double") * F.col("sum_c").cast("double")
+         / F.col("n_days")) / F.col("n_days")
+    )
+    z_raw = (F.col("c") - mean_c) / std_c
+    return marked.select(
+        "event_type", "dt", "c",
+        F.round(mean_c, 6).alias("mean_c"),
+        F.when(std_c > 0, F.round(z_raw, 6)).alias("z"),
+        F.when(std_c > 0, F.abs(z_raw) > 2.5)
+        .otherwise(F.lit(False)).alias("is_anomaly"),
+    )
