@@ -174,6 +174,9 @@ SUITES: dict[str, list[Member]] = {
         ("j9_cross_join", ["n_name", "r_name"], []),
         ("j10_or_join_union_rewrite", [], ["o_orderkey", "c_custkey"]),
         ("j13_theta_join", ["n_name"], ["n_orders"]),
+        # point-in-time SCD2 dim join (feature-store correctness shape)
+        ("j16_pit_dim_join", ["o_dt", "segment_at_order"],
+         ["o_orderkey", "c_custkey", "eff_version"]),
     ],
     # §2.10 pivot / unpivot (X3) + rule/mining tag profiles (X4) —
     # merged into one row to keep the driver registry within the ~50-

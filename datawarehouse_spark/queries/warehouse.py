@@ -641,3 +641,80 @@ def t11_daily_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(std_c > 0, F.abs(z_raw) > 2.5)
         .otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "j16_pit_dim_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(1 AS BIGINT) AS eff_version,
+             DATE '1000-01-01' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0 THEN DATE '1998-01-01'
+                  ELSE DATE '9999-12-31' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED' AS c_mktsegment,
+             CAST(2 AS BIGINT) AS eff_version,
+             DATE '1998-01-01' AS valid_from,
+             DATE '9999-12-31' AS valid_to
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT o.o_orderkey, d.c_custkey, CAST(o.o_orderdate AS DATE) AS o_dt,
+           d.c_mktsegment AS segment_at_order, d.eff_version
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+              AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+              AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    """,
+)
+def j16_pit_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension join — the feature-store
+    correctness shape: each fact row resolves the dimension VERSION
+    valid at its own event time (here: customers whose segment moved
+    on 1998-01-01; orders before the cutover see v1, after see v2),
+    never the current row — the classic time-travel-leakage bug this
+    operator exists to prevent.
+
+    Scale shape: the versioned dim stays dim-sized (versions ≈ a
+    small multiple of keys), so this is a BROADCAST equi-join on the
+    dimension key with the validity range as a residual predicate —
+    no range-join fan-out, no shuffle of the fact beyond its scan.
+    The keyless variant of temporal resolution is the as-of join
+    (j15, operators/temporal.py); this is the keyed flavor a
+    warehouse actually runs nightly.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    c = t["customer"]
+    far = F.lit("9999-12-31").cast("date")
+    cut = F.lit("1998-01-01").cast("date")
+    v1 = c.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(1).cast("bigint").alias("eff_version"),
+        F.lit("1000-01-01").cast("date").alias("valid_from"),
+        F.when(F.col("c_custkey") % 10 == 0, cut).otherwise(far)
+        .alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment"),
+        F.lit(2).cast("bigint").alias("eff_version"),
+        cut.alias("valid_from"), far.alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_dt"),
+    )
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_dt") >= F.col("valid_from"))
+            & (F.col("o_dt") < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey", "c_custkey", "o_dt",
+            F.col("c_mktsegment").alias("segment_at_order"),
+            "eff_version",
+        )
+    )
