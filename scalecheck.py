@@ -100,6 +100,10 @@ OPS = [
     # one user-partitioned window + a type²-bounded count
     "x5_rfm_segmentation",
     "w10_event_transitions",
+    # anomaly scan runs on the types×days rollup after one fact count;
+    # the PIT join claims broadcast-dim + residual-range (no fan-out)
+    "t11_daily_anomaly_scan",
+    "j16_pit_dim_join",
 ]
 
 
