@@ -1101,3 +1101,44 @@ def pmi_collocations(df: DataFrame, text: str = "text", min_count: int = 5,
         .withColumn("rank", F.row_number().over(win).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def batch_by_length(df: DataFrame, id_col: str = "doc_id",
+                    text: str = "text", bucket_width: int = 16,
+                    batch_size: int = 8) -> DataFrame:
+    """Length-bucketed inference batching: assign documents to fixed-
+    size batches of similar token length so per-batch padding (every
+    sequence pads to its batch max) stays small — the serving-side
+    counterpart of sequence_packing (which concatenates for training;
+    this groups for batched inference). Emits the batch address and
+    the exact padding each doc pays, so total padding is auditable.
+
+    All arithmetic is integer (token counts, integer division, window
+    row numbers, max) — oracle-EXACT with no rounding anywhere.
+    Assignment is a pure function of (n_tokens, id): stable across
+    runs, engines, and repartitioning.
+
+    Scale shape: one window shuffle partitioned by length bucket
+    (buckets are the parallelism unit; a giant bucket sub-salts on an
+    id-hash range exactly like domain_token_cap's hot-domain escape).
+    Everything before the window is a map-side JVM expression.
+    """
+    from pyspark.sql import Window as W
+
+    nt = F.size(F.split(F.col(text), " ")).cast("bigint")
+    d = df.select(F.col(id_col), nt.alias("n_tokens"))
+    b = d.withColumn("bucket", F.expr(f"n_tokens div {bucket_width}"))
+    w = W.partitionBy("bucket").orderBy("n_tokens", id_col)
+    ba = b.withColumn(
+        "batch_id",
+        F.expr(f"(row_number() over (partition by bucket "
+               f"order by n_tokens, {id_col}) - 1) div {batch_size}")
+        .cast("bigint"),
+    )
+    wb = W.partitionBy("bucket", "batch_id")
+    return ba.select(
+        id_col, "n_tokens", "bucket", "batch_id",
+        F.max("n_tokens").over(wb).alias("batch_max"),
+        (F.max("n_tokens").over(wb) - F.col("n_tokens")).cast("bigint")
+        .alias("padding"),
+    )

@@ -1572,3 +1572,36 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     count table. See operators/text.py::pmi_collocations."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.pmi_collocations(t["documents"], min_count=5, k=20)
+
+
+@query(
+    "llm_batch_by_length",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM d
+    ), ba AS (
+      SELECT doc_id, n_tokens, bucket,
+             CAST((ROW_NUMBER() OVER (
+                PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1) // 8
+               AS BIGINT) AS batch_id
+      FROM b
+    )
+    SELECT doc_id, n_tokens, bucket, batch_id,
+           MAX(n_tokens) OVER (PARTITION BY bucket, batch_id)
+             AS batch_max,
+           CAST(MAX(n_tokens) OVER (PARTITION BY bucket, batch_id)
+                - n_tokens AS BIGINT) AS padding
+    FROM ba
+    """,
+)
+def llm_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (width 16, batch 8) — the
+    serving-side padding minimizer; all-integer arithmetic, so the
+    check is oracle-EXACT. See operators/text.py::batch_by_length."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.batch_by_length(t["documents"], bucket_width=16,
+                                batch_size=8)

@@ -283,6 +283,10 @@ SUITES: dict[str, list[Member]] = {
         # PMI collocation mining (phrase/tokenizer-merge candidates)
         ("llm_pmi_collocations", ["w1", "w2"],
          ["c12", "c1", "c2", "pmi", "rank"]),
+        # length-bucketed inference batching (padding minimizer)
+        ("llm_batch_by_length", [],
+         ["doc_id", "n_tokens", "bucket", "batch_id", "batch_max",
+          "padding"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

@@ -846,3 +846,33 @@ def test_pmi_collocations_finds_glued_pair(spark):
     assert (by_rank[0]["w1"], by_rank[0]["w2"]) == ("san", "francisco")
     assert all((r["w1"], r["w2"]) != ("rare", "pairxyz") for r in out)
     assert all(r["c12"] >= 5 for r in out)
+
+
+def test_batch_by_length_beats_arrival_order_padding(spark):
+    """Batches are full (size 8) except the bucket tail, padding is
+    max-minus-own within the batch, and total padding under length
+    bucketing is <= padding under naive arrival-order batching of the
+    same corpus (the whole point of the operator)."""
+    from datawarehouse_spark.operators.text import batch_by_length
+
+    # lengths interleaved so arrival order mixes short and long
+    rows = [(i, " ".join(["t"] * (5 + (i * 37) % 60))) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = batch_by_length(df, bucket_width=16, batch_size=8).collect()
+    assert len(out) == 64
+    by_batch = {}
+    for r in out:
+        assert r["padding"] == r["batch_max"] - r["n_tokens"] >= 0
+        by_batch.setdefault((r["bucket"], r["batch_id"]), []).append(r)
+    for members in by_batch.values():
+        assert len(members) <= 8
+        assert max(m["n_tokens"] for m in members) == members[0]["batch_max"]
+    bucketed_pad = sum(r["padding"] for r in out)
+    lens = [5 + (i * 37) % 60 for i in range(64)]
+    naive_pad = sum(
+        max(lens[i:i + 8]) - x for i in range(0, 64, 8) for x in lens[i:i + 8]
+    )
+    assert bucketed_pad <= naive_pad
+    # determinism: same addresses on recompute
+    again = batch_by_length(df, bucket_width=16, batch_size=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
