@@ -717,3 +717,201 @@ def simhash_near_dup(sim: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs shingle Jaccard ≥ threshold via PREFIX FILTERING
+    (PPJoin family — Chaudhuri et al. SSJoin/ICDE'06, Bayardo et al.
+    All-Pairs/WWW'07, Xiao et al. PPJoin/WWW'08): order every document's
+    shingle set by ascending global document frequency (rarest first)
+    and join only on each set's PREFIX — the first
+    |A| - ceil(t·|A|) + 1 shingles. The filter is LOSSLESS: if
+    Jaccard(A,B) ≥ t then |A∩B| ≥ ceil(t·max(|A|,|B|)), and the
+    smallest (in the global order) common shingle provably falls inside
+    BOTH prefixes, so every qualifying pair shares a prefix shingle.
+    Result is therefore identical to the naive all-pairs join — unlike
+    ngram_jaccard_pairs' frequency cap, which trades exactness for the
+    fan-out bound. This is the scale path when the answer must be
+    exact: candidate volume collapses because prefixes hold the RAREST
+    shingles (df-ascending order), precisely the keys with the least
+    join fan-out; the hot stopword-run shingles land at the back of
+    every set and never reach the join.
+
+    A size-ratio prune (|B| ≥ t·|A|, a Jaccard necessary condition)
+    drops cross-size candidates before verification; verification
+    rejoins the two per-doc shingle arrays and intersects IN-ROW
+    (array_intersect — no second exploded self-join).
+
+    Scale shape: one explode + map-combined df count, one frequency
+    join back (shuffle on shingle hash), one per-doc sort_array
+    (in-row, bounded by doc length), one prefix self-join on the
+    rare-shingle key, then two id-keyed joins of the (small) candidate
+    set against per-doc arrays. Shingles are int64-hashed before any
+    shuffle (same ~n²/2⁶⁴ collision trade as ngram_jaccard_pairs).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
+    ).select(id_col, F.xxhash64("s").alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    # per-doc shingle list ordered rarest-first: sort_array over
+    # struct(c, s) sorts by frequency then shingle hash — a total
+    # order shared by every document, as prefix filtering requires
+    docs = (
+        sh.join(freq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("c", "s"))).alias("arr"),
+        )
+        .select(
+            F.col(id_col),
+            F.transform("arr", lambda x: x["s"]).alias("arr"),
+            F.size("arr").alias("n_sh"),
+        )
+    )
+    # three consumers (prefix explode + both verify sides) — persist
+    # the per-doc arrays once and drop the cache in a finally, the
+    # ngram_jaccard_pairs discipline
+    docs = docs.persist()
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    pref = docs.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(F.slice("arr", 1, prefix_len.cast("int"))).alias("s"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # size-ratio prune: J ≥ t forces min ≥ t·max
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    da = docs.select(F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"),
+                     F.col("n_sh").alias("n_a"))
+    db = docs.select(F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"),
+                     F.col("n_sh").alias("n_b"))
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        # no rounding: single IEEE division of identical integers is
+        # bit-deterministic in any engine (same as ngram_jaccard_pairs)
+        .select("doc_a", "doc_b",
+                F.col("n_a").cast("bigint").alias("n_a"),
+                F.col("n_b").cast("bigint").alias("n_b"),
+                F.col("inter").cast("bigint").alias("inter"),
+                "jaccard")
+    )
+    try:
+        return verified.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    window: int = 4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95, the
+    merge/purge method): sort the corpus on a blocking key (here the
+    raw text, so near-identical documents become neighbors), slide a
+    window of ``window`` rows down the sorted order, and emit every
+    in-window pair with its exact shingle Jaccard. The classic
+    complement to hash blocking (LSH/SimHash buckets): it catches
+    prefix-preserving edits that land in different hash buckets, and
+    its candidate count is exactly (window-1)·n — linear by
+    construction, no hot-bucket blowup possible.
+
+    Scale shape — a distributed global sort WITHOUT a single-partition
+    window: repartitionByRange on (key, id) gives a partition-wise
+    total order (the composite key is unique, so the order — and
+    therefore every emitted pair — is invariant to where the sampled
+    range boundaries fall); per-block row_number plus a broadcast
+    cumulative-offset table (block count rows, the zipWithIndex
+    strategy in DataFrame form) yields the GLOBAL rank; neighbor pairs
+    are then an equi-join of rank+gap against rank — every stage is
+    partition-parallel, and the only driver-sized object is the
+    n_blocks-row offset table. Verification is in-row
+    (array_intersect on the two carried shingle arrays — no exploded
+    self-join). Shingles stay STRINGS here: per-row arrays never
+    shuffle on shingle keys, so there is nothing to compact (and the
+    oracle's list_intersect then matches byte-for-byte).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col),
+        F.col(text).alias("k"),
+        shingles_col(text, n).alias("arr"),
+    )
+    ranged = base.repartitionByRange(n_blocks, "k", id_col).withColumn(
+        "blk", F.spark_partition_id()
+    )
+    rn_w = W.partitionBy("blk").orderBy("k", id_col)
+    local = ranged.withColumn("rn", F.row_number().over(rn_w))
+    cnt = local.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
+    off_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    off = cnt.select(
+        "blk", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    )
+    g = local.join(F.broadcast(off), "blk").select(
+        F.col(id_col),
+        "k",
+        "arr",
+        (F.col("rn") + F.col("off")).alias("grn"),
+        F.size("arr").alias("n_sh"),
+    )
+    gaps = F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("gap")
+    left = g.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("grn"),
+        gaps,
+    ).withColumn("nbr", F.col("grn") + F.col("gap"))
+    right = g.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("grn").alias("nbr"),
+    )
+    return (
+        left.join(right, "nbr")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("gap").cast("bigint").alias("gap"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            # exact: one IEEE division of identical integers
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .alias("jaccard"),
+        )
+    )

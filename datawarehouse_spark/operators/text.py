@@ -1142,3 +1142,58 @@ def batch_by_length(df: DataFrame, id_col: str = "doc_id",
         (F.max("n_tokens").over(wb) - F.col("n_tokens")).cast("bigint")
         .alias("padding"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text: str = "text") -> DataFrame:
+    """Per-document unigram token entropy in bits — the information-
+    density quality signal: H = -Σ p·log2(p) over the doc's token
+    distribution. Low entropy flags repetitive/templated text from the
+    distributional side (complements repetition_stats' ratio cuts);
+    near-random token soup shows up as entropy ≈ log2(vocab), so the
+    normalized form (H / log2(n_distinct)) reads as "how close to
+    uniform", a standard boilerplate/gibberish dial in corpus curation.
+
+    Oracle determinism: each per-token term is rounded to 9 decimals
+    BEFORE aggregation (absorbs ≤1-ulp libm log2 skew between engines),
+    then summed as decimal so reduction order can't move the total —
+    the same order-independence trick as lm_score / domain_divergence.
+    norm_entropy is a division of two already-rounded terms, rounded
+    again at 6; single-token-vocab docs emit 0.0 by convention.
+
+    Scale shape: ONE corpus scan, one explode + map-combined
+    (doc_id, token) count — partial aggregation collapses within-doc
+    repetition before the shuffle — then the per-doc total via a
+    window OVER THE SAME doc-keyed count table (no second shuffle of
+    token instances; the window partitions on doc_id, which the
+    groupBy already clustered) and a final per-doc aggregation.
+    Zero joins; shuffle volume is distinct (doc, token) keys.
+    """
+    from pyspark.sql import Window as W
+
+    wc = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("t"))
+        .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = wc.withColumn("n", F.sum("c").over(W.partitionBy(id_col)))
+    p = F.col("c") / F.col("n")
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            F.sum(F.round(-p * F.log2(p), 9).cast("decimal(38,9)"))
+            .cast("double"),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return per_doc.select(
+        id_col, "n_tok", "n_distinct", "entropy_bits",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(
+                F.col("entropy_bits")
+                / F.round(F.log2(F.col("n_distinct").cast("double")), 9),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("norm_entropy"),
+    )

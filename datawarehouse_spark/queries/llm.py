@@ -1605,3 +1605,102 @@ def llm_batch_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     return text.batch_by_length(t["documents"], bucket_width=16,
                                 batch_size=8)
+
+
+@query(
+    "llm_token_entropy",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM wc
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             ROUND(CAST(SUM(CAST(ROUND(
+                 -(c * 1.0 / n) * log2(c * 1.0 / n), 9)
+               AS DECIMAL(38,9))) AS DOUBLE), 6) AS entropy_bits
+      FROM tot GROUP BY 1
+    )
+    SELECT doc_id, n_tok, n_distinct, entropy_bits,
+           CASE WHEN n_distinct > 1
+                THEN ROUND(entropy_bits
+                           / ROUND(log2(CAST(n_distinct AS DOUBLE)), 9), 6)
+                ELSE 0.0 END AS norm_entropy
+    FROM agg
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document (bits + uniformity-normalized)
+    — the information-density quality dial. Per-term round-9 +
+    exact-decimal sum keeps libm log2 cross-engine skew out of the
+    hash. See operators/text.py::token_entropy."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.token_entropy(t["documents"])
+
+
+@query(
+    "llm_prefix_filter_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i AS BIGINT) AS inter,
+           i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def llm_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs shingle Jaccard ≥ 0.5 via LOSSLESS prefix
+    filtering (PPJoin family). The oracle is the NAIVE all-pairs join —
+    the check therefore proves the losslessness claim end-to-end, not
+    just the arithmetic. See operators/dedup.py::prefix_filter_pairs."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.prefix_filter_pairs(t["documents"], threshold=0.5)
+
+
+@query(
+    "llm_sorted_neighborhood",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, {_DUCK_SHINGLES} AS s FROM documents
+    ), ord AS (
+      SELECT doc_id, text, s,
+             ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn
+      FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(len(a.s) AS BIGINT) AS n_a,
+           CAST(len(b.s) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           len(list_intersect(a.s, b.s)) * 1.0
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard
+    FROM ord a JOIN ord b ON b.rn > a.rn AND b.rn <= a.rn + 3
+    """,
+)
+def llm_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (merge/purge): window-4 neighbor
+    pairs in text order with exact in-row shingle Jaccard. The Spark
+    side computes the global rank distributively (range partitions +
+    broadcast offsets); the oracle's single ROW_NUMBER proves the
+    distributed rank reproduces the total order exactly.
+    See operators/dedup.py::sorted_neighborhood_pairs."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.sorted_neighborhood_pairs(t["documents"], window=4)

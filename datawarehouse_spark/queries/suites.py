@@ -287,6 +287,17 @@ SUITES: dict[str, list[Member]] = {
         ("llm_batch_by_length", [],
          ["doc_id", "n_tokens", "bucket", "batch_id", "batch_max",
           "padding"]),
+        # unigram entropy (information-density quality dial)
+        ("llm_token_entropy", [],
+         ["doc_id", "n_tok", "n_distinct", "entropy_bits",
+          "norm_entropy"]),
+        # LOSSLESS prefix-filtered exact Jaccard join (PPJoin family) —
+        # oracle is the naive all-pairs join, proving losslessness
+        ("llm_prefix_filter_pairs", [],
+         ["doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard"]),
+        # sorted-neighborhood blocking (merge/purge window pairs)
+        ("llm_sorted_neighborhood", [],
+         ["doc_a", "doc_b", "gap", "n_a", "n_b", "inter", "jaccard"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

@@ -876,3 +876,85 @@ def test_batch_by_length_beats_arrival_order_padding(spark):
     # determinism: same addresses on recompute
     again = batch_by_length(df, bucket_width=16, batch_size=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_prefix_filter_matches_naive_all_pairs(spark):
+    """Losslessness: the prefix-filtered join must return EXACTLY the
+    naive uncapped all-pairs result — same pairs, same jaccards."""
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    fast = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dedup.prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    naive = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_freq=None, persist=False
+        ).collect()
+    }
+    assert fast == naive
+
+
+def test_prefix_filter_size_ratio_prune_is_safe(spark):
+    """Constructed cross-size pair: a doc contained in a 3x-larger doc
+    has jaccard < 0.5, so the size-ratio prune may drop it — but a pair
+    of equal-size docs sharing >half their shingles must survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g z"),   # shares 5/7 of 6-shingle space
+            (3, " ".join(f"w{i}" for i in range(40)) + " a b c d e f g h"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.prefix_filter_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs  # containment pair: jaccard well under 0.5
+
+
+def test_sorted_neighborhood_invariant_to_block_count(spark):
+    """The distributed global rank (range partitions + broadcast
+    offsets) must emit the identical pair set no matter how many range
+    blocks the corpus is split into — including n_blocks=1 (the
+    single-partition reference)."""
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+
+    def pairset(nb):
+        return {
+            (r.doc_a, r.doc_b, r.gap, r.inter)
+            for r in dedup.sorted_neighborhood_pairs(
+                docs, window=4, n_blocks=nb
+            ).collect()
+        }
+
+    ref = pairset(1)
+    assert pairset(3) == ref
+    assert pairset(8) == ref
+    # n rows → (window-1)·n - (1+2) tail pairs
+    n = docs.count()
+    assert len(ref) == 3 * n - 6
+
+
+def test_token_entropy_hand_computed(spark):
+    """H('a a b b') = 1 bit; H of a constant doc = 0 with norm 0 by
+    convention; H ≤ log2(n_distinct) always (uniform bound)."""
+    from datawarehouse_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "a a b b"), (2, "x x x x"), (3, "p q r s")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in t.token_entropy(docs).collect()}
+    assert rows[1].entropy_bits == 1.0 and rows[1].norm_entropy == 1.0
+    assert rows[2].entropy_bits == 0.0 and rows[2].norm_entropy == 0.0
+    assert rows[2].n_distinct == 1
+    assert rows[3].entropy_bits == 2.0  # uniform over 4 tokens
+    corpus = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    import math
+
+    for r in t.token_entropy(corpus).collect():
+        assert -1e-9 <= r.entropy_bits <= math.log2(r.n_distinct) + 1e-6
+        assert -1e-9 <= r.norm_entropy <= 1.0 + 1e-6
