@@ -104,6 +104,14 @@ OPS = [
     # the PIT join claims broadcast-dim + residual-range (no fan-out)
     "t11_daily_anomaly_scan",
     "j16_pit_dim_join",
+    # prefix-filter join claims candidate volume bounded by rare-shingle
+    # df² — replicas are mutual near-dups, so true pairs grow ~R² (the
+    # documented harder-than-linear upper bound, same as ngram/LSH);
+    # sorted-neighborhood claims strictly-linear (window-1)·n pairs;
+    # token entropy claims one map-combined distinct-key shuffle
+    "llm_prefix_filter_pairs",
+    "llm_sorted_neighborhood",
+    "llm_token_entropy",
 ]
 
 
@@ -137,11 +145,12 @@ def build(spark, replicas: int, dest: str) -> None:
         fh.write(str(replicas))
 
 
-def time_ops(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
+def time_ops(spark, sf_dir: str, reps: int = 2,
+             ops: list[str] | None = None) -> dict[str, float]:
     from datawarehouse_spark.queries import QUERIES_RAW
 
     t: dict[str, float] = {}
-    for name in OPS:
+    for name in (ops if ops is not None else OPS):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -158,7 +167,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=8)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--ops", type=str, default=None,
+                    help="comma-separated subset of OPS to measure "
+                         "(default: the full roster)")
     args = ap.parse_args()
+    ops = args.ops.split(",") if args.ops else OPS
+    unknown = [o for o in ops if o not in OPS]
+    if unknown:
+        raise SystemExit(f"not in OPS roster: {unknown}")
 
     from datawarehouse_spark.session import get_spark
 
@@ -172,15 +188,15 @@ def main() -> None:
         build(spark, args.replicas, dest)
 
     # warm-up: JIT/codegen at the smallest SF so t1 isn't cold-start
-    time_ops(spark, "/root/testdata/sf0.001", reps=1)
-    t1 = time_ops(spark, BASE)
-    tR = time_ops(spark, dest)
+    time_ops(spark, "/root/testdata/sf0.001", reps=1, ops=ops)
+    t1 = time_ops(spark, BASE, ops=ops)
+    tR = time_ops(spark, dest, ops=ops)
     print(json.dumps({
         "replicas": args.replicas,
         "ops": {
             n: {"t1": t1[n], "tR": tR[n],
                 "ratio": round(tR[n] / max(t1[n], 1e-9), 2)}
-            for n in OPS
+            for n in ops
         },
     }))
 
