@@ -873,7 +873,10 @@ def sorted_neighborhood_pairs(
         "blk", F.spark_partition_id()
     )
     rn_w = W.partitionBy("blk").orderBy("k", id_col)
-    local = ranged.withColumn("rn", F.row_number().over(rn_w))
+    # three consumers of the ranked rows (block counts + both join
+    # sides): persist once so the range shuffle + window + shingle
+    # build never recompute; dropped in the finally below
+    local = ranged.withColumn("rn", F.row_number().over(rn_w)).persist()
     cnt = local.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
     off_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
     off = cnt.select(
@@ -881,7 +884,6 @@ def sorted_neighborhood_pairs(
     )
     g = local.join(F.broadcast(off), "blk").select(
         F.col(id_col),
-        "k",
         "arr",
         (F.col("rn") + F.col("off")).alias("grn"),
         F.size("arr").alias("n_sh"),
@@ -900,7 +902,7 @@ def sorted_neighborhood_pairs(
         F.col("n_sh").alias("n_b"),
         F.col("grn").alias("nbr"),
     )
-    return (
+    pairs = (
         left.join(right, "nbr")
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .select(
@@ -915,3 +917,7 @@ def sorted_neighborhood_pairs(
             .alias("jaccard"),
         )
     )
+    try:
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        local.unpersist()
