@@ -921,3 +921,73 @@ def sorted_neighborhood_pairs(
         return pairs.localCheckpoint(eager=True)
     finally:
         local.unpersist()
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥
+    threshold — the asymmetric near-dup relation Jaccard cannot see.
+    A short document quoted verbatim inside a much longer one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so symmetric dedup
+    keeps both; quote/subset detection (boilerplate inclusions,
+    embedded licenses, copy-pasted passages) filters on containment.
+    Emits ordered (doc_a ⊆-ish doc_b) rows: containment of a IN b.
+
+    Scale shape: identical machinery to ngram_jaccard_pairs — one
+    exploded int64-hashed shingle self-join (both orders kept, since
+    the relation is directed) + per-doc sizes; the same
+    ``max_shingle_freq`` broadcast-anti-join cap bounds hot-shingle
+    fan-out, and at 100 TB the join runs over blocking candidates
+    (LSH / prefix-filter), not all pairs. The containment-adapted
+    prefix filter (prefix on the SMALL side only) is the lossless
+    variant documented in SCALE.md.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
+    ).select(id_col, F.xxhash64("s").alias("s"))
+    cached = sh.persist()
+    sh = cached
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("s").agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq).select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", F.col("i") / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        # exact: single IEEE division of identical integers
+        .select("doc_a", "doc_b",
+                F.col("n_a").cast("bigint").alias("n_a"),
+                F.col("n_b").cast("bigint").alias("n_b"),
+                F.col("i").cast("bigint").alias("inter"),
+                "containment")
+    )
+    try:
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        cached.unpersist()

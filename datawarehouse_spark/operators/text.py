@@ -1197,3 +1197,48 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
             ),
         ).otherwise(F.lit(0.0)).alias("norm_entropy"),
     )
+
+
+def pps_sample(df: DataFrame, id_col: str = "doc_id",
+               text: str = "text") -> DataFrame:
+    """Probability-proportional-to-size (PPS) Bernoulli sampling:
+    include each document with probability n_tokens / max(n_tokens) —
+    which makes every TOKEN equally likely to survive, the principled
+    way to subsample a corpus under a token budget without biasing
+    toward short documents (uniform doc sampling over-weights short
+    docs' tokens; PPS is the docs-side correction).
+
+    Fully deterministic and oracle-EXACT: the uniform draw is a
+    32-bit md5 prefix of the id (the train_split convention, never
+    rand()) and the acceptance test is pure int64 arithmetic —
+    u · max_nt < n_tokens · 2³² — with no division, no libm, no
+    rounding anywhere. Products stay below 2⁵² for any document under
+    ~2²⁰ tokens, so the comparison is exact in both engines.
+
+    Scale shape: one scan computes token counts; the corpus max is a
+    scalar aggregate CROSS-JOINED back (broadcast of one row — the
+    single-pass-total discipline, never a second scan or a
+    single-partition window); the accept decision is a per-row JVM
+    expression. Zero data shuffles beyond the scalar's trivial
+    reduce.
+    """
+    nt = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text), " ")).cast("bigint").alias("n_tokens"),
+    )
+    mx = nt.agg(F.max("n_tokens").alias("max_nt"))
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    return (
+        nt.crossJoin(F.broadcast(mx))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "max_nt",
+            u.alias("u"),
+            (u * F.col("max_nt")
+             < F.col("n_tokens") * F.lit(4294967296)).alias("accept"),
+        )
+    )

@@ -1704,3 +1704,84 @@ def llm_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/dedup.py::sorted_neighborhood_pairs."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.sorted_neighborhood_pairs(t["documents"], window=4)
+
+
+@query(
+    "llm_pps_sample",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), mx AS (SELECT MAX(n_tokens) AS max_nt FROM nt)
+    SELECT doc_id, n_tokens, max_nt,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) AS u,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) * max_nt < n_tokens * 4294967296 AS accept
+    FROM nt CROSS JOIN mx
+    """,
+)
+def llm_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS Bernoulli sampling: include docs with probability
+    n_tokens/max(n_tokens), making each TOKEN equally likely to
+    survive a corpus subsample. Pure int64 arithmetic — oracle-EXACT,
+    no division or libm anywhere. See operators/text.py::pps_sample."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.pps_sample(t["documents"])
+
+
+# synthetic quote corpus for containment: every 100th document also
+# contributes a 12-token prefix "quote" doc (id + 5,000,000) — fully
+# contained in its source but with tiny Jaccard, so the containment
+# relation is exercised non-vacuously (the pii_redact convention:
+# inject the phenomenon identically on both engines).
+_DUCK_QUOTE_CORPUS = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id,
+             array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+      FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+@query(
+    "llm_containment_pairs",
+    oracle=f"""
+    WITH corpus AS (
+{_DUCK_QUOTE_CORPUS}
+    ), toks AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM corpus
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i AS BIGINT) AS inter,
+           i * 1.0 / sa.n AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / sa.n >= 0.8
+    """,
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment ≥ 0.8 — the asymmetric quote/subset
+    relation Jaccard dedup cannot see. Runs over the corpus plus
+    synthetic 12-token prefix quotes of every 100th document so
+    containment-only pairs exist at fixture scale.
+    See operators/dedup.py::containment_pairs."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    quotes = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(5000000)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, 12)
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    return dedup.containment_pairs(corpus, threshold=0.8)

@@ -298,6 +298,13 @@ SUITES: dict[str, list[Member]] = {
         # sorted-neighborhood blocking (merge/purge window pairs)
         ("llm_sorted_neighborhood", [],
          ["doc_a", "doc_b", "gap", "n_a", "n_b", "inter", "jaccard"]),
+        # PPS token-budget sampling (boolean accept is a string key)
+        ("llm_pps_sample", ["accept"],
+         ["doc_id", "n_tokens", "max_nt", "u"]),
+        # directed containment (quote/subset) pairs over the corpus +
+        # synthetic prefix quotes
+        ("llm_containment_pairs", [],
+         ["doc_a", "doc_b", "n_a", "n_b", "inter", "containment"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

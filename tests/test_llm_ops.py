@@ -958,3 +958,40 @@ def test_token_entropy_hand_computed(spark):
     for r in t.token_entropy(corpus).collect():
         assert -1e-9 <= r.entropy_bits <= math.log2(r.n_distinct) + 1e-6
         assert -1e-9 <= r.norm_entropy <= 1.0 + 1e-6
+
+
+def test_pps_sample_is_exact_integer_decision(spark):
+    """Recompute the acceptance test in Python from the emitted (u,
+    n_tokens, max_nt) — it must match bit-for-bit, the longest doc is
+    always accepted, and the realized rate tracks E[accept] =
+    mean(n_tokens)/max_nt."""
+    from datawarehouse_spark.operators.text import pps_sample
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    rows = pps_sample(docs).collect()
+    for r in rows:
+        assert r.accept == (r.u * r.max_nt < r.n_tokens * 4294967296)
+        if r.n_tokens == r.max_nt:
+            assert r.accept  # u < 2^32 always
+    expect = sum(r.n_tokens for r in rows) / (rows[0].max_nt * len(rows))
+    got = sum(r.accept for r in rows) / len(rows)
+    assert abs(got - expect) < 0.1, (got, expect)
+
+
+def test_containment_sees_quotes_jaccard_misses(spark):
+    """A 10-token prefix quote of a 40-token doc: containment(quote →
+    doc) = 1.0 but Jaccard ≈ 0.2 — the containment op must emit the
+    directed pair and the Jaccard op at 0.5 must not."""
+    base = " ".join(f"t{i}" for i in range(40))
+    quote = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, base), (2, quote)], ["doc_id", "text"]
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert cont == {(2, 1): 1.0}
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                    persist=False).collect()
+    assert jac == []
