@@ -1242,3 +1242,70 @@ def pps_sample(df: DataFrame, id_col: str = "doc_id",
              < F.col("n_tokens") * F.lit(4294967296)).alias("accept"),
         )
     )
+
+
+def bpe_train(df: DataFrame, text: str = "text", k: int = 6) -> DataFrame:
+    """Train ``k`` byte-pair-encoding merges on the corpus (Sennrich et
+    al. 2016): start from characters (plus a ``</w>`` end-of-word
+    marker), repeatedly count adjacent symbol pairs weighted by word
+    frequency and merge the most frequent pair. Returns the learned
+    merge table — (merge_rank, lhs, rhs, pair_count) — which IS the
+    tokenizer artifact a training pipeline ships.
+
+    Scale shape — the reason distributed BPE trainers exist: the corpus
+    is scanned ONCE to build the distinct-word count table; all ``k``
+    merge rounds then run over that VOCAB-SIZED table (millions of rows
+    at 100 TB, never the corpus). Each round is one map-combined pair
+    count plus an argmax LIMIT 1 (a single driver row per round — the
+    same inherent per-iteration sync as pointer-jumping CC) and a
+    per-row two-pass string replace. The word table is re-checkpointed
+    every round to cut the iterative lineage.
+
+    Determinism (and hence oracle parity): symbols are space-delimited
+    in a sentinel-padded string; applying a merge is ``replace`` run
+    TWICE — the first pass takes the odd occurrences of a chain (the
+    trailing delimiter of a match is consumed, hiding the immediately
+    following occurrence), the second pass takes the rest, which
+    reproduces greedy left-to-right BPE application exactly (property:
+    ``aaa`` + merge (a,a) → [aa, a], never [a, aa]). Argmax ties break
+    on (count desc, lhs asc, rhs asc) — identical in both engines.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    syms = F.concat(
+        F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" </w> ")
+    )
+    cur = words.select("w", "f", syms.alias("s")).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        prs = F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+        )
+        pc = (
+            cur.select("f", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("f").alias("c"))
+        )
+        best = pc.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        lhs, rhs, c = best[0].l, best[0].r, int(best[0].c)
+        merges.append((rank, lhs, rhs, c))
+        pat = F.concat(F.lit(" "), F.lit(lhs), F.lit(" "), F.lit(rhs), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.lit(lhs), F.lit(rhs), F.lit(" "))
+        nxt = cur.select(
+            "w", "f",
+            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        cur.unpersist()
+        cur = nxt
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
+    )

@@ -1785,3 +1785,54 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(quotes)
     return dedup.containment_pairs(corpus, threshold=0.8)
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled k-round BPE oracle (the PageRank unrolled-CTE
+    convention): each round re-derives pair counts from the previous
+    word table, takes the deterministic argmax, and applies the merge
+    with the same two-pass replace as the Spark operator."""
+    blocks = ["""
+    w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1
+    ), s0 AS (
+      SELECT w, f,
+             ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> '
+               AS s
+      FROM w0
+    )"""]
+    for i in range(1, k + 1):
+        blocks.append(f""", p{i} AS (
+      SELECT a[j] AS l, a[j + 1] AS r, SUM(f) AS c
+      FROM (SELECT f, string_split(trim(s), ' ') AS a FROM s{i - 1}),
+           UNNEST(generate_series(1, len(a) - 1)) AS u(j)
+      GROUP BY 1, 2
+    ), b{i} AS (
+      SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ), s{i} AS (
+      SELECT w, f,
+             replace(replace(s, ' ' || b.l || ' ' || b.r || ' ',
+                                ' ' || b.l || b.r || ' '),
+                     ' ' || b.l || ' ' || b.r || ' ',
+                     ' ' || b.l || b.r || ' ') AS s
+      FROM s{i - 1} CROSS JOIN b{i} b
+    )""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + "".join(blocks) + "\n" + unions
+
+
+@query("llm_bpe_merges", oracle=_bpe_oracle(6))
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 6 BPE merges on the corpus — the tokenizer-training
+    artifact. The oracle unrolls all 6 rounds as CTEs (argmax +
+    two-pass replace per round), so the check verifies the full
+    iterative computation, not just the first pair count.
+    See operators/text.py::bpe_train."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.bpe_train(t["documents"], k=6)

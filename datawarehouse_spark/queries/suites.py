@@ -305,6 +305,9 @@ SUITES: dict[str, list[Member]] = {
         # synthetic prefix quotes
         ("llm_containment_pairs", [],
          ["doc_a", "doc_b", "n_a", "n_b", "inter", "containment"]),
+        # BPE tokenizer training (6 merges; symbols are string keys)
+        ("llm_bpe_merges", ["lhs", "rhs"],
+         ["merge_rank", "pair_count"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

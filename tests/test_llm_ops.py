@@ -995,3 +995,55 @@ def test_containment_sees_quotes_jaccard_misses(spark):
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
                                     persist=False).collect()
     assert jac == []
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer must reproduce a straightforward Python
+    BPE reference (greedy left-to-right merge application, ties by
+    (count desc, pair asc)) merge-for-merge on a constructed corpus
+    with repeat chains ('aaa') that stress the two-pass replace."""
+    from collections import Counter
+
+    from datawarehouse_spark.operators.text import bpe_train
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaa aa aaa baaab",
+    ]
+
+    def ref_bpe(texts, k):
+        words = Counter(w for t in texts for w in t.split(" "))
+        symd = {w: list(w) + ["</w>"] for w in words}
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for w, f in words.items():
+                s = symd[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), c = best
+            merges.append((l, r, c))
+            for w in symd:
+                s, out, i = symd[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                symd[w] = out
+        return merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got = [
+        (r.lhs, r.rhs, r.pair_count)
+        for r in bpe_train(docs, k=5).orderBy("merge_rank").collect()
+    ]
+    assert got == ref_bpe(corpus, 5)
