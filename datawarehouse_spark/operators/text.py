@@ -1244,7 +1244,8 @@ def pps_sample(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def bpe_train(df: DataFrame, text: str = "text", k: int = 6) -> DataFrame:
+def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
+              emit: str = "merges") -> DataFrame:
     """Train ``k`` byte-pair-encoding merges on the corpus (Sennrich et
     al. 2016): start from characters (plus a ``</w>`` end-of-word
     marker), repeatedly count adjacent symbol pairs weighted by word
@@ -1260,6 +1261,11 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6) -> DataFrame:
     same inherent per-iteration sync as pointer-jumping CC) and a
     per-row two-pass string replace. The word table is re-checkpointed
     every round to cut the iterative lineage.
+
+    ``emit="merges"`` returns the merge table; ``emit="vocab"`` returns
+    the post-merge SEGMENTED vocabulary — (w, f, n_syms, seg) — i.e.
+    the trained tokenizer APPLIED to every corpus word, which is what
+    the encoding stage of a pipeline consumes.
 
     Determinism (and hence oracle parity): symbols are space-delimited
     in a sentinel-padded string; applying a merge is ``replace`` run
@@ -1306,6 +1312,13 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6) -> DataFrame:
         nxt = nxt.localCheckpoint(eager=True)
         cur.unpersist()
         cur = nxt
+    if emit == "vocab":
+        return cur.select(
+            "w", "f",
+            F.size(F.split(F.trim(F.col("s")), " ")).cast("bigint")
+            .alias("n_syms"),
+            F.trim(F.col("s")).alias("seg"),
+        )
     return spark.createDataFrame(
         merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
     )

@@ -1787,7 +1787,7 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(corpus, threshold=0.8)
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_oracle(k: int, emit: str = "merges") -> str:
     """Unrolled k-round BPE oracle (the PageRank unrolled-CTE
     convention): each round re-derives pair counts from the previous
     word table, takes the deterministic argmax, and applies the merge
@@ -1819,12 +1819,18 @@ def _bpe_oracle(k: int) -> str:
                      ' ' || b.l || b.r || ' ') AS s
       FROM s{i - 1} CROSS JOIN b{i} b
     )""")
-    unions = "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, "
-        f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
-        for i in range(1, k + 1)
-    )
-    return "WITH " + "".join(blocks) + "\n" + unions
+    if emit == "vocab":
+        tail = f"""SELECT w, f,
+       CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms,
+       trim(s) AS seg
+    FROM s{k}"""
+    else:
+        tail = "\nUNION ALL\n".join(
+            f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, "
+            f"CAST(c AS BIGINT) AS pair_count FROM b{i}"
+            for i in range(1, k + 1)
+        )
+    return "WITH " + "".join(blocks) + "\n" + tail
 
 
 @query("llm_bpe_merges", oracle=_bpe_oracle(6))
@@ -1836,3 +1842,15 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/text.py::bpe_train."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.bpe_train(t["documents"], k=6)
+
+
+@query("llm_bpe_segment", oracle=_bpe_oracle(6, emit="vocab"))
+def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained 6-merge BPE tokenizer APPLIED to the corpus
+    vocabulary: per distinct word, its frequency, symbol count and
+    space-joined segmentation — the encoding-stage artifact. The
+    oracle reuses the unrolled training CTEs and reads the final word
+    table, so train-then-apply is verified as one computation.
+    See operators/text.py::bpe_train(emit='vocab')."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.bpe_train(t["documents"], k=6, emit="vocab")

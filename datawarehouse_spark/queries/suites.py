@@ -308,6 +308,8 @@ SUITES: dict[str, list[Member]] = {
         # BPE tokenizer training (6 merges; symbols are string keys)
         ("llm_bpe_merges", ["lhs", "rhs"],
          ["merge_rank", "pair_count"]),
+        # ...and the trained tokenizer applied to the vocabulary
+        ("llm_bpe_segment", ["w", "seg"], ["f", "n_syms"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list

@@ -112,6 +112,13 @@ OPS = [
     "llm_prefix_filter_pairs",
     "llm_sorted_neighborhood",
     "llm_token_entropy",
+    # containment shares the capped-self-join envelope (both orders);
+    # PPS claims zero data shuffles beyond a scalar reduce; BPE claims
+    # corpus-scan-once then vocab-bounded rounds (replicated text keeps
+    # the vocab constant while the scan grows — the flat-rounds regime)
+    "llm_containment_pairs",
+    "llm_pps_sample",
+    "llm_bpe_merges",
 ]
 
 

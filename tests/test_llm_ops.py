@@ -1047,3 +1047,17 @@ def test_bpe_train_matches_python_reference(spark):
         for r in bpe_train(docs, k=5).orderBy("merge_rank").collect()
     ]
     assert got == ref_bpe(corpus, 5)
+
+
+def test_bpe_segment_reconstructs_words(spark):
+    """Removing segmentation spaces and the </w> marker must
+    reconstruct each word exactly, and merged symbols must only ever
+    concatenate adjacent characters (no reordering)."""
+    from datawarehouse_spark.operators.text import bpe_train
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    for r in bpe_train(docs, k=6, emit="vocab").collect():
+        assert r.seg.endswith("</w>") or "</w>" in r.seg
+        joined = r.seg.replace(" ", "").replace("</w>", "")
+        assert joined == r.w, (r.w, r.seg)
+        assert r.n_syms == len(r.seg.split(" "))
