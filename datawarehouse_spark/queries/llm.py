@@ -1750,8 +1750,13 @@ _DUCK_QUOTE_CORPUS = """
     oracle=f"""
     WITH corpus AS (
 {_DUCK_QUOTE_CORPUS}
-    ), toks AS (
+    ), toks0 AS (
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM corpus
+    ), capped AS (
+      SELECT s FROM toks0
+      GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_SHINGLE_FREQ}
+    ), toks AS (
+      SELECT toks0.doc_id, toks0.s FROM toks0 JOIN capped USING (s)
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
     ), inter AS (
@@ -1773,7 +1778,11 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle containment ≥ 0.8 — the asymmetric quote/subset
     relation Jaccard dedup cannot see. Runs over the corpus plus
     synthetic 12-token prefix quotes of every 100th document so
-    containment-only pairs exist at fixture scale.
+    containment-only pairs exist at fixture scale. Hot shingles are
+    capped at df 100 (NGRAM_MAX_SHINGLE_FREQ) exactly like the Jaccard
+    verifier (mirrored in the oracle) — without the cap the self-join
+    fan-out tracks df² and the 8x scalecheck measured at-linear 8.3;
+    capped it drops to the sub-linear envelope.
     See operators/dedup.py::containment_pairs."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
@@ -1784,7 +1793,9 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(quotes)
-    return dedup.containment_pairs(corpus, threshold=0.8)
+    return dedup.containment_pairs(
+        corpus, threshold=0.8, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
 
 
 def _bpe_oracle(k: int, emit: str = "merges") -> str:
