@@ -416,3 +416,48 @@ def test_lm_score_equals_python_reference(spark, docs):
         ) / len(bgs)
         assert abs(r["avg_logp"] - ref) <= 1.1e-6, (i, r["avg_logp"], ref)
         assert abs(r["ppl"] - 2 ** -ref) <= abs(2 ** -ref) * 1e-5
+
+
+# --- BPE two-pass replace ≡ greedy left-to-right merge application ---
+
+SYMS = st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0,
+                max_size=12)
+MERGE = st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("ab", "c"),
+                         ("c", "c"), ("b", "b")])
+
+
+def _greedy_merge(s: list[str], l: str, r: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+@given(syms=SYMS, merge=MERGE)
+@_SETTINGS
+def test_bpe_two_pass_replace_is_greedy_merge(spark, syms, merge):
+    """bpe_train applies a merge as replace() run twice on the
+    space-delimited symbol string; that must equal greedy left-to-right
+    pair merging for ANY symbol chain — including odd/even repeat
+    chains ('a a a') and symbols that are themselves prior merges
+    ('ab'). This is the exact semantics the oracle relies on."""
+    l, r = merge
+    s = " " + " ".join(syms) + " " if syms else " "
+    pat, rep = f" {l} {r} ", f" {l}{r} "
+    got = (
+        spark.range(1)
+        .select(
+            F.replace(
+                F.replace(F.lit(s), F.lit(pat), F.lit(rep)),
+                F.lit(pat), F.lit(rep),
+            ).alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    assert got.split() == _greedy_merge(syms, l, r)
