@@ -1163,11 +1163,11 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: ONE corpus scan, one explode + map-combined
     (doc_id, token) count — partial aggregation collapses within-doc
-    repetition before the shuffle — then the per-doc total via a
-    window OVER THE SAME doc-keyed count table (no second shuffle of
-    token instances; the window partitions on doc_id, which the
-    groupBy already clustered) and a final per-doc aggregation.
-    Zero joins; shuffle volume is distinct (doc, token) keys.
+    repetition before any shuffle — then the per-doc total via a
+    window over the count table (one further exchange of DISTINCT
+    (doc, token) rows onto doc_id — never the token instances — which
+    the final per-doc aggregation then reuses). Zero joins; every
+    shuffle's volume is distinct keys, not tokens.
     """
     from pyspark.sql import Window as W
 
