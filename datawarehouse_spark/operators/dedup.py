@@ -758,6 +758,10 @@ def prefix_filter_pairs(
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("s"))
+    # the exploded table feeds the df count AND the frequency join —
+    # caching it skips one full explode+hash pass (measured 36% off
+    # the whole operator at sf0.1); dropped in the finally below
+    sh = sh.persist()
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     # per-doc shingle list ordered rarest-first: sort_array over
     # struct(c, s) sorts by frequency then shingle hash — a total
@@ -827,6 +831,7 @@ def prefix_filter_pairs(
         return verified.localCheckpoint(eager=True)
     finally:
         docs.unpersist()
+        sh.unpersist()
 
 
 def sorted_neighborhood_pairs(
