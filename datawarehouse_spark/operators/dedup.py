@@ -869,6 +869,15 @@ def sorted_neighborhood_pairs(
     """
     from pyspark.sql import Window as W
 
+    if window <= 1:
+        # window=1 means "no neighbors"; guard explicitly because
+        # F.sequence(1, window-1) with window=1 builds sequence(1, 0),
+        # which Spark evaluates with an implicit -1 step as [1, 0] —
+        # emitting gap-0 self-pairs instead of nothing.
+        raise ValueError(
+            f"sorted_neighborhood_pairs needs window >= 2, got {window}"
+        )
+
     base = df.select(
         F.col(id_col),
         F.col(text).alias("k"),

@@ -1823,12 +1823,18 @@ def _bpe_oracle(k: int, emit: str = "merges") -> str:
     ), b{i} AS (
       SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
     ), s{i} AS (
+      -- LEFT JOIN ON TRUE: when pair counts exhaust before round k,
+      -- b{i} is empty and the word table passes through unchanged,
+      -- matching bpe_train's early break (a CROSS JOIN would
+      -- annihilate the table and return 0 rows for emit='vocab').
       SELECT w, f,
-             replace(replace(s, ' ' || b.l || ' ' || b.r || ' ',
-                                ' ' || b.l || b.r || ' '),
-                     ' ' || b.l || ' ' || b.r || ' ',
-                     ' ' || b.l || b.r || ' ') AS s
-      FROM s{i - 1} CROSS JOIN b{i} b
+             CASE WHEN b.l IS NULL THEN s
+                  ELSE replace(replace(s, ' ' || b.l || ' ' || b.r || ' ',
+                                          ' ' || b.l || b.r || ' '),
+                               ' ' || b.l || ' ' || b.r || ' ',
+                               ' ' || b.l || b.r || ' ')
+             END AS s
+      FROM s{i - 1} LEFT JOIN b{i} b ON TRUE
     )""")
     if emit == "vocab":
         tail = f"""SELECT w, f,

@@ -1061,3 +1061,47 @@ def test_bpe_segment_reconstructs_words(spark):
         joined = r.seg.replace(" ", "").replace("</w>", "")
         assert joined == r.w, (r.w, r.seg)
         assert r.n_syms == len(r.seg.split(" "))
+
+
+def test_bpe_oracle_survives_exhausted_merges(spark):
+    """Regression (ADVICE r6): when pair counts exhaust before round k,
+    the unrolled oracle's per-round join must pass the word table
+    through unchanged — a CROSS JOIN against the empty argmax CTE
+    annihilated the table, returning 0 rows for emit='vocab' while
+    bpe_train correctly breaks and keeps the last word table. Verified
+    with a one-word corpus ('ab') that exhausts after 2 merges."""
+    import duckdb
+
+    from datawarehouse_spark.operators.text import bpe_train
+    from datawarehouse_spark.queries.llm import _bpe_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT 1 AS doc_id, 'ab' AS text"
+    )
+    docs = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    for emit in ("merges", "vocab"):
+        dres = con.execute(_bpe_oracle(6, emit=emit))
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+        sdf = bpe_train(docs, k=6, emit=emit)
+        srows = [tuple(r) for r in sdf.collect()]
+        assert drows, f"emit={emit}: oracle annihilated to 0 rows"
+        from tests.oracle_compare import canonical
+
+        assert canonical(srows, sdf.columns) == canonical(drows, dcols), emit
+    con.close()
+
+
+def test_sorted_neighborhood_rejects_degenerate_window():
+    """Regression (ADVICE r6): window<=1 built F.sequence(1, 0), which
+    Spark evaluates with an implicit -1 step as [1, 0] and emitted
+    gap-0 self-pairs. The operator now raises before building a plan."""
+    import pytest as _pytest
+
+    from datawarehouse_spark.operators import dedup
+
+    for w in (0, 1):
+        with _pytest.raises(ValueError, match="window >= 2"):
+            dedup.sorted_neighborhood_pairs(None, window=w)
