@@ -8,6 +8,11 @@ so the series stays comparable after the r6 full-registry widening.
 Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver) — the honest measure of operator cost.
 
+`bench.py --members` instead times every RAW fine-grained query
+(~155 lines, suite members individually, default 1 rep) and prints the
+same JSON shape with metric=raw_members_total_sec — the attribution
+companion to the registry-level run.
+
 IDLE-RUN PROTOCOL: numbers are only comparable between runs taken in
 an otherwise-idle container — a second Spark JVM (pytest, a driver
 sweep) inflates individual queries 2-4x via CPU/page-cache contention.
@@ -93,13 +98,24 @@ def bench_set() -> list[tuple[str, object]]:
     return [(n, QUERIES.get(n) or QUERIES_RAW[n]) for n in names]
 
 
+def members_set() -> list[tuple[str, object]]:
+    """--members mode: every RAW fine-grained query (suite members
+    included individually), so a member-level regression inside a
+    union suite is attributable without re-deriving it from
+    scalecheck sweeps."""
+    from datawarehouse_spark.queries import QUERIES_RAW
+
+    return sorted(QUERIES_RAW.items())
+
+
 def main() -> None:
+    members = "--members" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     from datawarehouse_spark.session import get_spark
 
     spark = get_spark(app_name="dw-bench")
-    entries = bench_set()
+    entries = members_set() if members else bench_set()
     # warm-up pass at the smallest SF: absorbs JVM/JIT/codegen compilation
     # and filesystem init so timings measure the engine, not cold start
     warm_dir = "/root/testdata/sf0.001"
@@ -114,7 +130,10 @@ def main() -> None:
 
     # min-of-N per query: strips JIT/GC/page-cache noise (±20% on sub-2s
     # queries) so round-over-round comparisons track the plan, not the host
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # (--members defaults to 1 rep: ~155 raw queries, attribution not
+    # series comparison, is the goal there)
+    reps = max(1, int(os.environ.get(
+        "SPARK_GRAFT_BENCH_REPS", "1" if members else "2")))
     timings: dict[str, float] = {}
     for name, fn in entries:
         best = float("inf")
@@ -129,22 +148,29 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    # the continuing round-over-round series: the fine-grained headline
-    # set benched since r1, so the full-registry widening (r6+) doesn't
-    # read as a regression of the historical total
-    legacy = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "legacy_headline_total": legacy,
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if members:
+        out = {
+            "metric": "raw_members_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
+    else:
+        # the continuing round-over-round series: the fine-grained
+        # headline set benched since r1, so the full-registry widening
+        # (r6+) doesn't read as a regression of the historical total
+        legacy = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+        out = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "legacy_headline_total": legacy,
+            "queries": timings,
+            "sf": sf_val,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -218,18 +218,45 @@ SUITES: dict[str, list[Member]] = {
         ("tpch_q20", ["s_name"], ["s_acctbal"]),
         ("tpch_q21", ["s_name"], ["numwait"]),
     ],
-    # LLM text metrics + corpus prep: fingerprints, quality, language-ID,
-    # BPE tokens, train/val split, sequence packing
-    "suite_text_metrics": [
+    # LLM per-document scoring/filtering metrics (the r6 32-member
+    # suite_text_metrics, split three ways so a red member paints a
+    # ~1/3-sized, attributable row — VERDICT r6 ask #2)
+    "suite_text_quality": [
         ("llm_fingerprints", ["fp_exact", "fp_norm"], ["doc_id"]),
         ("llm_text_quality", [],
          ["doc_id", "n_chars_actual", "n_tokens", "avg_token_len",
           "stopword_ratio"]),
         ("llm_lang_id", ["lang_label", "lang_pred"], ["doc_id"]),
         ("llm_bpe_token_count", [], ["doc_id", "n_bpe_tokens"]),
-        ("llm_train_split", ["split"], ["doc_id"]),
-        # deterministic global shuffle: stable (shard, pos) addresses
-        ("llm_global_shuffle", [], ["doc_id", "shard", "pos"]),
+        # Gopher repetition cuts + benchmark decontamination
+        ("llm_repetition", ["gopher_fail"],
+         ["doc_id", "n_words", "n_distinct_words", "top_word_ratio",
+          "dup_word_ratio", "dup_bigram_ratio", "top_bigram_ratio"]),
+        ("llm_contamination", [], ["doc_id", "n_sh", "n_hit",
+                                   "contaminated_frac"]),
+        # PII scrub: redacted text is an exact string key
+        ("llm_pii_redact", ["redacted"],
+         ["doc_id", "n_email", "n_ip", "n_phone"]),
+        # corpus-trained bigram-LM perplexity (CCNet/KenLM filter shape)
+        ("llm_lm_perplexity", [],
+         ["doc_id", "n_bigrams", "avg_logp", "ppl"]),
+        # unigram entropy (information-density quality dial)
+        ("llm_token_entropy", [],
+         ["doc_id", "n_tok", "n_distinct", "entropy_bits",
+          "norm_entropy"]),
+        # DSIR importance-resampling weights (exact-integer formulation)
+        ("llm_importance_weights",
+         [], ["doc_id", "n_tok", "s_target", "s_corpus", "weight"]),
+        # fp is a 60-bit int — exact as a string key, NOT as a double val
+        ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
+    ],
+    # LLM dedup pair generation / blocking / graph resolution (the
+    # pair-join heavy third of the old suite_text_metrics; absorbs the
+    # llm_exact_dedup and llm_simhash standalones to stay ≤50 entries)
+    "suite_dedup_pairs": [
+        ("llm_exact_dedup", ["fp"], ["n_docs", "keep_id"]),
+        # simhash is a 63-bit int — exact as a string key only
+        ("llm_simhash", ["simhash"], ["doc_id"]),
         # cross-doc duplicated-span coverage (boilerplate signal)
         ("llm_dup_span_coverage",
          [], ["doc_id", "n_shingles", "n_dup", "dup_frac"]),
@@ -237,9 +264,31 @@ SUITES: dict[str, list[Member]] = {
         # corpus-frequent span removal
         ("llm_dup_span_remove",
          [], ["doc_id", "span_start", "span_end", "n_kept"]),
-        # DSIR importance-resampling weights (exact-integer formulation)
-        ("llm_importance_weights",
-         [], ["doc_id", "n_tok", "s_target", "s_corpus", "weight"]),
+        # incremental ingestion dedup: new batch vs existing corpus
+        ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
+         ["doc_id"]),
+        # LOSSLESS prefix-filtered exact Jaccard join (PPJoin family) —
+        # oracle is the naive all-pairs join, proving losslessness
+        ("llm_prefix_filter_pairs", [],
+         ["doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard"]),
+        # sorted-neighborhood blocking (merge/purge window pairs)
+        ("llm_sorted_neighborhood", [],
+         ["doc_a", "doc_b", "gap", "n_a", "n_b", "inter", "jaccard"]),
+        # directed containment (quote/subset) pairs over the corpus +
+        # synthetic prefix quotes
+        ("llm_containment_pairs", [],
+         ["doc_a", "doc_b", "n_a", "n_b", "inter", "containment"]),
+        # PageRank over the near-dup graph (iterative, bit-exact:
+        # IEEE ops + decimal-summed contributions, no libm)
+        ("llm_pagerank", [], ["node", "pr"]),
+    ],
+    # LLM corpus mixing / sampling / packing / tokenizer training (the
+    # dataset-assembly third; absorbs the llm_stratified_sample
+    # standalone)
+    "suite_corpus_mix": [
+        ("llm_train_split", ["split"], ["doc_id"]),
+        # deterministic global shuffle: stable (shard, pos) addresses
+        ("llm_global_shuffle", [], ["doc_id", "shard", "pos"]),
         ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
         # RAG / long-doc chunking: stable (chunk_id, token-range)
         # addresses; chunk text is an exact string key
@@ -251,23 +300,8 @@ SUITES: dict[str, list[Member]] = {
         # per-domain quality-percentile gate (top-band filtering)
         ("llm_quality_filter", ["source", "keep"],
          ["doc_id", "score", "pr"]),
-        # fp is a 60-bit int — exact as a string key, NOT as a double val
-        ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
-        # Gopher repetition cuts + benchmark decontamination
-        ("llm_repetition", ["gopher_fail"],
-         ["doc_id", "n_words", "n_distinct_words", "top_word_ratio",
-          "dup_word_ratio", "dup_bigram_ratio", "top_bigram_ratio"]),
-        ("llm_contamination", [], ["doc_id", "n_sh", "n_hit",
-                                   "contaminated_frac"]),
-        # PII scrub: redacted text is an exact string key
-        ("llm_pii_redact", ["redacted"],
-         ["doc_id", "n_email", "n_ip", "n_phone"]),
-        # incremental ingestion dedup: new batch vs existing corpus
-        ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
-         ["doc_id"]),
-        # corpus-trained bigram-LM perplexity (CCNet/KenLM filter shape)
-        ("llm_lm_perplexity", [],
-         ["doc_id", "n_bigrams", "avg_logp", "ppl"]),
+        # domain mixing: per-language md5-bucket keeps at target rates
+        ("llm_stratified_sample", ["lang", "keep"], ["doc_id"]),
         # per-domain unigram KL vs the corpus mix (data-mixing dial)
         ("llm_domain_kl", ["source"], ["n_tok", "n_vocab", "kl_bits"]),
         # domain-pair shingle Jaccard (acquisition-level leakage matrix)
@@ -277,9 +311,6 @@ SUITES: dict[str, list[Member]] = {
         # make both engines' sketches bit-identical)
         ("llm_cms_heavy_hitters", ["token"],
          ["exact_c", "cms_est", "overcount", "rank"]),
-        # PageRank over the near-dup graph (iterative, bit-exact:
-        # IEEE ops + decimal-summed contributions, no libm)
-        ("llm_pagerank", [], ["node", "pr"]),
         # PMI collocation mining (phrase/tokenizer-merge candidates)
         ("llm_pmi_collocations", ["w1", "w2"],
          ["c12", "c1", "c2", "pmi", "rank"]),
@@ -287,24 +318,9 @@ SUITES: dict[str, list[Member]] = {
         ("llm_batch_by_length", [],
          ["doc_id", "n_tokens", "bucket", "batch_id", "batch_max",
           "padding"]),
-        # unigram entropy (information-density quality dial)
-        ("llm_token_entropy", [],
-         ["doc_id", "n_tok", "n_distinct", "entropy_bits",
-          "norm_entropy"]),
-        # LOSSLESS prefix-filtered exact Jaccard join (PPJoin family) —
-        # oracle is the naive all-pairs join, proving losslessness
-        ("llm_prefix_filter_pairs", [],
-         ["doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard"]),
-        # sorted-neighborhood blocking (merge/purge window pairs)
-        ("llm_sorted_neighborhood", [],
-         ["doc_a", "doc_b", "gap", "n_a", "n_b", "inter", "jaccard"]),
         # PPS token-budget sampling (boolean accept is a string key)
         ("llm_pps_sample", ["accept"],
          ["doc_id", "n_tokens", "max_nt", "u"]),
-        # directed containment (quote/subset) pairs over the corpus +
-        # synthetic prefix quotes
-        ("llm_containment_pairs", [],
-         ["doc_a", "doc_b", "n_a", "n_b", "inter", "containment"]),
         # BPE tokenizer training (6 merges; symbols are string keys)
         ("llm_bpe_merges", ["lhs", "rhs"],
          ["merge_rank", "pair_count"]),
@@ -367,22 +383,21 @@ FINAL_ORDER: list[str] = [
     "t3_sliding_window_batch",
     "t5_session_window_batch",
     "t6_interval_attribution_batch",
-    "suite_text_metrics",
+    "suite_text_quality",
+    "suite_dedup_pairs",
+    "suite_corpus_mix",
     # the end-to-end corpus pipeline is the single heaviest entry (it
     # recomputes the dedup keep-list, contamination scan, repetition,
     # quality band, cap and DSIR weights in one job) — standalone so
     # the driver verifies and the bench times it as its own line
     "llm_corpus_prep",
-    "llm_exact_dedup",
     "llm_minhash_signature",
     "llm_minhash_lsh_candidates",
     "llm_ngram_near_dup",
-    "llm_simhash",
     "llm_simhash_pairs",
     "llm_dedup_clusters",
     "llm_dedup_keep",
     "suite_embeddings",
-    "llm_stratified_sample",
     "llm_tfidf_top_terms",
     "suite_multimodal",
     "mm_feature_extraction",

@@ -54,10 +54,82 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 — unbounded events source (file-based stand-in for the Kafka
-    topic; `maxFilesPerTrigger` gives micro-batch replay semantics)."""
+#: exact Kafka reader options for the events topic (reference
+#: docs/实时数仓.md:86,95-97) — a FUNCTION of the broker/topic so the
+#: contract test can assert the swap-ready path without a broker.
+def kafka_source_options(
+    bootstrap_servers: str = "localhost:9092",
+    topic: str = "events",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # bound per-micro-batch intake: the Kafka twin of the file
+        # source's maxFilesPerTrigger back-pressure
+        "maxOffsetsPerTrigger": "100000",
+        "failOnDataLoss": "false",
+    }
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka wire DataFrame (key/value binary + topic/partition/
+    offset/timestamp) into the events schema: value is a JSON envelope
+    of the event row. Pure column expressions — works identically on
+    the real Kafka source and on a synthetic batch DataFrame with the
+    same wire columns (how the contract test verifies it brokerless)."""
+    ev = F.from_json(
+        F.col("value").cast("string"),
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", StringType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+    ).alias("e")
+    return raw.select(ev).select(
+        F.col("e.event_id").alias("event_id"),
+        F.to_timestamp("e.ts").alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    fmt: str = "files",
+    **kafka_kwargs,
+) -> DataFrame:
+    """T1 — unbounded events source.
+
+    ``fmt="files"`` (default): file-based stand-in for the Kafka topic;
+    `maxFilesPerTrigger` gives micro-batch replay semantics.
+
+    ``fmt="kafka"``: the real source swap (reference docs/实时数仓.md:86,
+    95-97) — `spark.readStream.format("kafka")` with the exact options
+    from :func:`kafka_source_options`, decoded by
+    :func:`decode_kafka_events` into the SAME schema, so every
+    downstream transform is source-agnostic. Needs the
+    spark-sql-kafka connector jar + a broker; in this container the
+    load raises the connector-missing AnalysisException (contract test
+    covers the wiring up to that boundary).
+    """
     apply_runtime_profile(spark)
+    if fmt == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_source_options(**kafka_kwargs).items():
+            reader = reader.option(k, v)
+        return decode_kafka_events(reader.load())
+    if fmt != "files":
+        raise ValueError(f"unknown events source fmt: {fmt!r}")
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_RAW_SCHEMA)

@@ -365,3 +365,104 @@ def test_cms_sketch_merges_across_stream_batches(spark, tmpdir):
     m = {(r["r"], r["b"]): r["c"] for r in merged.collect()}
     f = {(r["r"], r["b"]): r["c"] for r in full.collect()}
     assert m == f and len(f) > 0
+
+
+def test_kafka_source_swap_contract(spark):
+    """S9 swap-readiness (VERDICT r6 ask #3): the kafka branch of
+    read_events_stream must (a) emit the exact reference reader options,
+    (b) decode the wire format into the shared events schema — verified
+    brokerless on a synthetic batch wire DataFrame — and (c) fail at
+    the connector boundary (not before) when the jar is absent."""
+    opts = core.kafka_source_options()
+    assert opts["kafka.bootstrap.servers"] == "localhost:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "earliest"
+    assert "maxOffsetsPerTrigger" in opts
+
+    # (b) wire decode on a batch frame with kafka's output columns
+    import json
+
+    payload = {
+        "event_id": 7, "ts": "2024-03-01 10:00:00", "user_id": 42,
+        "event_type": "click", "value": 1.5, "props": '{"k": 3}',
+    }
+    wire = spark.createDataFrame(
+        [(b"7", json.dumps(payload).encode(), "events", 0, 0)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    decoded = core.decode_kafka_events(wire)
+    assert decoded.schema == core.EVENTS_RAW_SCHEMA
+    row = decoded.collect()[0]
+    assert (row.event_id, row.user_id, row.event_type, row.value) == (
+        7, 42, "click", 1.5
+    ) and row.props == '{"k": 3}'
+
+    # (c) the one-line swap reaches the connector lookup
+    try:
+        df = core.read_events_stream(spark, SF_SMOKE, fmt="kafka")
+    except Exception as e:  # no spark-sql-kafka jar in this container
+        assert "kafka" in str(e).lower()
+    else:  # broker/jar present: the swap actually works end-to-end
+        assert df.isStreaming and df.schema == core.EVENTS_RAW_SCHEMA
+
+    with pytest.raises(ValueError, match="unknown events source"):
+        core.read_events_stream(spark, SF_SMOKE, fmt="bogus")
+
+
+def test_compaction_under_concurrent_read(spark, tmpdir):
+    """S10 in-flight-file hazard (reference docs/实时数仓.md:99-101,
+    VERDICT r6 ask #7): a reader iterating the table while the async
+    merge rewrites it. The protocol under test: compaction only touches
+    watermark-CLOSED partitions, so a concurrent reader over the
+    still-open partitions is never broken mid-iteration, and any reader
+    that plans after the atomic rename swap sees the full, identical
+    row set in fewer files."""
+    import glob
+    import threading
+
+    from datawarehouse_spark.sources.io import compact_small_files
+
+    path = f"{tmpdir}/events_tbl"
+    rows = [(i, f"dt=d{i % 4}"[3:], i * 1.0) for i in range(4000)]
+    df = spark.createDataFrame(rows, "event_id long, dt string, v double")
+    # 8 small files per partition — the streaming-sink debris shape
+    df.repartition(8).write.partitionBy("dt").mode("overwrite").parquet(path)
+    closed = ["dt=d0", "dt=d1"]
+    open_parts = ("d2", "d3")
+
+    got, errs = [], []
+
+    def reader():
+        try:
+            # slow per-row iteration over the still-open partitions,
+            # running while compaction rewrites the closed ones
+            it = (
+                spark.read.parquet(path)
+                .filter(F.col("dt").isin(*open_parts))
+                .toLocalIterator()
+            )
+            for r in it:
+                got.append(r.event_id)
+        except Exception as e:  # pragma: no cover - the failure mode
+            errs.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    done = compact_small_files(spark, path, closed_partitions=closed)
+    t.join(120)
+    assert not errs, f"concurrent reader broke: {errs[0]}"
+    assert sorted(got) == sorted(
+        i for i in range(4000) if f"d{i % 4}" in open_parts
+    )
+    # only the closed partitions were rewritten, each to ONE file
+    assert sorted(d.rsplit("/", 1)[1] for d in done) == closed
+    for p in closed:
+        files = glob.glob(f"{path}/{p}/*.parquet")
+        assert len(files) == 1, files
+    for p in open_parts:
+        files = glob.glob(f"{path}/dt={p}/*.parquet")
+        assert len(files) == 8, files
+    # a post-swap reader sees the identical full table
+    post = spark.read.parquet(path)
+    assert post.count() == 4000
+    assert post.agg(F.sum("event_id")).collect()[0][0] == sum(range(4000))
