@@ -683,3 +683,110 @@ def ivfpq_topk(
         .join(c, "n_id")
     )
     return exact_rerank(pairs, k)
+
+
+def prf_hybrid_topk(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    prf_depth: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical→semantic retrieval: rerank BM25 candidates by
+    embedding cosine against a **pseudo-relevance-feedback centroid**
+    (Rocchio/PRF, the classic query-expansion move): the query has no
+    embedding of its own, so the mean vector of its ``prf_depth``
+    top-BM25 documents stands in for it, and every candidate is
+    rescored by cosine to that centroid — the cross-encoder-shaped
+    second stage of a retrieval cascade, built from the two stages
+    that already exist (text.bm25_topk + the exact_rerank contract).
+
+    ``candidates``: (qid, doc_id, score, rank) — bm25_topk output.
+    Output: qid, doc_id, bm25_score, bm25_rank, cos_prf, rank — final
+    rank by (cos_prf desc, bm25_score desc, doc_id).
+
+    Engine-exact arithmetic (the BM25 convention, order-independent so
+    a SQL oracle can reproduce it bit-for-bit): components round to 6
+    then sum as decimal(38,6) — centroid, dot product and norms are
+    all exact decimal aggregations; only the final sqrt/divide/round
+    are IEEE (identical in both engines).
+
+    Scale shape: the candidate set is O(queries·k_cand) rows — every
+    join below broadcasts it; the corpus-sized embeddings table is
+    touched by ONE broadcast semi-join (no shuffle of the corpus), and
+    the per-dimension explode is over candidates only (q·k_cand·dim
+    rows). The offline BM25 index is the expensive artifact; this
+    stage adds one embedding-fetch pass.
+    """
+    cand = candidates.select(
+        "qid",
+        F.col("doc_id"),
+        F.col("score").alias("bm25_score"),
+        F.col("rank").alias("bm25_rank"),
+    )
+    # one pass over the corpus embeddings, gated by the broadcast
+    # candidate list; components rounded to 6 at the source so every
+    # downstream aggregate is exact decimal arithmetic
+    ce = (
+        embeddings.join(
+            F.broadcast(cand), embeddings[id_col] == cand["doc_id"]
+        )
+        .select(
+            "qid", "doc_id", "bm25_score", "bm25_rank",
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .select(
+            "qid", "doc_id", "bm25_score", "bm25_rank", "pos",
+            F.round(F.col("x").cast("double"), 6).alias("v"),
+        )
+    )
+    # ce feeds three consumers (centroid, query norm via centroid, and
+    # candidate scoring) — persist the tiny q·k_cand·dim table once so
+    # the BM25 candidate pipeline doesn't recompute per consumer;
+    # released deterministically after the eager checkpoint below
+    ce = ce.persist()
+    dec = "decimal(38,6)"
+    cen = (
+        ce.filter(F.col("bm25_rank") <= prf_depth)
+        .groupBy("qid", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("q")
+        )
+    )
+    qn = cen.groupBy("qid").agg(
+        F.sum(F.round(F.col("q") * F.col("q"), 6).cast(dec))
+        .cast("double").alias("nq")
+    )
+    sc = (
+        ce.join(F.broadcast(cen), ["qid", "pos"])
+        .groupBy("qid", "doc_id", "bm25_score", "bm25_rank")
+        .agg(
+            F.sum(F.round(F.col("v") * F.col("q"), 6).cast(dec))
+            .cast("double").alias("dot"),
+            F.sum(F.round(F.col("v") * F.col("v"), 6).cast(dec))
+            .cast("double").alias("nc"),
+        )
+        .join(F.broadcast(qn), "qid")
+        .select(
+            "qid", "doc_id", "bm25_score", "bm25_rank",
+            F.round(
+                F.col("dot") / (F.sqrt("nc") * F.sqrt("nq")), 6
+            ).alias("cos_prf"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.desc("cos_prf"), F.desc("bm25_score"), F.asc("doc_id")
+    )
+    out = (
+        sc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        ce.unpersist()

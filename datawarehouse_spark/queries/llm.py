@@ -1413,9 +1413,11 @@ def llm_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.domain_overlap(t["documents"])
 
 
-@query(
-    "llm_bm25_topk",
-    oracle="""
+def _bm25_cand_sql(k: int) -> str:
+    """Okapi BM25 ranking CTE ending in ``cand`` (qid, doc_id, score,
+    rank ≤ k) — shared by the standalone BM25 oracle (k=5) and the
+    hybrid-retrieval oracle's candidate stage (k=20)."""
+    return f"""
     WITH q(qid, qtext) AS (
       VALUES ('q1', 'spark join table'),
              ('q2', 'stream window agg'),
@@ -1448,14 +1450,20 @@ def llm_domain_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6)
                AS score
       FROM sc GROUP BY 1, 2
-    )
-    SELECT qid, doc_id, score,
-           CAST(ROW_NUMBER() OVER (
-             PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
-             AS rank
-    FROM agg
-    QUALIFY rank <= 5
-    """,
+    ), cand AS (
+      SELECT qid, doc_id, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM agg
+      QUALIFY rank <= {k}
+    )"""
+
+
+@query(
+    "llm_bm25_topk",
+    oracle=_bm25_cand_sql(5)
+    + "\n    SELECT qid, doc_id, score, rank FROM cand",
 )
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical top-5 per query — the retrieval counterpart
@@ -1469,6 +1477,72 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("q2", "stream window agg"),
          ("q3", "customer order data")],
         k=5,
+    )
+
+
+@query(
+    "llm_hybrid_retrieval",
+    oracle=_bm25_cand_sql(20)
+    + """
+    , ce AS (
+      SELECT c.qid, c.doc_id, c.score AS bm25_score, c.rank AS bm25_rank,
+             u.i AS pos, round(CAST(e.embedding[u.i] AS DOUBLE), 6) AS v
+      FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id,
+           LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
+    ), cen AS (
+      SELECT qid, pos,
+             round(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS qv
+      FROM ce WHERE bm25_rank <= 3 GROUP BY 1, 2
+    ), qn AS (
+      SELECT qid,
+             CAST(SUM(CAST(round(qv * qv, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS nq
+      FROM cen GROUP BY 1
+    ), sc2 AS (
+      SELECT ce.qid, ce.doc_id, ce.bm25_score, ce.bm25_rank,
+             CAST(SUM(CAST(round(ce.v * cen.qv, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS dot,
+             CAST(SUM(CAST(round(ce.v * ce.v, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS nc
+      FROM ce JOIN cen ON ce.qid = cen.qid AND ce.pos = cen.pos
+      GROUP BY 1, 2, 3, 4
+    ), fin AS (
+      SELECT sc2.qid, sc2.doc_id, sc2.bm25_score,
+             CAST(sc2.bm25_rank AS BIGINT) AS bm25_rank,
+             round(sc2.dot / (sqrt(sc2.nc) * sqrt(qn.nq)), 6) AS cos_prf
+      FROM sc2 JOIN qn ON sc2.qid = qn.qid
+    )
+    SELECT qid, doc_id, bm25_score, bm25_rank, cos_prf,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid
+             ORDER BY cos_prf DESC, bm25_score DESC, doc_id) AS BIGINT)
+             AS rank
+    FROM fin
+    QUALIFY rank <= 5
+    """,
+)
+def llm_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval cascade (VERDICT r6 stretch ask #8):
+    BM25 recalls 20 lexical candidates per query, then each candidate
+    is rescored by embedding cosine against the pseudo-relevance
+    centroid of the query's top-3 BM25 documents (Rocchio PRF — the
+    query string has no embedding, so its best documents stand in for
+    it); final top-5 by (cos_prf, bm25 score, doc_id). The lexical
+    index and the semantic rerank compose the reference's search story
+    (docs/建设方法论.md retrieval layer) out of two existing stages.
+    See operators/similarity.py::prf_hybrid_topk for the 100 TB shape
+    (broadcast-gated single embedding pass)."""
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    cands = text.bm25_topk(
+        t["documents"],
+        [("q1", "spark join table"),
+         ("q2", "stream window agg"),
+         ("q3", "customer order data")],
+        k=20,
+    )
+    return similarity.prf_hybrid_topk(
+        cands, t["embeddings"], k=5, prf_depth=3
     )
 
 

@@ -398,6 +398,9 @@ FINAL_ORDER: list[str] = [
     "llm_dedup_clusters",
     "llm_dedup_keep",
     "suite_embeddings",
+    # hybrid BM25→PRF-cosine retrieval cascade (r6 stretch): standalone
+    # so the two-stage composition is its own verified + benched line
+    "llm_hybrid_retrieval",
     "llm_tfidf_top_terms",
     "suite_multimodal",
     "mm_feature_extraction",

@@ -257,3 +257,62 @@ class SnapshotTable:
         for v in vs[:-retain_last]:
             os.unlink(os.path.join(self._mdir, f"v{v}.json"))
         return removed
+
+
+# ---------------------------------------------------------------------------
+# Delta Lake interop boundary (S11 ecosystem gap — docs/kudu.md:19)
+# ---------------------------------------------------------------------------
+
+#: the exact session wiring a Delta-enabled cluster needs; kept as data
+#: so the error message and the docs can never drift apart
+DELTA_RECIPE = (
+    "Delta Lake jars are not on this cluster's classpath. To enable the "
+    "interop path, launch Spark with:\n"
+    "  --packages io.delta:delta-spark_2.13:4.0.0\n"
+    "  --conf spark.sql.extensions="
+    "io.delta.sql.DeltaSparkSessionExtension\n"
+    "  --conf spark.sql.catalog.spark_catalog="
+    "org.apache.spark.sql.delta.catalog.DeltaCatalog\n"
+    "then retry. SnapshotTable itself needs no jars; only "
+    "to_delta()/from_delta() cross this boundary."
+)
+
+
+class DeltaUnavailableError(RuntimeError):
+    """Delta interop requested but the connector jar is absent."""
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True iff the Delta data source is loadable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
+def to_delta(table: SnapshotTable, delta_path: str,
+             version: int | None = None) -> None:
+    """Export one snapshot version as a Delta table (the collapse point:
+    on a Delta-enabled cluster SnapshotTable's manifest log hands over
+    to Delta's). Raises :class:`DeltaUnavailableError` with the exact
+    enablement recipe when the jars are absent — the gap is an import
+    error with instructions, not a missing feature."""
+    if not delta_available(table.spark):
+        raise DeltaUnavailableError(DELTA_RECIPE)
+    df = table.read(version=version)
+    w = df.write.format("delta").mode("overwrite")
+    if table.partition_col:
+        w = w.partitionBy(table.partition_col)
+    w.save(delta_path)
+
+
+def from_delta(spark: SparkSession, delta_path: str, path: str,
+               partition_col: str | None = None) -> SnapshotTable:
+    """Import a Delta table's current version as a new SnapshotTable
+    (same raise-with-recipe contract as :func:`to_delta`)."""
+    if not delta_available(spark):
+        raise DeltaUnavailableError(DELTA_RECIPE)
+    df = spark.read.format("delta").load(delta_path)
+    return SnapshotTable.create(spark, df, path,
+                                partition_col=partition_col)

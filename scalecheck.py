@@ -119,6 +119,10 @@ OPS = [
     "llm_containment_pairs",
     "llm_pps_sample",
     "llm_bpe_merges",
+    # hybrid retrieval claims the BM25 offline-index cost plus ONE
+    # broadcast-gated embedding pass (candidate set is O(q·k_cand),
+    # constant in corpus size — the ratio should track the BM25 stage)
+    "llm_hybrid_retrieval",
 ]
 
 

@@ -203,3 +203,35 @@ def test_upsert_retry_remerges_against_new_version(spark, tmp_path):
     assert cur.filter(F.col("k") == 0).first()["v"] == "WINNER"
     assert cur.filter(F.col("k") == 1).first()["v"] == "LOSER-RETRIED"
     assert cur.count() == 100
+
+
+def test_delta_interop_boundary(spark, tmp_path):
+    """S11 Delta gap as a tested boundary (VERDICT r6 ask #4): without
+    the connector jars, to_delta()/from_delta() must raise the typed
+    error carrying the full enablement recipe (packages + both confs)
+    BEFORE touching any data; with jars present they run for real."""
+    from datawarehouse_spark.sources import snapshot as S
+
+    t = S.SnapshotTable.create(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        str(tmp_path / "snap"),
+    )
+    if S.delta_available(spark):  # pragma: no cover - jar-present envs
+        S.to_delta(t, str(tmp_path / "delta"))
+        t2 = S.from_delta(spark, str(tmp_path / "delta"),
+                          str(tmp_path / "snap2"))
+        assert t2.read().count() == 1
+        return
+    for call in (
+        lambda: S.to_delta(t, str(tmp_path / "delta")),
+        lambda: S.from_delta(spark, str(tmp_path / "delta"),
+                             str(tmp_path / "snap2")),
+    ):
+        with pytest.raises(S.DeltaUnavailableError) as ei:
+            call()
+        msg = str(ei.value)
+        assert "io.delta:delta-spark" in msg
+        assert "DeltaSparkSessionExtension" in msg
+        assert "DeltaCatalog" in msg
+    assert not (tmp_path / "delta").exists()
