@@ -1005,3 +1005,36 @@ def containment_pairs(
         return pairs.localCheckpoint(eager=True)
     finally:
         cached.unpersist()
+
+
+def novelty_scores(df: DataFrame, id_col: str = "doc_id",
+                   text: str = "text", n: int = 3) -> DataFrame:
+    """Temporal novelty: the fraction of a document's distinct
+    ``n``-shingles whose corpus-wide FIRST occurrence (min id — ids are
+    the ingestion order) is this document — the forward-looking twin of
+    dup-span coverage (which asks "seen anywhere", this asks "seen
+    before me"). High-novelty documents carry new content; a
+    near-zero score marks late re-crawls and syndicated copy even when
+    no single pairwise near-dup exists.
+
+    Scale shape (same as dup_span_coverage — strictly linear): one
+    map-combined min-agg on the shingle key, one hash join back, one
+    per-doc agg. No self-join anywhere, so no hot-shingle cap needed.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min(id_col).alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_sh"), 6)
+        )
+    )

@@ -790,3 +790,118 @@ def prf_hybrid_topk(
         return out.localCheckpoint(eager=True)
     finally:
         ce.unpersist()
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column, run for a
+    FIXED ``iters`` iterations from a deterministic seed — the corpus
+    clustering primitive under SemDeDup-style semantic dedup and
+    cluster-balanced sampling. Like llm_pagerank, the fixed iteration
+    count makes the whole iterative computation SQL-oracle-able as
+    unrolled CTEs with bit-exact parity.
+
+    Determinism/exactness contract (the repo's decimal convention):
+    components round to 6 then all distances and centroid means are
+    exact decimal aggregations; init centroids are the ``k`` vectors
+    with smallest md5(id) (order-independent, insertion-order-free —
+    the codebook-sampling convention), cluster ids 0..k-1 in that md5
+    order; assignment ties break by cluster id.
+
+    Scale shape (the Spark MLlib shape): per iteration, ONE broadcast
+    of the k·dim centroid table against the exploded (id, pos, v)
+    component table → n·dim·k product rows that map-combine down to
+    (id, cluster) distances, then a map-combined (cluster, pos)
+    re-mean; the only driver sync per iteration is the k·dim centroid
+    collect (bounded, like IVF's). The component table is persisted
+    once across all iterations and released in a finally.
+    """
+    ve = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .select(
+            "vid", "pos", F.round(F.col("x").cast("double"), 6).alias("v")
+        )
+        .persist()
+    )
+    dec = "decimal(38,6)"
+    try:
+        init = (
+            embeddings.select(F.col(id_col).alias("vid"))
+            .orderBy(F.md5(F.col("vid").cast("string")), "vid")
+            .limit(k)
+            .collect()
+        )
+        # cluster id = rank in md5 order (the oracle reproduces this)
+        cid_of = {r["vid"]: i for i, r in enumerate(init)}
+        spark = embeddings.sparkSession
+        cen = (
+            ve.filter(F.col("vid").isin(*cid_of.keys()))
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        list(cid_of.items()), "vid long, cid int"
+                    )
+                ),
+                "vid",
+            )
+            .select("cid", "pos", F.col("v").alias("q"))
+        )
+        assign = None
+        for _ in range(iters):
+            d2 = (
+                ve.join(F.broadcast(cen), "pos")
+                .groupBy("vid", "cid")
+                .agg(
+                    # exact decimal sum, then compare as DOUBLE in both
+                    # engines (decimal→double is not injective, so
+                    # ordering decimals could tiebreak differently)
+                    F.sum(
+                        F.round(
+                            (F.col("v") - F.col("q"))
+                            * (F.col("v") - F.col("q")),
+                            6,
+                        ).cast(dec)
+                    ).cast("double").alias("dist2")
+                )
+            )
+            w = W.partitionBy("vid").orderBy(F.asc("dist2"), F.asc("cid"))
+            assign = (
+                d2.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vid", "cid", "dist2")
+            )
+            # re-mean, then pin the k·dim table through a bounded
+            # driver sync so the next iteration's plan doesn't nest
+            new_cen = (
+                ve.join(assign.select("vid", "cid"), "vid")
+                .groupBy("cid", "pos")
+                .agg(
+                    F.round(
+                        F.sum(F.col("v").cast(dec)).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias("q")
+                )
+            )
+            cen = spark.createDataFrame(
+                [(r["cid"], r["pos"], float(r["q"])) for r in new_cen.collect()],
+                "cid int, pos int, q double",
+            )
+        return (
+            assign.select(
+                F.col("vid").alias(id_col),
+                F.col("cid").cast("bigint").alias("cluster"),
+                F.round("dist2", 6).alias("dist2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ve.unpersist()

@@ -1322,3 +1322,36 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
     return spark.createDataFrame(
         merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
     )
+
+
+def tokenizer_fertility(df: DataFrame, k: int = 6,
+                        id_col: str = "doc_id",
+                        text: str = "text") -> DataFrame:
+    """Tokenizer fertility per document: average BPE symbols per word
+    under the ``k``-merge tokenizer trained on this corpus by
+    :func:`bpe_train` — THE standard tokenizer-quality dial (fertility
+    near 1 = vocabulary fits the corpus; high fertility = the domain
+    is fragmenting into characters, e.g. unseen scripts or code).
+    Train-then-measure runs as one computation, so the driver oracle
+    verifies the full pipeline: merge training, vocabulary
+    segmentation, and the per-document rollup.
+
+    Scale shape: bpe_train's corpus scan collapses to a VOCAB-sized
+    segmentation table, which then broadcasts back against the token
+    stream — one explode + one broadcast join + one per-doc agg; no
+    shuffle keyed on anything larger than doc_id."""
+    vocab = bpe_train(df, k=k, text=text, emit="vocab")
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w")
+    )
+    return (
+        words.join(F.broadcast(vocab.select("w", "n_syms")), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_syms"),
+            F.round(
+                F.sum("n_syms") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )

@@ -824,6 +824,68 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled ``iters``-iteration Lloyd's k-means oracle (the
+    PageRank/BPE unrolled-CTE convention): md5-ordered deterministic
+    init, exact-decimal distances and centroid means, double
+    comparison for assignment with cid tiebreak — bit-exact against
+    operators/similarity.py::kmeans_assign."""
+    blocks = [f"""
+    ve AS (
+      SELECT vec_id AS vid, u.i AS pos,
+             round(CAST(embedding[u.i] AS DOUBLE), 6) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ), init AS (
+      SELECT vid,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS INT) - 1 AS cid
+      FROM (SELECT vec_id AS vid FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+    ), c0 AS (
+      SELECT init.cid, ve.pos, ve.v AS q
+      FROM ve JOIN init USING (vid)
+    )"""]
+    for i in range(1, iters + 1):
+        blocks.append(f""", d{i} AS (
+      SELECT ve.vid, c.cid,
+             CAST(SUM(CAST(round((ve.v - c.q) * (ve.v - c.q), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS dist2
+      FROM ve JOIN c{i - 1} c ON ve.pos = c.pos
+      GROUP BY 1, 2
+    ), a{i} AS (
+      SELECT vid, cid, dist2 FROM d{i}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vid ORDER BY dist2, cid) = 1
+    ), c{i} AS (
+      SELECT a.cid, ve.pos,
+             round(CAST(SUM(CAST(ve.v AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS q
+      FROM ve JOIN a{i} a USING (vid)
+      GROUP BY 1, 2
+    )""")
+    return (
+        "WITH " + "".join(blocks)
+        + f"""
+    SELECT vid AS vec_id, CAST(cid AS BIGINT) AS cluster,
+           round(dist2, 6) AS dist2
+    FROM a{iters}"""
+    )
+
+
+@query("llm_kmeans", oracle=_kmeans_oracle(4, 2))
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, 2 fixed iterations) over the
+    embeddings table — the clustering primitive under SemDeDup-style
+    semantic dedup and cluster-balanced sampling. The fixed iteration
+    count + exact decimal arithmetic make the full iterative
+    computation SQL-oracle-able as unrolled CTEs (the PageRank/BPE
+    convention). See operators/similarity.py::kmeans_assign for the
+    MLlib-shaped scale analysis."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.kmeans_assign(t["embeddings"], k=4, iters=2)
+
+
 @query("llm_ann_ivf_topk")  # approximate — rows-only check
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic coarse centroids, cell
@@ -1915,6 +1977,20 @@ def _bpe_oracle(k: int, emit: str = "merges") -> str:
        CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_syms,
        trim(s) AS seg
     FROM s{k}"""
+    elif emit == "fertility":
+        # per-document average symbols-per-word under the trained
+        # tokenizer: join the corpus token stream back to the final
+        # word table (train-then-measure verified as ONE computation)
+        tail = f""", words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT words.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(v.s), ' '))) AS BIGINT) AS n_syms,
+           ROUND(SUM(len(string_split(trim(v.s), ' '))) * 1.0 / COUNT(*), 6)
+             AS fertility
+    FROM words JOIN s{k} v ON words.w = v.w
+    GROUP BY 1"""
     else:
         tail = "\nUNION ALL\n".join(
             f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, "
@@ -1945,3 +2021,43 @@ def llm_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/text.py::bpe_train(emit='vocab')."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.bpe_train(t["documents"], k=6, emit="vocab")
+
+
+@query("llm_tokenizer_fertility", oracle=_bpe_oracle(6, emit="fertility"))
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenizer fertility (avg BPE symbols per word) under
+    the corpus-trained 6-merge tokenizer — the tokenizer-quality dial
+    that flags domains fragmenting into characters. The oracle unrolls
+    the full training + segmentation + per-doc rollup, so the entire
+    train-then-measure pipeline is one verified computation.
+    See operators/text.py::tokenizer_fertility."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.tokenizer_fertility(t["documents"], k=6)
+
+
+@query(
+    "llm_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+    ),
+    first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sh,
+           CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS novelty
+    FROM sh JOIN first_seen ON sh.s = first_seen.s
+    GROUP BY sh.doc_id
+    """,
+)
+def llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal novelty: the fraction of a doc's distinct 3-shingles
+    first seen (min doc_id = ingestion order) in THIS doc — the
+    forward-looking twin of dup-span coverage, catching late re-crawls
+    and syndicated copy with no single pairwise near-dup partner.
+    Strictly linear: one shingle min-agg + one hash join back
+    (operators/dedup.py::novelty_scores)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.novelty_scores(t["documents"])

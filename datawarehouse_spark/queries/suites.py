@@ -249,6 +249,8 @@ SUITES: dict[str, list[Member]] = {
          [], ["doc_id", "n_tok", "s_target", "s_corpus", "weight"]),
         # fp is a 60-bit int — exact as a string key, NOT as a double val
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
+        # temporal novelty: first-seen shingle fraction per doc
+        ("llm_novelty", [], ["doc_id", "n_sh", "n_novel", "novelty"]),
     ],
     # LLM dedup pair generation / blocking / graph resolution (the
     # pair-join heavy third of the old suite_text_metrics; absorbs the
@@ -326,6 +328,9 @@ SUITES: dict[str, list[Member]] = {
          ["merge_rank", "pair_count"]),
         # ...and the trained tokenizer applied to the vocabulary
         ("llm_bpe_segment", ["w", "seg"], ["f", "n_syms"]),
+        # ...and its per-document fertility rollup (train-then-measure)
+        ("llm_tokenizer_fertility",
+         [], ["doc_id", "n_words", "n_syms", "fertility"]),
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list
@@ -336,6 +341,8 @@ SUITES: dict[str, list[Member]] = {
          ["vec_id", "cluster", "max_prior_sim"]),
         # BM25 lexical retrieval — the embedding family's lexical twin
         ("llm_bm25_topk", ["qid"], ["doc_id", "score", "rank"]),
+        # fixed-iteration Lloyd's k-means (unrolled-CTE oracle)
+        ("llm_kmeans", [], ["vec_id", "cluster", "dist2"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [

