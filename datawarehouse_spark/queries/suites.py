@@ -266,9 +266,6 @@ SUITES: dict[str, list[Member]] = {
         # corpus-frequent span removal
         ("llm_dup_span_remove",
          [], ["doc_id", "span_start", "span_end", "n_kept"]),
-        # incremental ingestion dedup: new batch vs existing corpus
-        ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
-         ["doc_id"]),
         # LOSSLESS prefix-filtered exact Jaccard join (PPJoin family) —
         # oracle is the naive all-pairs join, proving losslessness
         ("llm_prefix_filter_pairs", [],
@@ -280,15 +277,17 @@ SUITES: dict[str, list[Member]] = {
         # synthetic prefix quotes
         ("llm_containment_pairs", [],
          ["doc_a", "doc_b", "n_a", "n_b", "inter", "containment"]),
-        # PageRank over the near-dup graph (iterative, bit-exact:
-        # IEEE ops + decimal-summed contributions, no libm)
-        ("llm_pagerank", [], ["node", "pr"]),
     ],
     # LLM corpus mixing / sampling / packing / tokenizer training (the
     # dataset-assembly third; absorbs the llm_stratified_sample
     # standalone)
     "suite_corpus_mix": [
         ("llm_train_split", ["split"], ["doc_id"]),
+        # incremental ingestion dedup: new batch vs existing corpus
+        # (placed here for suite balance — ingestion IS the assembly
+        # step; the other pair ops stay in suite_dedup_pairs)
+        ("llm_incremental_dedup", ["dup_exact", "dup_near", "keep"],
+         ["doc_id"]),
         # deterministic global shuffle: stable (shard, pos) addresses
         ("llm_global_shuffle", [], ["doc_id", "shard", "pos"]),
         ("llm_seq_packing", [], ["doc_id", "shard", "n_tokens", "pack_id"]),
@@ -343,6 +342,11 @@ SUITES: dict[str, list[Member]] = {
         ("llm_bm25_topk", ["qid"], ["doc_id", "score", "rank"]),
         # fixed-iteration Lloyd's k-means (unrolled-CTE oracle)
         ("llm_kmeans", [], ["vec_id", "cluster", "dist2"]),
+        # PageRank over the near-dup graph (iterative, bit-exact: IEEE
+        # ops + decimal-summed contributions, no libm) — the graph
+        # sibling of the similarity family, placed here for suite
+        # balance (suite_dedup_pairs would exceed the 20 s bench line)
+        ("llm_pagerank", [], ["node", "pr"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
