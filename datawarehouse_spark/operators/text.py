@@ -1355,3 +1355,198 @@ def tokenizer_fertility(df: DataFrame, k: int = 6,
             ).alias("fertility"),
         )
     )
+
+
+def zipf_slope(df: DataFrame, group_col: str = "lang",
+               text: str = "text", top_n: int = 100) -> DataFrame:
+    """Zipf rank-frequency slope per corpus slice — the standard
+    vocabulary-health diagnostic (natural language sits near −1;
+    boilerplate/template farms flatten the curve, OCR noise and spam
+    steepen it), used to flag drifted or machine-generated sources
+    before they enter a training mix.
+
+    OLS of ln(freq) on ln(rank) over the ``top_n`` most frequent
+    words of each slice: slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²).
+    Oracle-deterministic: ln values are rounded to 9 decimals at the
+    source, products to 6, and every Σ is an exact decimal sum (the
+    qutil convention), so the closed-form division runs on bit-equal
+    doubles in both engines.
+
+    Scale shape: word counting is a map-combined aggregation (shuffle
+    = distinct (slice, word) keys, not token instances); the top-n
+    window sorts only each slice's VOCABULARY (≪ corpus, bounded by
+    language vocabulary size); the regression reduces each slice to
+    one row. No joins, no O(corpus) shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    from datawarehouse_spark.queries.qutil import dsum
+
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text), " ")).alias("w"),
+    )
+    wc = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    rk = F.row_number().over(
+        W.partitionBy("grp").orderBy(F.desc("c"), F.asc("w"))
+    )
+    ranked = wc.withColumn("r", rk).filter(F.col("r") <= top_n)
+    x = F.round(F.log(F.col("r").cast("double")), 9)
+    y = F.round(F.log(F.col("c").cast("double")), 9)
+    terms = ranked.select(
+        "grp",
+        x.alias("x"),
+        y.alias("y"),
+        F.round(x * y, 6).alias("xy"),
+        F.round(x * x, 6).alias("xx"),
+    )
+    agg = terms.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        dsum("x", 9).alias("sx"),
+        dsum("y", 9).alias("sy"),
+        dsum("xy", 6).alias("sxy"),
+        dsum("xx", 6).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return agg.filter(F.col("n_terms") >= 2).select(
+        F.col("grp").alias(group_col),
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6)
+        .alias("zipf_intercept"),
+    )
+
+
+def source_mix_sample(df: DataFrame, group_col: str = "lang",
+                      id_col: str = "doc_id", alpha: float = 0.5,
+                      target_frac: float = 0.5) -> DataFrame:
+    """Temperature-scaled multinomial source mixing (the mT5 / XLM-R
+    pretraining recipe): sample slices with probability proportional
+    to count^alpha, so low-resource slices are upweighted relative to
+    their raw share while the corpus giants are damped. Each document
+    in slice i is kept with probability q_i = min(1, T·p_i/c_i) where
+    p_i = c_i^alpha / Σ c_j^alpha and T = target_frac · N — i.e. the
+    expected sample hits the temperature-scaled mixture exactly.
+
+    Deterministic and oracle-checkable: the only libm call (pow) is
+    rounded to 6 decimals immediately, the weight total is an exact
+    decimal sum, and the uniform draw is the 32-bit md5-prefix
+    convention (never rand()), so the accept comparison runs on
+    bit-equal doubles in both engines.
+
+    Scale shape: one map-combined count per slice (a handful of
+    rows), broadcast back; the accept decision is a per-row JVM
+    expression. Zero data shuffles.
+    """
+    from datawarehouse_spark.queries.qutil import dsum
+
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_grp")
+    )
+    weights = counts.select(
+        "grp", "c_grp",
+        F.round(F.pow(F.col("c_grp").cast("double"), F.lit(alpha)), 6)
+        .alias("w_grp"),
+    )
+    tot = weights.agg(
+        dsum("w_grp", 6).alias("w_tot"),
+        F.sum("c_grp").alias("n_docs"),
+    )
+    q = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.lit(target_frac) * F.col("n_docs").cast("double")
+             * F.col("w_grp"))
+            / (F.col("w_tot") * F.col("c_grp").cast("double")),
+        ),
+        9,
+    )
+    per = weights.crossJoin(F.broadcast(tot)).select(
+        "grp", "c_grp", "w_grp", q.alias("q")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col).alias("grp"))
+        .join(F.broadcast(per), "grp")
+        .select(
+            F.col(id_col),
+            F.col("grp").alias(group_col),
+            "c_grp",
+            "w_grp",
+            "q",
+            (u.cast("double") < F.col("q") * F.lit(4294967296.0))
+            .alias("accept"),
+        )
+    )
+
+
+def quality_calibration(df: DataFrame, fit_group: str = "en",
+                        group_col: str = "lang", id_col: str = "doc_id",
+                        text: str = "text", tau: float = 0.05) -> DataFrame:
+    """Fit-on-slice / score-corpus quality calibration — the
+    distributed-ML serving shape behind fastText-style quality
+    filters: fit a tiny model on a trusted slice, broadcast the
+    coefficients, score every document in one pass. Here the model is
+    a closed-form OLS of stopword_ratio on ln(n_tokens) over the
+    ``fit_group`` slice; documents whose residual exceeds ``tau``
+    in absolute value are flagged as quality outliers (their
+    stopword density is unexplained by length — template spam or
+    keyword stuffing in real corpora).
+
+    Oracle-deterministic like :func:`zipf_slope`: rounded-at-source
+    ln and ratio, decimal-summed normal equations, so slope and
+    intercept are bit-equal doubles in both engines and every
+    residual comparison agrees.
+
+    Scale shape: the fit is one map-combined aggregation over the
+    slice reduced to ONE broadcast row; scoring is a per-row JVM
+    expression on the corpus scan. No shuffle keyed on the corpus.
+    """
+    from datawarehouse_spark.queries.qutil import dsum
+
+    nt = n_tokens(text)
+    feats = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        nt.alias("n_tok"),
+        F.round(F.log(nt.cast("double")), 9).alias("x"),
+        F.round(stopword_hits(text, "en") / nt, 9).alias("y"),
+    )
+    ft = feats.filter(F.col("grp") == fit_group).select(
+        "x", "y",
+        F.round(F.col("x") * F.col("y"), 6).alias("xy"),
+        F.round(F.col("x") * F.col("x"), 6).alias("xx"),
+    )
+    fit = ft.agg(
+        F.count(F.lit(1)).cast("double").alias("n_fit"),
+        dsum("x", 9).alias("sx"),
+        dsum("y", 9).alias("sy"),
+        dsum("xy", 6).alias("sxy"),
+        dsum("xx", 6).alias("sxx"),
+    ).select(
+        "n_fit",
+        ((F.col("n_fit") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n_fit") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        .alias("b"),
+        "sx", "sy",
+    ).select(
+        "n_fit", "b",
+        ((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n_fit"))
+        .alias("a"),
+    )
+    resid = F.round(F.col("y") - (F.col("a") + F.col("b") * F.col("x")), 6)
+    return feats.crossJoin(F.broadcast(fit)).select(
+        F.col(id_col),
+        F.col("grp").alias(group_col),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("y").alias("stop_ratio"),
+        F.round(F.col("b"), 6).alias("slope"),
+        F.round(F.col("a"), 6).alias("intercept"),
+        resid.alias("resid"),
+        (F.abs(resid) > F.lit(tau)).alias("is_outlier"),
+    )

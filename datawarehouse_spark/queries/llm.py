@@ -2061,3 +2061,144 @@ def llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::novelty_scores)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.novelty_scores(t["documents"])
+
+
+@query(
+    "llm_zipf_slope",
+    oracle="""
+    WITH words AS (
+      SELECT lang AS grp, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT grp, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ), ranked AS (
+      SELECT grp, c, r FROM (
+        SELECT grp, w, c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY grp ORDER BY c DESC, w ASC) AS r
+        FROM wc
+      ) WHERE r <= 100
+    ), t2 AS (
+      SELECT grp,
+             round(ln(CAST(r AS DOUBLE)), 9) AS x,
+             round(ln(CAST(c AS DOUBLE)), 9) AS y
+      FROM ranked
+    ), t3 AS (
+      SELECT grp, x, y, round(x * y, 6) AS xy, round(x * x, 6) AS xx
+      FROM t2
+    ), ag AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xx AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM t3 GROUP BY 1
+    )
+    SELECT grp AS lang, n_terms,
+           round((n_terms * sxy - sx * sy)
+                 / (n_terms * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n_terms * sxy - sx * sy)
+                        / (n_terms * sxx - sx * sx)) * sx)
+                 / n_terms, 6) AS zipf_intercept
+    FROM ag WHERE n_terms >= 2
+    """,
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per language slice — the vocabulary
+    health diagnostic that flags template farms (flat curve) and
+    OCR/spam noise (steep curve) before a slice enters a training
+    mix. OLS over the top-100 words' (ln rank, ln freq); decimal-
+    summed normal equations make the iterative-free regression
+    oracle-exact. See operators/text.py::zipf_slope."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.zipf_slope(t["documents"])
+
+
+@query(
+    "llm_source_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS c_grp
+      FROM documents GROUP BY 1
+    ), weights AS (
+      SELECT grp, c_grp,
+             round(pow(CAST(c_grp AS DOUBLE), 0.5), 6) AS w_grp
+      FROM counts
+    ), tot AS (
+      SELECT CAST(SUM(CAST(w_grp AS DECIMAL(38,6))) AS DOUBLE) AS w_tot,
+             SUM(c_grp) AS n_docs
+      FROM weights
+    ), per AS (
+      SELECT grp, c_grp, w_grp,
+             round(least(1.0,
+                   (0.5 * CAST(n_docs AS DOUBLE) * w_grp)
+                   / (w_tot * CAST(c_grp AS DOUBLE))), 9) AS q
+      FROM weights CROSS JOIN tot
+    )
+    SELECT d.doc_id, p.grp AS lang, p.c_grp, p.w_grp, p.q,
+           CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) AS DOUBLE)
+             < p.q * 4294967296.0 AS accept
+    FROM documents d JOIN per p ON d.lang = p.grp
+    """,
+)
+def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multinomial source mixing (mT5/XLM-R
+    recipe, alpha=0.5): slice sampling probability proportional to
+    count^alpha upweights low-resource languages; per-doc acceptance
+    is the md5-uniform convention, so the expected sample hits the
+    temperature mixture exactly and the whole computation is
+    oracle-exact. See operators/text.py::source_mix_sample."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.source_mix_sample(
+        t["documents"], group_col="lang", alpha=0.5, target_frac=0.5
+    )
+
+
+@query(
+    "llm_quality_calibration",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, lang AS grp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             round(ln(CAST(len(string_split(text, ' ')) AS DOUBLE)), 9)
+               AS x,
+             round(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(
+                     ['the','a','of','and','to','in','is'], t))) * 1.0
+                   / len(string_split(text, ' ')), 9) AS y
+      FROM documents
+    ), ft AS (
+      SELECT x, y, round(x * y, 6) AS xy, round(x * x, 6) AS xx
+      FROM feats WHERE grp = 'en'
+    ), fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_fit,
+             CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xx AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM ft
+    ), ab AS (
+      SELECT n_fit, sx, sy,
+             (n_fit * sxy - sx * sy) / (n_fit * sxx - sx * sx) AS b
+      FROM fit
+    ), ab2 AS (
+      SELECT n_fit, b, (sy - b * sx) / n_fit AS a FROM ab
+    )
+    SELECT f.doc_id, f.grp AS lang, f.n_tok, f.y AS stop_ratio,
+           round(b, 6) AS slope, round(a, 6) AS intercept,
+           round(f.y - (a + b * f.x), 6) AS resid,
+           abs(round(f.y - (a + b * f.x), 6)) > 0.05 AS is_outlier
+    FROM feats f CROSS JOIN ab2
+    """,
+)
+def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-on-slice / score-corpus quality calibration: closed-form
+    OLS of stopword_ratio on ln(n_tokens) over the trusted 'en'
+    slice, coefficients broadcast, every document scored by residual
+    in one corpus pass — the distributed serving shape of a
+    fastText-style quality filter, with the fit itself verified by
+    the oracle (decimal-summed normal equations).
+    See operators/text.py::quality_calibration."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.quality_calibration(t["documents"], tau=0.05)

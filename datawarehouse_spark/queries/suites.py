@@ -251,6 +251,13 @@ SUITES: dict[str, list[Member]] = {
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
         # temporal novelty: first-seen shingle fraction per doc
         ("llm_novelty", [], ["doc_id", "n_sh", "n_novel", "novelty"]),
+        # Zipf rank-frequency slope per language (vocab health dial)
+        ("llm_zipf_slope", ["lang"],
+         ["n_terms", "zipf_slope", "zipf_intercept"]),
+        # fit-on-slice / score-corpus residual quality calibration
+        ("llm_quality_calibration", ["lang", "is_outlier"],
+         ["doc_id", "n_tok", "stop_ratio", "slope", "intercept",
+          "resid"]),
     ],
     # LLM dedup pair generation / blocking / graph resolution (the
     # pair-join heavy third of the old suite_text_metrics; absorbs the
@@ -322,6 +329,9 @@ SUITES: dict[str, list[Member]] = {
         # PPS token-budget sampling (boolean accept is a string key)
         ("llm_pps_sample", ["accept"],
          ["doc_id", "n_tokens", "max_nt", "u"]),
+        # temperature-scaled (alpha=0.5) multinomial language mixing
+        ("llm_source_mix", ["lang", "accept"],
+         ["doc_id", "c_grp", "w_grp", "q"]),
         # BPE tokenizer training (6 merges; symbols are string keys)
         ("llm_bpe_merges", ["lhs", "rhs"],
          ["merge_rank", "pair_count"]),

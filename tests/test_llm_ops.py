@@ -1166,3 +1166,83 @@ def test_kmeans_recovers_separated_clusters(spark):
     assert sorted(map(sorted, by_cluster.values())) == [
         list(range(10)), list(range(10, 20))
     ]
+
+
+def test_zipf_slope_detects_skew_vs_uniform(spark):
+    """A geometric (Zipf-ish) frequency profile must fit a steeply
+    negative slope; a perfectly uniform vocabulary fits slope 0 with
+    intercept = ln(freq). The fixture corpus must land strictly
+    negative for every language slice."""
+    from datawarehouse_spark.operators.text import zipf_slope
+
+    # uniform: 4 words × 3 occurrences each
+    uni = spark.createDataFrame(
+        [(1, "u", "a b c d a b c d a b c d")], ["doc_id", "lang", "text"]
+    )
+    r = zipf_slope(uni, top_n=4).collect()[0]
+    assert r.zipf_slope == 0.0
+    import math
+    assert abs(r.zipf_intercept - round(math.log(3), 6)) < 1e-6
+
+    # geometric: a×8, b×4, c×2, d×1
+    geo = spark.createDataFrame(
+        [(1, "g", " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]))],
+        ["doc_id", "lang", "text"],
+    )
+    g = zipf_slope(geo, top_n=4).collect()[0]
+    assert g.zipf_slope < -1.0  # ln-freq drops ~ln2 per doubling of rank
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    for row in zipf_slope(docs).collect():
+        assert row.zipf_slope < 0.0, row
+
+
+def test_source_mix_upweights_minority_slices(spark):
+    """Temperature alpha<1 must give minority slices a HIGHER per-doc
+    keep probability than majority slices, realized rates must track
+    q per slice, and alpha=1 must degenerate to uniform q."""
+    from datawarehouse_spark.operators.text import source_mix_sample
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    rows = source_mix_sample(docs, alpha=0.5, target_frac=0.5).collect()
+    q_by_lang = {}
+    for r in rows:
+        q_by_lang[r.lang] = (r.q, r.c_grp)
+    qs = sorted(q_by_lang.values(), key=lambda t: t[1])
+    # per-doc keep probability decreases as slice size grows
+    assert all(qs[i][0] >= qs[i + 1][0] for i in range(len(qs) - 1))
+    # realized rate per slice tracks q (binomial, n≥64 here)
+    for lang, (q, c) in q_by_lang.items():
+        got = sum(r.accept for r in rows if r.lang == lang) / c
+        assert abs(got - q) < 0.2, (lang, got, q)
+    # alpha=1: every slice gets q = target_frac exactly
+    flat = source_mix_sample(docs, alpha=1.0, target_frac=0.5).collect()
+    assert {r.q for r in flat} == {0.5}
+
+
+def test_quality_calibration_fit_and_outliers(spark):
+    """The OLS residuals must decimal-sum to ~0 over the fit slice
+    (normal-equation identity), coefficients must be constant across
+    rows, and a planted stopword-stuffed doc must flag as outlier."""
+    from datawarehouse_spark.operators.text import quality_calibration
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    rows = quality_calibration(docs, tau=0.05).collect()
+    assert len({(r.slope, r.intercept) for r in rows}) == 1
+    fit = [r for r in rows if r.lang == "en"]
+    assert abs(sum(r.resid for r in fit)) < 1e-3 * len(fit)
+
+    # planted: 3 clean fit-slice docs (varying length, ~2 stopwords
+    # each) + one stopword-stuffed doc OUTSIDE the fit slice — the
+    # fit-on-slice/score-corpus shape: the stuffed doc can't drag the
+    # regression toward itself, so its residual must flag
+    planted = spark.createDataFrame(
+        [(1, "en", "cat dog the bird fish a lion tiger"),
+         (2, "en", "tree rock the river hill a cloud rain snow wind"),
+         (3, "en", "red blue the green black a white pink gray brown teal moss"),
+         (4, "xx", "the the the a a a of of of and and and to to in is")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r.doc_id: r for r in quality_calibration(planted, tau=0.05).collect()}
+    assert out[4].is_outlier
+    assert not out[1].is_outlier
