@@ -123,6 +123,14 @@ OPS = [
     # broadcast-gated embedding pass (candidate set is O(q·k_cand),
     # constant in corpus size — the ratio should track the BM25 stage)
     "llm_hybrid_retrieval",
+    # zipf claims word-count map-combine + vocab-only window (replicas
+    # repeat the text so the vocab — and the regression — stay
+    # constant while the scan grows: the flat-tail regime); source mix
+    # claims one slice-count + broadcast accept (zero data shuffles);
+    # calibration claims one slice-fit reduce + one scoring pass
+    "llm_zipf_slope",
+    "llm_source_mix",
+    "llm_quality_calibration",
 ]
 
 
