@@ -149,3 +149,65 @@ def resize_media(media: DataFrame, target_bytes: int = 16) -> DataFrame:
     return media.mapInPandas(
         shrink, schema="media_id bigint, kind string, payload binary, n_bytes bigint"
     )
+
+
+def shard_pack(media: DataFrame, size_col: str = "est_bytes",
+               id_col: str = "media_id",
+               shard_bytes: int = 4 * 1024 * 1024,
+               n_blocks: int = 8) -> DataFrame:
+    """WebDataset-style shard packing: assign each media item to a
+    sequential tar-shard of ~``shard_bytes`` by running byte total,
+    after a deterministic md5 shuffle of the ids (the WebDataset
+    recipe — a sorted crawl would otherwise put one domain per shard
+    and kill training-time IO randomness). An item starts a new shard
+    exactly when the running total before it crosses a shard_bytes
+    boundary: shard = (cum_bytes − size) div shard_bytes — greedy
+    sequential packing, bit-deterministic, and invariant to where the
+    range-partition boundaries fall (the sort key (md5, id) is
+    unique).
+
+    Scale shape — the sorted-neighborhood global-order pattern
+    (operators/dedup.py::sorted_neighborhood_pairs), accumulating
+    BYTES instead of rank: repartitionByRange gives a partition-wise
+    total order, each block computes its local running sum with a
+    window, and a broadcast block-total prefix table (n_blocks rows,
+    the only driver-sized object) lifts local sums to the GLOBAL
+    running total. No single-partition window anywhere; integer
+    arithmetic throughout (no doubles, no libm), so the oracle is
+    exact at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    base = media.withColumn("_k", F.md5(F.col(id_col).cast("string")))
+    ranged = base.repartitionByRange(n_blocks, "_k", id_col).withColumn(
+        "_blk", F.spark_partition_id()
+    )
+    w_cum = (
+        W.partitionBy("_blk")
+        .orderBy("_k", id_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "_cum_in", F.sum(F.col(size_col)).over(w_cum)
+    ).persist()
+    try:
+        tot = local.groupBy("_blk").agg(F.sum(F.col(size_col)).alias("_c"))
+        w_off = W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)
+        off = tot.select(
+            "_blk",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+        out = (
+            local.join(F.broadcast(off), "_blk")
+            .withColumn("cum_bytes", F.col("_off") + F.col("_cum_in"))
+            .withColumn(
+                "shard",
+                F.expr(
+                    f"(cum_bytes - {size_col}) div {int(shard_bytes)}"
+                ).cast("bigint"),
+            )
+            .drop("_k", "_blk", "_cum_in", "_off")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        local.unpersist()

@@ -108,3 +108,55 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact output size asserted in tests."""
     t = load_tables(spark, sf_dir, ("documents",))
     return mm.resize_media(mm.attach_media(t["documents"]), target_bytes=16)
+
+
+@query(
+    "mm_shard_packing",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS kind,
+             CAST(n_chars * CASE (doc_id % 3) WHEN 0 THEN 64
+                                              WHEN 1 THEN 256
+                                              ELSE 1024 END
+                  AS BIGINT) AS est_bytes,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), c AS (
+      SELECT media_id, kind, est_bytes,
+             SUM(est_bytes) OVER (
+               ORDER BY k, media_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_bytes
+      FROM m
+    )
+    SELECT media_id, kind, est_bytes, cum_bytes,
+           CAST((cum_bytes - est_bytes) // 4194304 AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def mm_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing: media items (size ledger =
+    n_chars × a per-kind byte multiplier, the catalog-driven shape a
+    real shard planner uses — it packs from metadata, not by reading
+    blobs) are md5-shuffled and greedily packed into sequential
+    ~4 MiB shards by GLOBAL running byte total — computed with the
+    distributed block-offset pattern, never a single-partition
+    window. See operators/multimodal.py::shard_pack."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    mult = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(64))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit(256))
+        .otherwise(F.lit(1024))
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    ledger = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        (F.col("n_chars") * mult).cast("bigint").alias("est_bytes"),
+    )
+    return mm.shard_pack(ledger)

