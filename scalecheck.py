@@ -131,6 +131,11 @@ OPS = [
     "llm_zipf_slope",
     "llm_source_mix",
     "llm_quality_calibration",
+    # shard packing claims a linear global running total via the
+    # block-offset pattern (range shuffle + per-block window + a
+    # broadcast n_blocks-row prefix table) — no single-partition
+    # window to collapse under 64× the rows
+    "mm_shard_packing",
 ]
 
 
