@@ -905,3 +905,42 @@ def kmeans_assign(
         )
     finally:
         ve.unpersist()
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    per_cluster: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the SemDeDup / DiverseSelect
+    corpus-selection shape): cluster the embedding space with
+    :func:`kmeans_assign`, then take an equal ``per_cluster`` quota
+    from every cluster in deterministic md5 order — the sample covers
+    every mode of the distribution instead of over-drawing from the
+    densest region the way uniform sampling does.
+
+    Fully oracle-checkable: the clustering is the fixed-iteration
+    unrolled-CTE k-means and the quota pick is a ROW_NUMBER window in
+    md5 order (never rand()).
+
+    Scale shape: one window partitioned by cluster id — the same
+    shuffle key the assignment already produced. The md5 order means
+    a 100 TB deployment can replace the per-cluster sort with a
+    broadcast md5-threshold refinement (sample the cluster, estimate
+    the quota quantile, filter) without changing WHICH rows win; the
+    window form IS the exact semantics that refinement approximates.
+    """
+    from pyspark.sql import Window as W
+
+    assign = kmeans_assign(embeddings, k=k, iters=iters,
+                           id_col=id_col, vec_col=vec_col)
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assign.withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick") <= per_cluster)
+    )

@@ -2202,3 +2202,31 @@ def llm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/text.py::quality_calibration."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.quality_calibration(t["documents"], tau=0.05)
+
+
+@query(
+    "llm_cluster_balanced_sample",
+    oracle=f"""
+    SELECT vec_id, cluster, dist2, CAST(pick AS BIGINT) AS pick
+    FROM (
+      SELECT vec_id, cluster, dist2,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+      FROM ({_kmeans_oracle(4, 2)}) AS base
+    ) AS ranked
+    WHERE pick <= 100
+    """,
+)
+def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: equal per-cluster quotas
+    (100) drawn in deterministic md5 order from the 4-way k-means
+    partition of the embedding space — the SemDeDup-style selection
+    that covers every mode instead of over-drawing the densest
+    region. The full pipeline (unrolled 2-iteration k-means + quota
+    window) is verified bit-exactly by the oracle.
+    See operators/similarity.py::cluster_balanced_sample."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.cluster_balanced_sample(
+        t["embeddings"], k=4, iters=2, per_cluster=100
+    )

@@ -313,6 +313,12 @@ SUITES: dict[str, list[Member]] = {
          ["doc_id", "score", "pr"]),
         # domain mixing: per-language md5-bucket keeps at target rates
         ("llm_stratified_sample", ["lang", "keep"], ["doc_id"]),
+        # cluster-balanced diversity sampling: equal md5-ordered quotas
+        # from the k-means partition of the embedding space (corpus
+        # SELECTION, so it lives with the assembly ops; the clustering
+        # primitive itself is verified in suite_embeddings)
+        ("llm_cluster_balanced_sample", [],
+         ["vec_id", "cluster", "dist2", "pick"]),
         # per-domain unigram KL vs the corpus mix (data-mixing dial)
         ("llm_domain_kl", ["source"], ["n_tok", "n_vocab", "kl_bits"]),
         # domain-pair shingle Jaccard (acquisition-level leakage matrix)

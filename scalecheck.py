@@ -136,6 +136,11 @@ OPS = [
     # broadcast n_blocks-row prefix table) — no single-partition
     # window to collapse under 64× the rows
     "mm_shard_packing",
+    # cluster-balanced sampling claims the kmeans iteration cost
+    # (centroid table is n_cells×dim regardless of corpus) plus one
+    # cluster-keyed quota window — replicas multiply cluster sizes,
+    # not cluster count, so the window is the part under test
+    "llm_cluster_balanced_sample",
 ]
 
 

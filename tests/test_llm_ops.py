@@ -1246,3 +1246,35 @@ def test_quality_calibration_fit_and_outliers(spark):
     out = {r.doc_id: r for r in quality_calibration(planted, tau=0.05).collect()}
     assert out[4].is_outlier
     assert not out[1].is_outlier
+
+
+def test_cluster_balanced_sample_quota_and_coverage(spark):
+    """Every cluster contributes exactly min(|cluster|, quota) rows —
+    the sample covers every mode — and the picks are the md5-lowest
+    ids of each cluster (deterministic, re-runnable)."""
+    from datawarehouse_spark.operators.similarity import (
+        cluster_balanced_sample, kmeans_assign,
+    )
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    quota = 40
+    samp = cluster_balanced_sample(emb, k=4, iters=2,
+                                   per_cluster=quota).collect()
+    full = kmeans_assign(emb, k=4, iters=2).collect()
+    sizes = {}
+    for r in full:
+        sizes[r.cluster] = sizes.get(r.cluster, 0) + 1
+    got = {}
+    for r in samp:
+        got[r.cluster] = got.get(r.cluster, 0) + 1
+    assert got == {c: min(n, quota) for c, n in sizes.items()}
+    # picks are the md5-lowest ids within each cluster
+    import hashlib
+    by_c = {}
+    for r in full:
+        by_c.setdefault(r.cluster, []).append(r.vec_id)
+    for c, ids in by_c.items():
+        want = set(sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:quota])
+        assert {r.vec_id for r in samp if r.cluster == c} == want
