@@ -187,14 +187,22 @@ def cosine_pairs(
 def _kmeans_pp_init(emb: DataFrame, n_cells: int,
                     sample_n: int | None = None) -> np.ndarray:
     """Deterministic k-means++-style init: greedy farthest-point over
-    the lowest-``sample_n``-id vectors. First centroid = lowest-id
-    vector; each next = the sample vector with the largest cosine
-    distance to its nearest chosen centroid (np.argmax breaks ties to
-    the lowest sample index → lowest id). Strictly better spread than
-    first-n init with zero RNG state, so trainings stay bit-reproducible.
-    Zero-norm vectors are excluded (cosine undefined)."""
+    a ``sample_n`` sample picked by md5 of the id — deterministic
+    across runs yet decorrelated from insertion/id order (the same
+    rationale as :func:`pq_train_codebooks`: on corpora whose ids
+    track content or crawl order, a lowest-id sample would train
+    centroids on one corner of the space). First centroid = the
+    md5-lowest vector; each next = the sample vector with the largest
+    cosine distance to its nearest chosen centroid (np.argmax breaks
+    ties to the lowest sample index). Zero RNG state, so trainings
+    stay bit-reproducible. Zero-norm vectors are excluded (cosine
+    undefined)."""
     sample_n = sample_n or max(32 * n_cells, 256)
-    rows = emb.orderBy("vid").limit(sample_n).collect()
+    rows = (
+        emb.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(sample_n)
+        .collect()
+    )
     X = np.array([list(map(float, r["v"])) for r in rows])
     norms = np.linalg.norm(X, axis=1)
     X = X[norms > 0] / norms[norms > 0, None]
@@ -222,7 +230,7 @@ def kmeans_centroids(
     """Spherical k-means centroids via distributed Lloyd iterations.
 
     Deterministic end to end: init is greedy-farthest-point k-means++
-    over the lowest-id sample (:func:`_kmeans_pp_init` — no RNG),
+    over the md5-ordered sample (:func:`_kmeans_pp_init` — no RNG),
     assignment ties break on lowest cell (np.argmax), and the per-cell
     mean uses an order-independent exact decimal sum so shuffle order
     can't perturb centroids between runs.
