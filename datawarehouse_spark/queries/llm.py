@@ -2230,3 +2230,41 @@ def llm_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_balanced_sample(
         t["embeddings"], k=4, iters=2, per_cluster=100
     )
+
+
+@query(
+    "llm_exact_dedup_keep_best",
+    oracle="""
+    SELECT doc_id, fp, n_chars, keep_id, doc_id = keep_id AS keep
+    FROM (
+      SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT)
+               AS n_chars,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY md5(text)
+               ORDER BY length(text) DESC, doc_id ASC) AS keep_id
+      FROM documents
+    )
+    """,
+)
+def llm_exact_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection within exact-duplicate
+    groups: real pipelines keep the BEST copy (here: longest text —
+    trailing truncations are the common corruption — with min-id
+    tiebreak), not the arbitrary min-id one. One md5-keyed window,
+    same shuffle as exact dedup; the quality criterion is a sort key
+    swap, which is the point — canonical choice is policy, not
+    plumbing."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = W.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.md5("text").alias("fp"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .withColumn("keep_id", F.first("doc_id").over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("keep_id"))
+    )

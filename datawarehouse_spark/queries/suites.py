@@ -269,6 +269,10 @@ SUITES: dict[str, list[Member]] = {
     # llm_exact_dedup and llm_simhash standalones to stay ≤50 entries)
     "suite_dedup_pairs": [
         ("llm_exact_dedup", ["fp"], ["n_docs", "keep_id"]),
+        # quality-aware canonical pick within exact-dup groups (keep
+        # the longest copy, not the arbitrary min-id one)
+        ("llm_exact_dedup_keep_best", ["fp", "keep"],
+         ["doc_id", "n_chars", "keep_id"]),
         # simhash is a 63-bit int — exact as a string key only
         ("llm_simhash", ["simhash"], ["doc_id"]),
         # span removal: kept token ranges after corpus-frequent span

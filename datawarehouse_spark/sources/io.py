@@ -251,3 +251,29 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_resilient(spark: SparkSession, path: str,
+                   policy: str = "fail") -> DataFrame:
+    """Parquet read with an explicit corrupt-file policy — the knob a
+    100 TB scan needs spelled out, because at that scale partially
+    written or bit-rotted files are WHEN, not IF.
+
+    ``policy``:
+      * ``"fail"`` (default) — corruption aborts the job. The right
+        default: silent data loss is worse than a failed run.
+      * ``"skip"`` — sets ``spark.sql.files.ignoreCorruptFiles`` for
+        THIS read only (DataFrameReader option, not a session-wide
+        mutation): unreadable files are dropped and the scan
+        continues. For quarantine-then-reprocess pipelines; pair with
+        a file-count audit so the drop is observed, never silent.
+
+    Session configs are untouched either way — policy is visible at
+    the call site, not ambient state.
+    """
+    if policy not in ("fail", "skip"):
+        raise ValueError(f"policy must be 'fail' or 'skip', got {policy!r}")
+    reader = spark.read
+    if policy == "skip":
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.parquet(path)

@@ -289,3 +289,29 @@ def test_dq_audit_counts_injected_violations(spark, tmp_path):
         "orders_fk_customer": 1,      # custkey 99
         "lineitem_fk_orders": 1,      # orderkey 77
     }
+
+
+def test_read_resilient_corrupt_file_policies(spark, tmp_path):
+    """A garbage .parquet part in the table dir: policy='skip' drops
+    the bad file and returns every row of the good ones; the default
+    policy='fail' raises (silent loss must be opt-in); the skip option
+    is read-scoped, not a session-wide mutation."""
+    import pytest
+
+    p = str(tmp_path / "tbl")
+    spark.range(0, 100).withColumn("v", F.col("id") * 2) \
+        .repartition(4).write.parquet(p)
+    with open(f"{p}/part-corrupt.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file")
+
+    good = dwio.read_resilient(spark, p, policy="skip")
+    assert good.count() == 100
+    assert {r.id for r in good.collect()} == set(range(100))
+
+    with pytest.raises(Exception):
+        dwio.read_resilient(spark, p, policy="fail").count()
+    # the skip read did not leak ignoreCorruptFiles into the session
+    assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "false"
+
+    with pytest.raises(ValueError):
+        dwio.read_resilient(spark, p, policy="quarantine")
