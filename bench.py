@@ -9,9 +9,12 @@ Execution is forced through the noop sink (full plan runs, nothing
 collected to the driver) — the honest measure of operator cost.
 
 `bench.py --members` instead times every RAW fine-grained query
-(~155 lines, suite members individually, default 1 rep) and prints the
+(~165 lines, suite members individually, default 1 rep) and prints the
 same JSON shape with metric=raw_members_total_sec — the attribution
-companion to the registry-level run.
+companion to the registry-level run. `--only a,b,c` (either mode)
+restricts to the named entries for quick iteration on one line's cost
+— the emitted total then covers only those lines, so never record an
+--only run as a round artifact.
 
 IDLE-RUN PROTOCOL: numbers are only comparable between runs taken in
 an otherwise-idle container — a second Spark JVM (pytest, a driver
@@ -110,12 +113,23 @@ def members_set() -> list[tuple[str, object]]:
 
 def main() -> None:
     members = "--members" in sys.argv[1:]
+    only: set[str] | None = None
+    for i, a in enumerate(sys.argv[1:], 1):
+        if a == "--only" and i < len(sys.argv) - 1:
+            only = set(sys.argv[i + 1].split(","))
+        elif a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     from datawarehouse_spark.session import get_spark
 
     spark = get_spark(app_name="dw-bench")
     entries = members_set() if members else bench_set()
+    if only is not None:
+        unknown = only - {n for n, _ in entries}
+        if unknown:
+            raise SystemExit(f"--only names not in this mode: {sorted(unknown)}")
+        entries = [(n, f) for n, f in entries if n in only]
     # warm-up pass at the smallest SF: absorbs JVM/JIT/codegen compilation
     # and filesystem init so timings measure the engine, not cold start
     warm_dir = "/root/testdata/sf0.001"
