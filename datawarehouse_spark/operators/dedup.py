@@ -1038,3 +1038,36 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
             "novelty", F.round(F.col("n_novel") / F.col("n_sh"), 6)
         )
     )
+
+
+def cc_keep_best(clusters: DataFrame, quality: DataFrame,
+                 id_col: str = "doc_id",
+                 score_col: str = "score") -> DataFrame:
+    """Quality-aware canonical selection over NEAR-dup clusters — the
+    fuzzy-graph twin of the exact-group keep-best rule: within each
+    connected component from :func:`dedup_clusters`, keep the member
+    with the highest ``score_col`` (min-id tiebreak) instead of the
+    arbitrary min-id canonical. Real pipelines keep the best crawl of
+    a syndicated article, not the first-seen one.
+
+    ``clusters`` is ``(doc_id, canonical_id)``; ``quality`` is
+    ``(doc_id, score)`` — any per-doc metric (length, LM perplexity,
+    quality-classifier output). Docs absent from ``clusters`` are
+    singletons and implicitly kept by the caller's anti-join.
+
+    Scale shape: one join on the doc id plus one window keyed on the
+    component id the CC resolution already produced — no new shuffle
+    key, no pair table revisit.
+    """
+    from pyspark.sql import Window as W
+
+    j = clusters.join(
+        quality.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = W.partitionBy("canonical_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        j.withColumn("keep_id", F.first(F.col(id_col)).over(w))
+        .withColumn("keep", F.col(id_col) == F.col("keep_id"))
+    )

@@ -1278,3 +1278,32 @@ def test_cluster_balanced_sample_quota_and_coverage(spark):
             ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
         )[:quota])
         assert {r.vec_id for r in samp if r.cluster == c} == want
+
+
+def test_cc_keep_best_argmax_per_component(spark):
+    """Within every near-dup component the kept doc is the max-score
+    (min-id tiebreak) member — brute-force verified — and exactly one
+    doc per component is kept."""
+    from datawarehouse_spark.operators.dedup import (
+        cc_keep_best, dedup_clusters, ngram_jaccard_pairs,
+    )
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    clusters = dedup_clusters(pairs)
+    quality = docs.select("doc_id", F.col("n_chars").alias("score"))
+    out = cc_keep_best(clusters, quality).collect()
+    assert out, "fixture must contain near-dup clusters"
+
+    scores = {r.doc_id: r.score for r in quality.collect()}
+    by_comp: dict[int, list[int]] = {}
+    for r in out:
+        by_comp.setdefault(r.canonical_id, []).append(r.doc_id)
+    for comp, members in by_comp.items():
+        want = min(members, key=lambda d: (-scores[d], d))
+        kept = [r.doc_id for r in out
+                if r.canonical_id == comp and r.keep]
+        assert kept == [want] or set(kept) == {want}, (comp, kept, want)
+        for r in out:
+            if r.canonical_id == comp:
+                assert r.keep_id == want
