@@ -1550,3 +1550,67 @@ def quality_calibration(df: DataFrame, fit_group: str = "en",
         resid.alias("resid"),
         (F.abs(resid) > F.lit(tau)).alias("is_outlier"),
     )
+
+
+def curriculum_phases(df: DataFrame, n_phases: int = 4,
+                      n_blocks: int = 8, id_col: str = "doc_id",
+                      text: str = "text") -> DataFrame:
+    """Perplexity-ordered curriculum phasing: rank every scoreable
+    document by corpus-trained bigram-LM perplexity (easy → hard, the
+    curriculum-learning recipe) and cut the GLOBAL rank into
+    ``n_phases`` contiguous phases — phase 1 is the cleanest quarter
+    of the corpus, the last phase the noisiest. Docs with no bigrams
+    (single-token) are unscoreable and excluded; the caller decides
+    their phase by policy.
+
+    Phase formula: ``(rank−1)·n_phases div N + 1`` — contiguous
+    near-equal cuts, integer arithmetic (deliberately NOT SQL NTILE,
+    whose extra-row placement rule differs; this formula is identical
+    in both engines). The global rank uses the block-offset pattern
+    (range partitions on the unique (ppl, doc_id) key + broadcast
+    prefix counts — rank invariant to block boundaries), never a
+    single-partition window; N is a scalar aggregate broadcast back.
+
+    Scale shape: the LM scoring is :func:`lm_score`'s one map-combined
+    bigram pass; ranking adds one range shuffle of (id, ppl, counts)
+    rows — no shuffle carries text.
+    """
+    from pyspark.sql import Window as W
+
+    scored = (
+        lm_score(df, id_col=id_col, text=text)
+        .filter(F.col("n_bigrams") > 0)
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "ppl",
+            (F.col("n_bigrams") + 1).cast("bigint").alias("n_tok"),
+        )
+    )
+    ranged = scored.repartitionByRange(n_blocks, "ppl", id_col).withColumn(
+        "_blk", F.spark_partition_id()
+    )
+    rn_w = W.partitionBy("_blk").orderBy("ppl", id_col)
+    local = ranged.withColumn("_rn", F.row_number().over(rn_w)).persist()
+    try:
+        cnt = local.groupBy("_blk").agg(F.count(F.lit(1)).alias("_c"))
+        off_w = W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)
+        off = cnt.select(
+            "_blk",
+            F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
+        )
+        n_tot = local.agg(F.count(F.lit(1)).alias("_n"))
+        out = (
+            local.join(F.broadcast(off), "_blk")
+            .crossJoin(F.broadcast(n_tot))
+            .withColumn("rank", (F.col("_off") + F.col("_rn")).cast("bigint"))
+            .withColumn(
+                "phase",
+                F.expr(f"(rank - 1) * {int(n_phases)} div _n + 1")
+                .cast("bigint"),
+            )
+            .drop("_blk", "_rn", "_off", "_n")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        local.unpersist()

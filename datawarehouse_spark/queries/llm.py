@@ -2268,3 +2268,54 @@ def llm_exact_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep_id", F.first("doc_id").over(w))
         .withColumn("keep", F.col("doc_id") == F.col("keep_id"))
     )
+
+
+@query(
+    "llm_curriculum",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, s[i] AS w1, s[i + 1] AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d,
+           UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS v FROM c2
+    ), model AS (
+      SELECT c2.w1, c2.w2,
+             ROUND(log2(CAST(c2.c2 + 1 AS DOUBLE))
+                   - log2(CAST(c1.c1 + v.v AS DOUBLE)), 6) AS logp
+      FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+    ), scored AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS avg_logp
+      FROM bg JOIN model USING (w1, w2) GROUP BY 1
+    ), ranked AS (
+      SELECT doc_id, n_bigrams,
+             ROUND(POW(2.0, -avg_logp), 6) AS ppl,
+             CAST(n_bigrams + 1 AS BIGINT) AS n_tok
+      FROM scored
+    ), rr AS (
+      SELECT doc_id, n_bigrams, ppl, n_tok,
+             CAST(ROW_NUMBER() OVER (ORDER BY ppl, doc_id) AS BIGINT)
+               AS rank,
+             COUNT(*) OVER () AS n
+      FROM ranked
+    )
+    SELECT doc_id, n_bigrams, ppl, n_tok, rank,
+           CAST((rank - 1) * 4 // n + 1 AS BIGINT) AS phase
+    FROM rr
+    """,
+)
+def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-ordered curriculum phasing: global easy→hard rank by
+    corpus-trained bigram-LM perplexity, cut into 4 contiguous phases
+    with exact integer arithmetic — the curriculum-learning data
+    schedule, with the global rank computed by the block-offset
+    pattern (no single-partition window).
+    See operators/text.py::curriculum_phases."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.curriculum_phases(t["documents"], n_phases=4)

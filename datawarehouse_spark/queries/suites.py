@@ -240,6 +240,9 @@ SUITES: dict[str, list[Member]] = {
         # corpus-trained bigram-LM perplexity (CCNet/KenLM filter shape)
         ("llm_lm_perplexity", [],
          ["doc_id", "n_bigrams", "avg_logp", "ppl"]),
+        # perplexity-ordered curriculum phases (block-offset global rank)
+        ("llm_curriculum", [],
+         ["doc_id", "n_bigrams", "ppl", "n_tok", "rank", "phase"]),
         # unigram entropy (information-density quality dial)
         ("llm_token_entropy", [],
          ["doc_id", "n_tok", "n_distinct", "entropy_bits",

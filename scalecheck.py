@@ -141,6 +141,10 @@ OPS = [
     # cluster-keyed quota window — replicas multiply cluster sizes,
     # not cluster count, so the window is the part under test
     "llm_cluster_balanced_sample",
+    # curriculum claims lm_score's one bigram pass (vocab² model,
+    # constant under replicated text) + the block-offset global rank
+    # (one range shuffle of id/ppl rows, no single-partition window)
+    "llm_curriculum",
 ]
 
 

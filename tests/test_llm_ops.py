@@ -1307,3 +1307,25 @@ def test_cc_keep_best_argmax_per_component(spark):
         for r in out:
             if r.canonical_id == comp:
                 assert r.keep_id == want
+
+
+def test_curriculum_phases_contiguous_and_block_invariant(spark):
+    """Phases cut the ppl-sorted order contiguously into near-equal
+    parts (sizes differ by ≤ n_phases), ranks are a permutation of
+    1..N, and — the distributed-correctness core — the full output is
+    IDENTICAL for any range-block count."""
+    from datawarehouse_spark.operators.text import curriculum_phases
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    a = {r.doc_id: (r.rank, r.phase) for r in
+         curriculum_phases(docs, n_phases=4, n_blocks=8).collect()}
+    b = {r.doc_id: (r.rank, r.phase) for r in
+         curriculum_phases(docs, n_phases=4, n_blocks=3).collect()}
+    assert a == b
+    ranks = sorted(r for r, _ in a.values())
+    assert ranks == list(range(1, len(a) + 1))
+    # phases are monotone in rank and near-equal in size
+    by_rank = [p for _, p in sorted(a.values())]
+    assert by_rank == sorted(by_rank)
+    sizes = [by_rank.count(p) for p in sorted(set(by_rank))]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 4
