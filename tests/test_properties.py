@@ -461,3 +461,72 @@ def test_bpe_two_pass_replace_is_greedy_merge(spark, syms, merge):
         .s
     )
     assert got.split() == _greedy_merge(syms, l, r)
+
+
+SIZES = st.lists(
+    st.integers(min_value=1, max_value=5000), min_size=1, max_size=40
+)
+
+
+@given(sizes=SIZES, shard_kib=st.integers(min_value=1, max_value=8))
+@_SETTINGS
+def test_shard_pack_equals_python_greedy(spark, sizes, shard_kib):
+    """shard_pack on arbitrary size ledgers equals the sequential
+    Python reference: md5-sort, running total, shard by start
+    offset — for any shard budget and any block count."""
+    import hashlib
+
+    from datawarehouse_spark.operators.multimodal import shard_pack
+
+    S = shard_kib * 1024
+    ledger = spark.createDataFrame(
+        [(i + 1, int(s)) for i, s in enumerate(sizes)],
+        "media_id long, est_bytes long",
+    )
+    got = {
+        r.media_id: (r.cum_bytes, r.shard)
+        for r in shard_pack(ledger, shard_bytes=S, n_blocks=3).collect()
+    }
+    order = sorted(
+        enumerate(sizes),
+        key=lambda t: (hashlib.md5(str(t[0] + 1).encode()).hexdigest(),
+                       t[0] + 1),
+    )
+    cum = 0
+    want = {}
+    for i, s in order:
+        cum += s
+        want[i + 1] = (cum, (cum - s) // S)
+    assert got == want
+
+
+@given(
+    ppls=st.lists(st.integers(min_value=1, max_value=50),
+                  min_size=1, max_size=40),
+    n_phases=st.integers(min_value=1, max_value=5),
+)
+@_SETTINGS
+def test_curriculum_phase_formula_equals_python(spark, ppls, n_phases):
+    """The rank → phase cut equals the Python reference on arbitrary
+    score multisets (ties broken by id). The operator's distributed
+    rank path is pinned separately by the block-invariance test in
+    test_llm_ops.py; this property pins the phase FORMULA itself
+    under heavy ties and tiny/degenerate phase counts."""
+    from pyspark.sql import Window as W
+
+    rows = [(i + 1, float(p)) for i, p in enumerate(ppls)]
+    df = spark.createDataFrame(rows, "doc_id long, ppl double")
+    n = len(rows)
+    w = W.orderBy("ppl", "doc_id")
+    ranked = df.withColumn("rank", F.row_number().over(w))
+    got = {
+        r.doc_id: ((r.rank - 1) * n_phases) // n + 1
+        for r in ranked.collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {
+        d: (idx * n_phases) // n + 1
+        for idx, (d, _) in enumerate(order)
+    }
+    assert got == want
+    assert set(got.values()) <= set(range(1, n_phases + 1))
