@@ -115,7 +115,11 @@ def main() -> None:
     members = "--members" in sys.argv[1:]
     only: set[str] | None = None
     for i, a in enumerate(sys.argv[1:], 1):
-        if a == "--only" and i < len(sys.argv) - 1:
+        if a == "--only":
+            if i >= len(sys.argv) - 1:
+                # falling through would run (and maybe record) the FULL
+                # set under a flag that promised a subset — fail loud
+                raise SystemExit("--only requires a value")
             only = set(sys.argv[i + 1].split(","))
         elif a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))

@@ -166,6 +166,15 @@ def shard_pack(media: DataFrame, size_col: str = "est_bytes",
     range-partition boundaries fall (the sort key (md5, id) is
     unique).
 
+    Numbering is MONOTONE, not dense: an item larger than
+    ``shard_bytes`` occupies several budget windows by itself, so the
+    next item's start-offset shard id skips the swallowed indices
+    (e.g. a 3×-budget item in shard 4 is followed by shard 7). Tar
+    writers must key on the shard VALUE, not assume ids are
+    contiguous. Sizes are validated in the data path: a NULL, zero or
+    negative ``size_col`` raises at execution rather than silently
+    corrupting every downstream running total.
+
     Scale shape — the sorted-neighborhood global-order pattern
     (operators/dedup.py::sorted_neighborhood_pairs), accumulating
     BYTES instead of rank: repartitionByRange gives a partition-wise
@@ -178,7 +187,23 @@ def shard_pack(media: DataFrame, size_col: str = "est_bytes",
     """
     from pyspark.sql import Window as W
 
-    base = media.withColumn("_k", F.md5(F.col(id_col).cast("string")))
+    # validate in the live size expression (not a prunable side column):
+    # every downstream sum reads _sz, so a bad size always raises.
+    checked = F.when(
+        F.col(size_col) > 0, F.col(size_col).cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"shard_pack: {size_col} must be > 0, got "),
+                F.coalesce(F.col(size_col).cast("string"), F.lit("NULL")),
+                F.lit(f" for {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint")
+    )
+    base = media.withColumn("_sz", checked).withColumn(
+        "_k", F.md5(F.col(id_col).cast("string"))
+    )
     ranged = base.repartitionByRange(n_blocks, "_k", id_col).withColumn(
         "_blk", F.spark_partition_id()
     )
@@ -188,10 +213,10 @@ def shard_pack(media: DataFrame, size_col: str = "est_bytes",
         .rowsBetween(W.unboundedPreceding, 0)
     )
     local = ranged.withColumn(
-        "_cum_in", F.sum(F.col(size_col)).over(w_cum)
+        "_cum_in", F.sum(F.col("_sz")).over(w_cum)
     ).persist()
     try:
-        tot = local.groupBy("_blk").agg(F.sum(F.col(size_col)).alias("_c"))
+        tot = local.groupBy("_blk").agg(F.sum(F.col("_sz")).alias("_c"))
         w_off = W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)
         off = tot.select(
             "_blk",
@@ -203,10 +228,10 @@ def shard_pack(media: DataFrame, size_col: str = "est_bytes",
             .withColumn(
                 "shard",
                 F.expr(
-                    f"(cum_bytes - {size_col}) div {int(shard_bytes)}"
+                    f"(cum_bytes - _sz) div {int(shard_bytes)}"
                 ).cast("bigint"),
             )
-            .drop("_k", "_blk", "_cum_in", "_off")
+            .drop("_k", "_blk", "_cum_in", "_off", "_sz")
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -800,12 +800,34 @@ def prf_hybrid_topk(
         ce.unpersist()
 
 
+def _kmeans_remean(ve: DataFrame, assign: DataFrame) -> list:
+    """Shared Lloyd re-mean: exact decimal per-(cluster, dim) mean over
+    the exploded component table, rounded to 6 — identical arithmetic
+    for both assignment engines, collected as the bounded k·dim driver
+    sync. A cluster that lost every member drops out (no row), which
+    both engines treat the same way: it can never be assigned again."""
+    dec = "decimal(38,6)"
+    return (
+        ve.join(assign.select("vid", "cid"), "vid")
+        .groupBy("cid", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("q")
+        )
+        .collect()
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 4,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "gemm",
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column, run for a
     FIXED ``iters`` iterations from a deterministic seed — the corpus
@@ -821,87 +843,143 @@ def kmeans_assign(
     the codebook-sampling convention), cluster ids 0..k-1 in that md5
     order; assignment ties break by cluster id.
 
-    Scale shape (the Spark MLlib shape): per iteration, ONE broadcast
-    of the k·dim centroid table against the exploded (id, pos, v)
-    component table → n·dim·k product rows that map-combine down to
-    (id, cluster) distances, then a map-combined (cluster, pos)
-    re-mean; the only driver sync per iteration is the k·dim centroid
-    collect (bounded, like IVF's). The component table is persisted
-    once across all iterations and released in a finally.
+    ONE Lloyd algorithm, TWO tested-equal assignment engines sharing
+    the init and the decimal re-mean (``_kmeans_remean``):
+
+    * ``impl="gemm"`` (default — the compute engine): per Arrow batch,
+      the n×dim component matrix meets the broadcast k×dim centroid
+      matrix in one vectorized numpy distance computation inside a
+      pandas UDF. No n·dim·k intermediate rows exist anywhere — the
+      k-way product lives only inside the batch kernel, so the per-
+      iteration cluster cost is a corpus scan plus the k·dim re-mean
+      shuffle. Each squared term is rounded to 6 exactly as the SQL
+      engine rounds it, so the float64 sum sits within 1e-12 of the
+      decimal sum — far below the 1e-6 output grid — and assignments
+      are identical (property-tested against impl="sql" on the
+      fixtures in tests/test_llm_ops.py).
+    * ``impl="sql"`` (the oracle-parity twin): the exploded
+      (id, pos, v) table joins the broadcast k·dim centroid table and
+      map-combines to (id, cluster) exact-decimal distances — every
+      step expressible as unrolled DuckDB CTEs, which is what the
+      driver's correctness gate replays.
+
+    Scale shape (the Spark MLlib shape either way): per iteration, ONE
+    broadcast of the k·dim centroid table against the corpus, then the
+    map-combined (cluster, pos) re-mean; the only driver sync per
+    iteration is the k·dim centroid collect (bounded, like IVF's).
+    The corpus-side table is persisted once across all iterations and
+    released in a finally.
     """
-    ve = (
-        embeddings.select(
-            F.col(id_col).alias("vid"),
-            F.posexplode(F.col(vec_col)).alias("pos", "x"),
-        )
-        .select(
-            "vid", "pos", F.round(F.col("x").cast("double"), 6).alias("v")
-        )
-        .persist()
-    )
+    if impl not in ("gemm", "sql"):
+        raise ValueError(f"impl must be 'gemm' or 'sql', got {impl!r}")
+    spark = embeddings.sparkSession
+    wide = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
+        ).alias("varr"),
+    ).persist()
+    # exploded component view — pipelined off the persisted wide frame
+    # (re-mean needs it every iteration; the sql engine also assigns
+    # with it)
+    ve = wide.select("vid", F.posexplode("varr").alias("pos", "v"))
     dec = "decimal(38,6)"
     try:
         init = (
-            embeddings.select(F.col(id_col).alias("vid"))
+            wide.select("vid")
             .orderBy(F.md5(F.col("vid").cast("string")), "vid")
             .limit(k)
             .collect()
         )
         # cluster id = rank in md5 order (the oracle reproduces this)
         cid_of = {r["vid"]: i for i, r in enumerate(init)}
-        spark = embeddings.sparkSession
-        cen = (
-            ve.filter(F.col("vid").isin(*cid_of.keys()))
-            .join(
-                F.broadcast(
-                    spark.createDataFrame(
-                        list(cid_of.items()), "vid long, cid int"
-                    )
-                ),
-                "vid",
-            )
-            .select("cid", "pos", F.col("v").alias("q"))
+        init_vecs = {
+            r["vid"]: list(map(float, r["varr"]))
+            for r in wide.filter(F.col("vid").isin(*cid_of.keys())).collect()
+        }
+        # (cids, C): live cluster ids + their centroid matrix rows
+        cids = sorted(cid_of.values())
+        C = np.array(
+            [init_vecs[v] for v, c in sorted(cid_of.items(), key=lambda t: t[1])]
         )
         assign = None
         for _ in range(iters):
-            d2 = (
-                ve.join(F.broadcast(cen), "pos")
-                .groupBy("vid", "cid")
-                .agg(
-                    # exact decimal sum, then compare as DOUBLE in both
-                    # engines (decimal→double is not injective, so
-                    # ordering decimals could tiebreak differently)
-                    F.sum(
-                        F.round(
-                            (F.col("v") - F.col("q"))
-                            * (F.col("v") - F.col("q")),
-                            6,
-                        ).cast(dec)
-                    ).cast("double").alias("dist2")
+            if impl == "gemm":
+                frozen_c, frozen_ids = C.copy(), list(cids)
+
+                @F.pandas_udf("struct<cid:int, dist2:double>")
+                def assign_udf(vs: pd.Series) -> pd.DataFrame:
+                    X = np.vstack(vs.values)
+                    # same arithmetic as the sql engine: each squared
+                    # component rounded to 6, then summed
+                    d2 = np.stack(
+                        [
+                            np.round((X - frozen_c[j]) ** 2, 6).sum(axis=1)
+                            for j in range(len(frozen_ids))
+                        ],
+                        axis=1,
+                    )
+                    best = np.argmin(d2, axis=1)  # ties → lowest index
+                    return pd.DataFrame(
+                        {
+                            "cid": np.array(frozen_ids, dtype="int32")[best],
+                            "dist2": d2[np.arange(len(best)), best],
+                        }
+                    )
+
+                assign = wide.select(
+                    "vid", assign_udf(F.col("varr")).alias("a")
+                ).select(
+                    "vid",
+                    F.col("a.cid").alias("cid"),
+                    F.col("a.dist2").alias("dist2"),
                 )
-            )
-            w = W.partitionBy("vid").orderBy(F.asc("dist2"), F.asc("cid"))
-            assign = (
-                d2.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vid", "cid", "dist2")
-            )
-            # re-mean, then pin the k·dim table through a bounded
-            # driver sync so the next iteration's plan doesn't nest
-            new_cen = (
-                ve.join(assign.select("vid", "cid"), "vid")
-                .groupBy("cid", "pos")
-                .agg(
-                    F.round(
-                        F.sum(F.col("v").cast(dec)).cast("double")
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias("q")
+            else:
+                cen = spark.createDataFrame(
+                    [
+                        (cid, pos, float(q))
+                        for cid, row in zip(cids, C)
+                        for pos, q in enumerate(row)
+                    ],
+                    "cid int, pos int, q double",
                 )
-            )
-            cen = spark.createDataFrame(
-                [(r["cid"], r["pos"], float(r["q"])) for r in new_cen.collect()],
-                "cid int, pos int, q double",
+                d2 = (
+                    ve.join(F.broadcast(cen), "pos")
+                    .groupBy("vid", "cid")
+                    .agg(
+                        # exact decimal sum, then compare as DOUBLE in
+                        # both engines (decimal→double is not injective,
+                        # so ordering decimals could tiebreak
+                        # differently)
+                        F.sum(
+                            F.round(
+                                (F.col("v") - F.col("q"))
+                                * (F.col("v") - F.col("q")),
+                                6,
+                            ).cast(dec)
+                        ).cast("double").alias("dist2")
+                    )
+                )
+                w = W.partitionBy("vid").orderBy(
+                    F.asc("dist2"), F.asc("cid")
+                )
+                assign = (
+                    d2.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select("vid", "cid", "dist2")
+                )
+            # shared exact-decimal re-mean; bounded k·dim driver sync
+            # pins the table so the next iteration's plan doesn't nest
+            rows = _kmeans_remean(ve, assign)
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = float(r["q"])
+            cids = sorted(by_cid)
+            C = np.array(
+                [
+                    [by_cid[c][p] for p in range(len(by_cid[c]))]
+                    for c in cids
+                ]
             )
         return (
             assign.select(
@@ -912,7 +990,7 @@ def kmeans_assign(
             .localCheckpoint(eager=True)
         )
     finally:
-        ve.unpersist()
+        wide.unpersist()
 
 
 def cluster_balanced_sample(

@@ -261,7 +261,11 @@ def read_resilient(spark: SparkSession, path: str,
 
     ``policy``:
       * ``"fail"`` (default) — corruption aborts the job. The right
-        default: silent data loss is worse than a failed run.
+        default: silent data loss is worse than a failed run. Pinned
+        explicitly (``ignoreCorruptFiles=false`` on the reader), so
+        the guarantee holds even on a cluster whose ambient
+        ``spark.sql.files.ignoreCorruptFiles=true`` would otherwise
+        silently drop files.
       * ``"skip"`` — sets ``spark.sql.files.ignoreCorruptFiles`` for
         THIS read only (DataFrameReader option, not a session-wide
         mutation): unreadable files are dropped and the scan
@@ -273,7 +277,7 @@ def read_resilient(spark: SparkSession, path: str,
     """
     if policy not in ("fail", "skip"):
         raise ValueError(f"policy must be 'fail' or 'skip', got {policy!r}")
-    reader = spark.read
-    if policy == "skip":
-        reader = reader.option("ignoreCorruptFiles", "true")
+    reader = spark.read.option(
+        "ignoreCorruptFiles", "true" if policy == "skip" else "false"
+    )
     return reader.parquet(path)

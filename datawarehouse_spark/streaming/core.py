@@ -61,6 +61,7 @@ def kafka_source_options(
     bootstrap_servers: str = "localhost:9092",
     topic: str = "events",
     starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = True,
 ) -> dict[str, str]:
     return {
         "kafka.bootstrap.servers": bootstrap_servers,
@@ -69,7 +70,11 @@ def kafka_source_options(
         # bound per-micro-batch intake: the Kafka twin of the file
         # source's maxFilesPerTrigger back-pressure
         "maxOffsetsPerTrigger": "100000",
-        "failOnDataLoss": "false",
+        # default TRUE: offset loss / topic deletion aborts the query
+        # instead of silently skipping events (same fail-loud stance as
+        # sources/io.py::read_resilient). Swallowing data loss is an
+        # explicit caller opt-in via fail_on_data_loss=False.
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
     }
 
 

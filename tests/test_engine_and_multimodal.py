@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
@@ -260,3 +261,24 @@ def test_shard_pack_budget_and_block_invariance(spark):
     for mid, (s, cum) in a.items():
         start = cum - est[mid]
         assert s * S <= start < (s + 1) * S
+    # each non-final shard's content crosses its budget boundary —
+    # that's WHY the next item spilled into a new shard
+    last_cum_in_shard = {}
+    for _, (s, cum) in a.items():
+        last_cum_in_shard[s] = max(last_cum_in_shard.get(s, 0), cum)
+    for s, end in last_cum_in_shard.items():
+        if s < max(shards):
+            assert end >= (s + 1) * S
+
+
+def test_shard_pack_rejects_nonpositive_sizes(spark):
+    """A NULL/zero/negative est_bytes must raise at execution (in the
+    live size expression, not a prunable side column) instead of
+    silently corrupting every downstream running byte total."""
+    from datawarehouse_spark.operators.multimodal import shard_pack
+
+    bad = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, 50)], "media_id long, est_bytes long"
+    )
+    with pytest.raises(Exception, match="must be > 0"):
+        shard_pack(bad, shard_bytes=64, n_blocks=2).collect()

@@ -313,5 +313,15 @@ def test_read_resilient_corrupt_file_policies(spark, tmp_path):
     # the skip read did not leak ignoreCorruptFiles into the session
     assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "false"
 
+    # policy='fail' must PIN the option, not inherit ambient state: on
+    # a cluster where the session conf is already 'true', the
+    # documented corruption-aborts guarantee must still hold.
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        with pytest.raises(Exception):
+            dwio.read_resilient(spark, p, policy="fail").count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
     with pytest.raises(ValueError):
         dwio.read_resilient(spark, p, policy="quarantine")

@@ -1167,6 +1167,47 @@ def test_kmeans_recovers_separated_clusters(spark):
         list(range(10)), list(range(10, 20))
     ]
 
+    # numpy re-check: replicate the md5 init + fixed-iteration Lloyd
+    # loop; the returned dist2 is the distance to the centroids
+    # entering the FINAL iteration and must be the true minimum there.
+    import hashlib
+
+    pts = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    seed = sorted(pts, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = np.stack([pts[i] for i in seed[:2]])
+    for _ in range(2):
+        d2 = {i: ((p - cents) ** 2).sum(axis=1) for i, p in pts.items()}
+        asg = {i: int(np.argmin(d)) for i, d in d2.items()}
+        cents = np.stack([
+            np.mean([pts[i] for i in pts if asg[i] == c], axis=0)
+            for c in range(2)
+        ])
+    for r in got:
+        assert abs(r.dist2 - d2[r.vec_id].min()) < 1e-5, r
+
+
+def test_kmeans_engines_agree_on_fixture(spark):
+    """VERDICT r7 ask #2 — ONE Lloyd algorithm, two assignment engines:
+    the Arrow-GEMM compute path (impl='gemm', the default) and the
+    SQL explode shape (impl='sql', the oracle-parity twin) must
+    produce IDENTICAL (id → cluster) assignments and dist2 on the grid
+    (both round every squared component to 6, so the float64 GEMM sum
+    sits within 1e-12 of the exact decimal sum — far inside the 1e-6
+    output resolution). Checked on the real embeddings fixture at two
+    (k, iters) settings including the driver's."""
+    from datawarehouse_spark.operators.similarity import kmeans_assign
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    for k, iters in ((4, 2), (7, 3)):
+        g = {r.vec_id: (r.cluster, r.dist2)
+             for r in kmeans_assign(emb, k=k, iters=iters, impl="gemm").collect()}
+        s = {r.vec_id: (r.cluster, r.dist2)
+             for r in kmeans_assign(emb, k=k, iters=iters, impl="sql").collect()}
+        assert set(g) == set(s) and len(g) > 0
+        mism = {i: (g[i], s[i]) for i in g
+                if g[i][0] != s[i][0] or abs(g[i][1] - s[i][1]) > 1e-9}
+        assert not mism, f"k={k} iters={iters}: {list(mism.items())[:5]}"
+
 
 def test_zipf_slope_detects_skew_vs_uniform(spark):
     """A geometric (Zipf-ish) frequency profile must fit a steeply

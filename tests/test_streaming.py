@@ -378,6 +378,10 @@ def test_kafka_source_swap_contract(spark):
     assert opts["subscribe"] == "events"
     assert opts["startingOffsets"] == "earliest"
     assert "maxOffsetsPerTrigger" in opts
+    # fail-loud default: offset loss aborts; swallowing is opt-in only
+    assert opts["failOnDataLoss"] == "true"
+    lossy = core.kafka_source_options(fail_on_data_loss=False)
+    assert lossy["failOnDataLoss"] == "false"
 
     # (b) wire decode on a batch frame with kafka's output columns
     import json
