@@ -16,6 +16,12 @@ restricts to the named entries for quick iteration on one line's cost
 — the emitted total then covers only those lines, so never record an
 --only run as a round artifact.
 
+`--check PREV.json` (accepts a bench JSON line or a round driver
+BENCH_r{N}.json wrapper) turns the per-round regression audit into CI:
+after timing, exit non-zero if any query ran >2x its previous time AND
+above the noise floor (0.75 s default, $SPARK_GRAFT_CHECK_FLOOR) — see
+``check_regressions`` for the envelope rationale.
+
 IDLE-RUN PROTOCOL: numbers are only comparable between runs taken in
 an otherwise-idle container — a second Spark JVM (pytest, a driver
 sweep) inflates individual queries 2-4x via CPU/page-cache contention.
@@ -90,6 +96,46 @@ HEADLINE = [
 ]
 
 
+def load_prev_timings(path: str) -> dict[str, float]:
+    """Read a previous bench artifact's per-query timings. Accepts both
+    shapes: bench.py's own JSON line ({"queries": {...}}), and the
+    round driver's BENCH_r{N}.json wrapper whose "tail" string embeds
+    that line."""
+    with open(path) as fh:
+        obj = json.load(fh)
+    if "queries" in obj:
+        return {k: float(v) for k, v in obj["queries"].items()}
+    tail = obj.get("tail", "")
+    i = tail.find('{"metric"')
+    if i < 0:
+        raise SystemExit(f"--check: no bench JSON found in {path}")
+    return {k: float(v) for k, v in json.loads(tail[i:].strip())["queries"].items()}
+
+
+def check_regressions(
+    prev: dict[str, float],
+    curr: dict[str, float],
+    ratio: float = 2.0,
+    floor: float = 0.75,
+) -> list[str]:
+    """Regression tripwire (the in-repo form of the per-round "did
+    anything regress" audit): a query REGRESSES when it runs more than
+    ``ratio``× its previous time AND lands above ``floor`` seconds —
+    the floor is the documented noise envelope (sub-0.75 s lines are
+    dominated by fixed JVM/codegen overhead that jitters ±20% on this
+    host; a 0.2 s → 0.5 s move is noise, a 3 s → 7 s move is a plan
+    change). Queries present on only one side are ignored: suite
+    recompositions add/remove lines by design."""
+    bad = []
+    for name, new in sorted(curr.items()):
+        old = prev.get(name)
+        if old is None or old <= 0:
+            continue
+        if new > ratio * old and new > floor:
+            bad.append(f"{name}: {old:.3f}s -> {new:.3f}s ({new / old:.1f}x)")
+    return bad
+
+
 def bench_set() -> list[tuple[str, object]]:
     """Every driver registry entry (suites count as one line each) plus
     the legacy fine-grained headline queries not covered by a driver
@@ -114,8 +160,15 @@ def members_set() -> list[tuple[str, object]]:
 def main() -> None:
     members = "--members" in sys.argv[1:]
     only: set[str] | None = None
+    check_path: str | None = None
     for i, a in enumerate(sys.argv[1:], 1):
-        if a == "--only":
+        if a == "--check":
+            if i >= len(sys.argv) - 1:
+                raise SystemExit("--check requires a previous-artifact path")
+            check_path = sys.argv[i + 1]
+        elif a.startswith("--check="):
+            check_path = a.split("=", 1)[1]
+        elif a == "--only":
             if i >= len(sys.argv) - 1:
                 # falling through would run (and maybe record) the FULL
                 # set under a flag that promised a subset — fail loud
@@ -190,6 +243,20 @@ def main() -> None:
         }
     print(json.dumps(out))
     spark.stop()
+    if check_path is not None:
+        floor = float(os.environ.get("SPARK_GRAFT_CHECK_FLOOR", "0.75"))
+        bad = check_regressions(
+            load_prev_timings(check_path), timings, floor=floor
+        )
+        if bad:
+            print(
+                f"REGRESSIONS vs {check_path} (>2x and >{floor}s):",
+                file=sys.stderr,
+            )
+            for line in bad:
+                print("  " + line, file=sys.stderr)
+            raise SystemExit(1)
+        print(f"--check: no regressions vs {check_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -278,15 +278,23 @@ SUITES: dict[str, list[Member]] = {
          ["doc_id", "n_chars", "keep_id"]),
         # simhash is a 63-bit int — exact as a string key only
         ("llm_simhash", ["simhash"], ["doc_id"]),
-        # span removal: kept token ranges after corpus-frequent span
-        # removal (its per-doc coverage twin lives in
-        # suite_text_quality for suite balance — the 20 s bench line)
-        ("llm_dup_span_remove",
-         [], ["doc_id", "span_start", "span_end", "n_kept"]),
         # LOSSLESS prefix-filtered exact Jaccard join (PPJoin family) —
         # oracle is the naive all-pairs join, proving losslessness
         ("llm_prefix_filter_pairs", [],
          ["doc_a", "doc_b", "n_a", "n_b", "inter", "jaccard"]),
+        # domain-pair shingle Jaccard (acquisition-level leakage
+        # matrix) — a pair op, moved here from suite_corpus_mix in r8
+        # to keep every driver line under 16 s at sf0.1
+        ("llm_domain_overlap", ["source_a", "source_b"],
+         ["n_a", "n_b", "n_common", "jaccard"]),
+    ],
+    # LLM dedup blocking strategies that emit candidate pairs through a
+    # global order or asymmetric containment — split out of
+    # suite_dedup_pairs in r8 (VERDICT r7 ask #3: that suite sat at
+    # ~19.8 s, one member from the 20 s bench ceiling; the split keeps
+    # every driver line under 16 s while preserving per-member
+    # row-level hash verification)
+    "suite_dedup_blocking": [
         # sorted-neighborhood blocking (merge/purge window pairs)
         ("llm_sorted_neighborhood", [],
          ["doc_a", "doc_b", "gap", "n_a", "n_b", "inter", "jaccard"]),
@@ -294,6 +302,11 @@ SUITES: dict[str, list[Member]] = {
         # synthetic prefix quotes
         ("llm_containment_pairs", [],
          ["doc_a", "doc_b", "n_a", "n_b", "inter", "containment"]),
+        # span removal: kept token ranges after corpus-frequent span
+        # removal (its per-doc coverage twin lives in
+        # suite_text_quality for suite balance)
+        ("llm_dup_span_remove",
+         [], ["doc_id", "span_start", "span_end", "n_kept"]),
     ],
     # LLM corpus mixing / sampling / packing / tokenizer training (the
     # dataset-assembly third; absorbs the llm_stratified_sample
@@ -327,10 +340,10 @@ SUITES: dict[str, list[Member]] = {
         ("llm_cluster_balanced_sample", [],
          ["vec_id", "cluster", "dist2", "pick"]),
         # per-domain unigram KL vs the corpus mix (data-mixing dial)
+        # (its domain-pair overlap sibling moved to suite_dedup_pairs
+        # in the r8 rebalance — it is a pair join, and this suite sat
+        # one member from the bench ceiling)
         ("llm_domain_kl", ["source"], ["n_tok", "n_vocab", "kl_bits"]),
-        # domain-pair shingle Jaccard (acquisition-level leakage matrix)
-        ("llm_domain_overlap", ["source_a", "source_b"],
-         ["n_a", "n_b", "n_common", "jaccard"]),
         # count-min-sketch heavy hitters (oracle-exact: md5 buckets
         # make both engines' sketches bit-identical)
         ("llm_cms_heavy_hitters", ["token"],
@@ -366,13 +379,11 @@ SUITES: dict[str, list[Member]] = {
          ["vec_id", "cluster", "max_prior_sim"]),
         # BM25 lexical retrieval — the embedding family's lexical twin
         ("llm_bm25_topk", ["qid"], ["doc_id", "score", "rank"]),
-        # fixed-iteration Lloyd's k-means (unrolled-CTE oracle)
+        # fixed-iteration Lloyd's k-means (unrolled-CTE oracle).
+        # llm_pagerank moved OUT to a standalone driver row in r8:
+        # with k-means and BM25 both here the suite sat at 15.7 s —
+        # one member from the bench ceiling (VERDICT r7 ask #3).
         ("llm_kmeans", [], ["vec_id", "cluster", "dist2"]),
-        # PageRank over the near-dup graph (iterative, bit-exact: IEEE
-        # ops + decimal-summed contributions, no libm) — the graph
-        # sibling of the similarity family, placed here for suite
-        # balance (suite_dedup_pairs would exceed the 20 s bench line)
-        ("llm_pagerank", [], ["node", "pr"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
@@ -425,6 +436,7 @@ FINAL_ORDER: list[str] = [
     "t6_interval_attribution_batch",
     "suite_text_quality",
     "suite_dedup_pairs",
+    "suite_dedup_blocking",
     "suite_corpus_mix",
     # the end-to-end corpus pipeline is the single heaviest entry (it
     # recomputes the dedup keep-list, contamination scan, repetition,
@@ -438,6 +450,12 @@ FINAL_ORDER: list[str] = [
     "llm_dedup_clusters",
     "llm_dedup_keep",
     "suite_embeddings",
+    # PageRank over the near-dup graph — standalone since the r8
+    # rebalance (it alone is ~7 s at sf0.1; as its own line a
+    # regression is attributable and suite_embeddings stays under the
+    # bench ceiling). Also gives the iterative-graph op its own
+    # CORRECTNESS row (VERDICT r7 transparency note).
+    "llm_pagerank",
     # hybrid BM25→PRF-cosine retrieval cascade (r6 stretch): standalone
     # so the two-stage composition is its own verified + benched line
     "llm_hybrid_retrieval",
