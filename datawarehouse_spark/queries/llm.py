@@ -766,11 +766,66 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-@query("llm_ann_lsh_topk")  # approximate — rows-only check
+def _lsh_ann_oracle(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Unrolled DuckDB oracle for the LSH ANN path (VERDICT r7 ask #4).
+
+    The hyperplanes are md5-derived and fully deterministic
+    (operators/similarity.py::hyperplane_lsh_buckets), so the bucket
+    bit is pure arithmetic both engines can replay: the Spark side
+    folds ``((0.0 + x0*p0) + x1*p1) + ...`` left-to-right, and SQL's
+    left-associative ``x0*p0 + x1*p1 + ...`` performs the IDENTICAL
+    float64 addition sequence (``0.0 + v`` is bit-exact, and a -0.0
+    projection still satisfies ``>= 0``), so the sign bits — and
+    therefore the buckets, the candidate set, and the re-rank — match
+    bit-for-bit. ``dim`` is pinned to the fixture's 64 and guarded by
+    a pytest that fails loudly on fixture drift."""
+    import hashlib
+
+    def pc(j: int, i: int) -> float:
+        h = hashlib.md5(f"{j}|{i}".encode()).hexdigest()
+        return int(h[:8], 16) / float(1 << 32) - 0.5
+
+    def bucket(alias: str) -> str:
+        bits = []
+        for j in range(n_planes):
+            terms = " + ".join(
+                f"CAST({alias}.embedding[{i + 1}] AS DOUBLE) * {pc(j, i)!r}"
+                for i in range(dim)
+            )
+            bits.append(f"(CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    return f"""
+    WITH qb AS (
+      SELECT vec_id, embedding, {bucket('q')} AS bucket
+      FROM embeddings q WHERE vec_id < 5
+    ), cb AS (
+      SELECT vec_id, embedding, {bucket('c')} AS bucket
+      FROM embeddings c
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+      SELECT qb.vec_id AS q_id, cb.vec_id AS n_id,
+             round(list_cosine_similarity(CAST(qb.embedding AS DOUBLE[]),
+                                          CAST(cb.embedding AS DOUBLE[])), 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY qb.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(qb.embedding AS DOUBLE[]),
+                                                     CAST(cb.embedding AS DOUBLE[])), 6) DESC,
+                        cb.vec_id) AS BIGINT) AS rank
+      FROM qb JOIN cb USING (bucket)
+      WHERE qb.vec_id <> cb.vec_id
+    ) WHERE rank <= {k}
+    """
+
+
+@query("llm_ann_lsh_topk", oracle=_lsh_ann_oracle())
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact
     re-rank within bucket — the 100 TB path (bucket id becomes the
-    shuffle key). Recall vs llm_cosine_topk asserted in tests."""
+    shuffle key). Recall vs llm_cosine_topk asserted in tests; since
+    r8 ALSO driver-oracle-checked (the md5-derived hyperplanes make
+    the whole bucket+rerank path deterministic — see
+    :func:`_lsh_ann_oracle`)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     return similarity.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4)

@@ -384,6 +384,11 @@ SUITES: dict[str, list[Member]] = {
         # with k-means and BM25 both here the suite sat at 15.7 s —
         # one member from the bench ceiling (VERDICT r7 ask #3).
         ("llm_kmeans", [], ["vec_id", "cluster", "dist2"]),
+        # LSH ANN bucket+rerank — driver-checked since r8: the
+        # md5-derived hyperplanes make sign-bit bucketing exact
+        # arithmetic, so the oracle unrolls the projection per plane
+        # (VERDICT r7 ask #4); recall properties stay in pytest
+        ("llm_ann_lsh_topk", [], ["q_id", "n_id", "cos", "rank"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
@@ -466,11 +471,15 @@ FINAL_ORDER: list[str] = [
 
 # Raw queries intentionally NOT in the driver registry (no deterministic
 # SQL oracle possible — verified by dedicated pytest properties instead):
-#   llm_ann_lsh_topk, llm_ann_ivf_topk, llm_ann_ivfpq_topk (recall
-#   properties in tests/test_llm_ops.py), mm_resize (roundtrip test).
+#   llm_ann_ivf_topk, llm_ann_ivfpq_topk (recall properties in
+#   tests/test_llm_ops.py — their k-means++ cell training collects
+#   float centroids whose downstream argmax has no exact SQL replay),
+#   mm_resize (roundtrip test). llm_ann_lsh_topk graduated to the
+#   driver gate in r8: its md5-derived hyperplanes make the whole
+#   bucket+rerank path oracle-replayable (queries/llm.py::
+#   _lsh_ann_oracle).
 TESTS_ONLY: frozenset[str] = frozenset(
-    {"llm_ann_lsh_topk", "llm_ann_ivf_topk", "llm_ann_ivfpq_topk",
-     "mm_resize"}
+    {"llm_ann_ivf_topk", "llm_ann_ivfpq_topk", "mm_resize"}
 )
 
 

@@ -1186,6 +1186,19 @@ def test_kmeans_recovers_separated_clusters(spark):
         assert abs(r.dist2 - d2[r.vec_id].min()) < 1e-5, r
 
 
+def test_lsh_oracle_dim_pinned_to_fixture(spark):
+    """The unrolled LSH ANN oracle (queries/llm.py::_lsh_ann_oracle)
+    hardcodes the embedding dim (64) because SQL can't probe it; if
+    the driver regenerates fixtures at a different dim, the oracle's
+    projection would zip against missing/extra components and the
+    bucket bits would silently diverge. Fail loudly here instead."""
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64], (
+        f"embeddings dim drifted to {dims}; update _lsh_ann_oracle(dim=...)"
+    )
+
+
 def test_kmeans_engines_agree_on_fixture(spark):
     """VERDICT r7 ask #2 — ONE Lloyd algorithm, two assignment engines:
     the Arrow-GEMM compute path (impl='gemm', the default) and the
