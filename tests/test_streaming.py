@@ -308,6 +308,92 @@ def test_continuous_ingestion_dedup_stream(spark, tmpdir):
     assert len(texts) == len(set(texts)), "corpus contains exact dups"
 
 
+def test_streaming_incremental_dedup_matches_batch_replay(spark, tmpdir):
+    """VERDICT r7 ask #5 — the real-time half of the LLM pipeline story
+    (reference docs/实时数仓.md:27-29): running incremental_dedup inside
+    foreachBatch over the file-stream stand-in must accumulate EXACTLY
+    the keep-list a sequential batch replay of the same chunks
+    produces. Differential, on real fixture documents: the stream path
+    adds no nondeterminism (micro-batch boundaries are the only
+    difference, and they are pinned to the same chunking)."""
+    import os
+
+    from datawarehouse_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    chunks = [
+        docs.filter(F.col("doc_id") % 3 == i).orderBy("doc_id")
+        for i in range(3)
+    ]
+
+    def accept(batch_df, corpus_df):
+        """Shared per-increment rule: docs the accumulated corpus has
+        not already seen (exactly or nearly)."""
+        if corpus_df is None:
+            return batch_df
+        flags = dedup.incremental_dedup(
+            batch_df, corpus_df, threshold=0.5, n=3
+        )
+        keep = [r.doc_id for r in flags.filter("keep").collect()]
+        return batch_df.filter(F.col("doc_id").isin(keep))
+
+    # --- batch replay: a plain driver loop over the same chunks
+    corpus_b: list[tuple] = []
+    for ch in chunks:
+        prior = (
+            spark.createDataFrame(corpus_b, "doc_id long, text string")
+            if corpus_b else None
+        )
+        corpus_b.extend(
+            (r.doc_id, r.text) for r in accept(ch, prior).collect()
+        )
+    batch_keep = {i for i, _ in corpus_b}
+
+    # --- stream replay: identical chunks as one file each,
+    # foreachBatch against the accumulating on-disk corpus
+    src = f"{tmpdir}/inc_src"
+    os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        staged = f"{tmpdir}/inc_stage{i}"
+        ch.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    corpus_dir = f"{tmpdir}/inc_corpus"
+
+    def ingest(batch_df, epoch_id):
+        prior = (
+            batch_df.sparkSession.read.parquet(corpus_dir)
+            if os.path.isdir(corpus_dir) else None
+        )
+        accept(batch_df, prior).write.mode("append").parquet(corpus_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{tmpdir}/inc_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    stream_keep = {
+        r.doc_id for r in spark.read.parquet(corpus_dir).collect()
+    }
+    assert stream_keep == batch_keep
+    # the differential is meaningful only if the increment actually
+    # dropped something — the fixture corpus carries planted dups
+    assert len(batch_keep) < docs.count()
+
+
 def test_cms_sketch_merges_across_stream_batches(spark, tmpdir):
     """The CMS mergeability claim, exercised as a real stream: each
     micro-batch's partial sketch is appended by foreachBatch, and the
