@@ -1071,3 +1071,34 @@ def cc_keep_best(clusters: DataFrame, quality: DataFrame,
         j.withColumn("keep_id", F.first(F.col(id_col)).over(w))
         .withColumn("keep", F.col(id_col) == F.col("keep_id"))
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """Corpus version diff — the dataset-curation twin of the snapshot
+    store's time travel (sources/snapshot.py): given two corpus
+    versions, label every document ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``. The audit artifact between crawl
+    refreshes: what a retrain actually ingests differently.
+
+    Scale shape: each side is reduced to (id, md5) BEFORE the join —
+    16-byte fingerprints instead of document text — then ONE full-outer
+    shuffle on the id. No text ever shuffles; at 100 TB the join is
+    two column-pruned scans plus an id-keyed exchange, and on bucketed
+    or snapshot-manifest layouts the exchange drops too.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text)).alias("old_fp")
+    )
+    nw = new.select(
+        F.col(id_col), F.md5(F.col(text)).alias("new_fp")
+    )
+    j = o.join(nw, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"),
+                    "old_fp", "new_fp")

@@ -467,6 +467,86 @@ def contamination_check(train: DataFrame, eval_df: DataFrame,
     )
 
 
+def bloom_contamination(train: DataFrame, eval_df: DataFrame,
+                        id_col: str = "doc_id", text: str = "text",
+                        n: int = 3, m: int = 4096, k: int = 3) -> DataFrame:
+    """Bloom-filter contamination scan — the MEMBERSHIP sketch that
+    completes the sketch family (CMS counts, HLL cardinality, t-digest
+    quantiles): the eval corpus's shingles are folded into an m-bit
+    Bloom filter (k md5-derived bit positions per shingle — the CMS
+    bucket convention, so both engines build the bit-identical
+    filter), and every train shingle probes it. Output per train doc:
+    shingle count, Bloom hits, EXACT hits, and the false-positive
+    count the m/k choice actually produced — the sketch's honesty
+    metric, oracle-checked rather than assumed from theory.
+
+    Why Bloom and not the exact broadcast set
+    (:func:`contamination_check`): the exact set is O(distinct eval
+    shingles); the filter is m BITS regardless of eval size and is
+    MERGEABLE (bitwise OR), so benchmark suites can be folded in
+    incrementally and shipped to every executor as a constant-size
+    broadcast even when the eval side stops being small. Probing is
+    map-side (broadcast join on bit position); the only data shuffle
+    is the per-doc count on ``id_col``.
+    """
+    from datawarehouse_spark.operators.dedup import shingles_col
+
+    def bit(col: Column, j: int) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(j)), col)), 1, 8
+                ), 16, 10
+            ).cast("bigint") % m
+        )
+
+    ev_sh = eval_df.select(
+        F.explode(shingles_col(text, n)).alias("s")
+    ).distinct()
+    # the filter: the set of set bits (≤ m rows — the bitset in
+    # relational form; a real deployment packs it into m/64 longs)
+    bits = (
+        ev_sh.select(
+            F.explode(F.array(*[bit(F.col("s"), j) for j in range(k)]))
+            .alias("b")
+        )
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    tr = train.select(
+        F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
+    )
+    probes = tr.select(
+        id_col, "s",
+        F.explode(F.array(*[bit(F.col("s"), j) for j in range(k)]))
+        .alias("b"),
+    )
+    # a shingle is a Bloom hit iff ALL k probed bits are set
+    per_sh = (
+        probes.join(F.broadcast(bits), "b", "left")
+        .groupBy(id_col, "s")
+        .agg((F.count("_set") == k).alias("bloom_hit"))
+    )
+    exact = ev_sh.withColumn("_ex", F.lit(1))
+    marked = per_sh.join(F.broadcast(exact), "s", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.col("bloom_hit").cast("bigint")).alias("n_bloom"),
+            F.count("_ex").alias("n_exact"),
+            F.sum(
+                (F.col("bloom_hit") & F.col("_ex").isNull()).cast("bigint")
+            ).alias("n_fp"),
+        )
+        .select(
+            F.col(id_col), "n_sh", "n_bloom",
+            F.col("n_exact").cast("bigint").alias("n_exact"), "n_fp",
+            (F.col("n_bloom") / F.col("n_sh")).alias("bloom_frac"),
+        )
+    )
+
+
 def importance_weights(df: DataFrame, target: Column,
                        id_col: str = "doc_id", text: str = "text",
                        n_buckets: int = 256) -> DataFrame:

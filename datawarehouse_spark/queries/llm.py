@@ -740,9 +740,9 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(t["documents"])
 
 
-@query(
-    "llm_cosine_topk",
-    oracle="""
+#: exact brute-force cosine top-5 — shared by llm_cosine_topk and, as
+#: the ground-truth CTE, by the llm_ann_quality metrics oracle
+_COSINE_TOPK_ORACLE = """
     SELECT q_id, n_id, cos, rank FROM (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -755,8 +755,10 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings q CROSS JOIN embeddings c
       WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("llm_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id<5 —
     the exact ANN baseline. Broadcast cross join + JVM fold dot product;
@@ -829,6 +831,80 @@ def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     return similarity.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=4)
+
+
+@query(
+    "llm_ann_quality",
+    oracle=f"""
+    WITH exact AS ({_COSINE_TOPK_ORACLE}),
+    ann AS ({{LSH}}),
+    exq AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM exact GROUP BY 1),
+    anq AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_ann
+            FROM ann GROUP BY 1),
+    ov AS (SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM exact e JOIN ann a ON e.q_id = a.q_id AND e.n_id = a.n_id
+           GROUP BY 1),
+    rr AS (SELECT e.q_id, COALESCE(1.0 / a.rank, 0.0) AS rr
+           FROM exact e LEFT JOIN ann a
+             ON e.q_id = a.q_id AND e.n_id = a.n_id
+           WHERE e.rank = 1)
+    SELECT exq.q_id, n_exact,
+           COALESCE(n_ann, 0) AS n_ann,
+           COALESCE(n_overlap, 0) AS n_overlap,
+           COALESCE(n_overlap, 0) * 1.0 / n_exact AS recall,
+           rr.rr AS rr
+    FROM exq LEFT JOIN anq USING (q_id) LEFT JOIN ov USING (q_id)
+    JOIN rr USING (q_id)
+    """.replace("{LSH}", _lsh_ann_oracle()),
+)
+def llm_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval-quality metrics AS A QUERY: per query vector,
+    recall@5 and the reciprocal rank of the true nearest neighbor for
+    the LSH path against the exact cosine ground truth. Both inputs
+    are deterministic (md5 hyperplanes; exact rerank), so the recall
+    measurement itself is oracle-checked — the eval harness a corpus
+    team runs whenever the index parameters change, not a one-off
+    pytest property. Scale: both sides are top-k tables (q·k rows);
+    the metrics join is broadcast-trivial next to the searches."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, k=5)
+    ann = similarity.ann_topk_lsh(emb, q, k=5, n_planes=4)
+    exq = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    anq = ann.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    ov = (
+        exact.join(ann.select("q_id", "n_id"), ["q_id", "n_id"])
+        .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    rr = (
+        exact.filter(F.col("rank") == 1)
+        .select("q_id", "n_id")
+        .join(
+            ann.select("q_id", "n_id", F.col("rank").alias("_ar")),
+            ["q_id", "n_id"], "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce(F.lit(1.0) / F.col("_ar"), F.lit(0.0)).alias("rr"),
+        )
+    )
+    return (
+        exq.join(anq, "q_id", "left")
+        .join(ov, "q_id", "left")
+        .join(rr, "q_id")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_ann", F.lit(0)).cast("bigint").alias("n_ann"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint")
+            .alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"))
+            .alias("recall"),
+            "rr",
+        )
+    )
 
 
 @query(
@@ -1125,6 +1201,152 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 10 != 0),
         d.filter(F.col("doc_id") % 10 == 0),
         n=3,
+    )
+
+
+_BLOOM_BIT = (
+    "CAST('0x' || substr(md5(CAST(u.j AS VARCHAR) || '|' || s), 1, 8) "
+    "AS BIGINT) % 4096"
+)
+
+
+@query(
+    "llm_bloom_contamination",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_CONTAM_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 10 = 0
+    ), bits AS (
+      SELECT DISTINCT {_BLOOM_BIT} AS b
+      FROM ev, UNNEST(generate_series(0, 2)) AS u(j)
+    ), tr AS (
+      SELECT doc_id, unnest({_CONTAM_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 10 <> 0
+    ), probes AS (
+      SELECT doc_id, s, {_BLOOM_BIT} AS b
+      FROM tr, UNNEST(generate_series(0, 2)) AS u(j)
+    ), per_sh AS (
+      SELECT p.doc_id, p.s, (COUNT(bits.b) = 3) AS bloom_hit
+      FROM probes p LEFT JOIN bits ON p.b = bits.b
+      GROUP BY 1, 2
+    ), marked AS (
+      SELECT per_sh.doc_id, per_sh.bloom_hit, (ev.s IS NOT NULL) AS ex
+      FROM per_sh LEFT JOIN ev ON per_sh.s = ev.s
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_sh,
+      CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+      CAST(SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      CAST(SUM(CASE WHEN bloom_hit AND NOT ex THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_fp,
+      SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+        AS bloom_frac
+    FROM marked GROUP BY 1
+    """,
+)
+def llm_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination: the eval tenth's shingles folded
+    into a 4096-bit / 3-hash filter (md5 bits — bit-identical in both
+    engines), probed by every train shingle; per doc the Bloom hits,
+    exact hits, and the REALIZED false-positive count. See
+    operators/text.py::bloom_contamination for why the mergeable
+    constant-size filter is the 100 TB membership artifact."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    return text.bloom_contamination(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=3, m=4096, k=3,
+    )
+
+
+@query(
+    "llm_corpus_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS old_fp FROM documents
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                      ELSE text END) AS new_fp
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text || ' new')
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old_fp = new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_fp, new_fp
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff against a simulated crawl refresh (every
+    11th doc dropped, every 7th edited, every 13th re-added under a
+    new id) — the added/removed/changed/unchanged audit between
+    dataset versions. Fingerprints join, text never shuffles; see
+    operators/dedup.py::corpus_diff."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    return dedup.corpus_diff(d, new)
+
+
+@query(
+    "llm_reservoir_sample",
+    oracle="""
+    SELECT doc_id, pri, pick FROM (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pri,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS pick
+      FROM documents
+    ) WHERE pick <= 100
+    """,
+)
+def llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N uniform sample (the reservoir-sampling contract, made
+    deterministic): the 100 docs with smallest md5(id) — an unbiased
+    without-replacement sample that every engine and every re-run
+    reproduces. Scale shape: orderBy+limit plans as TakeOrdered
+    (per-partition top-N, merge on the driver — no global sort, no
+    single-partition window); the rank is then a window over the
+    100-row result, bounded by construction. At 100 TB the same
+    md5-threshold trick as stratified_sample replaces even the top-N
+    merge: sample ≈2N by a priority cutoff, then rank exactly."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from pyspark.sql import Window as W
+
+    top = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("pri"),
+        )
+        .orderBy("pri", "doc_id")
+        .limit(100)
+    )
+    w = W.orderBy("pri", "doc_id")
+    return top.withColumn(
+        "pick", F.row_number().over(w).cast("bigint")
     )
 
 

