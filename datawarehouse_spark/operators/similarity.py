@@ -1030,3 +1030,72 @@ def cluster_balanced_sample(
         assign.withColumn("pick", F.row_number().over(w).cast("bigint"))
         .filter(F.col("pick") <= per_cluster)
     )
+
+
+def sq8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 scalar quantization audit — the simpler sibling of product
+    quantization (:func:`pq_train_codebooks`): per-dimension min/max
+    over the corpus maps every float32 component to an 8-bit code
+    (FAISS's SQ8 / the standard 4× memory cut before PQ is worth its
+    codebooks), and the REALIZED reconstruction error is reported per
+    vector — the go/no-go number for swapping an index to int8.
+
+    Oracle-exactness trick: everything happens in the integer micro
+    domain. Components are staged as xi = round(round(x, 6) · 1e6)
+    BIGINTs, so min/max, code = ((xi−mn)·255) div (mx−mn), recon =
+    mn + (code·(mx−mn)) div 255 and the absolute errors are pure
+    integer arithmetic both engines replay bit-for-bit — no float
+    division, no rounding-mode divergence. Errors are therefore in
+    1e-6 units of the original scale.
+
+    Scale shape: one posexplode pass map-combines to the dim-sized
+    (pos, mn, mx) table (bounded by dim, not corpus), which broadcasts
+    back for coding; the only corpus-keyed shuffle is the per-vector
+    error rollup on the id.
+    """
+    comp = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid", "pos",
+        F.round(F.round(F.col("x").cast("double"), 6) * 1e6, 0)
+        .cast("bigint").alias("xi"),
+    )
+    rng = comp.groupBy("pos").agg(
+        F.min("xi").alias("mn"), F.max("xi").alias("mx")
+    )
+    coded = (
+        comp.join(F.broadcast(rng), "pos")
+        .withColumn(
+            "code",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+            .otherwise(F.expr("((xi - mn) * 255) div (mx - mn)")),
+        )
+        .withColumn(
+            "recon",
+            F.when(F.col("mx") == F.col("mn"), F.col("mn"))
+            .otherwise(F.expr("mn + (code * (mx - mn)) div 255")),
+        )
+    )
+    return (
+        coded.groupBy("vid")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum(F.abs(F.col("xi") - F.col("recon")))
+            .alias("total_abs_err"),
+            F.max(F.abs(F.col("xi") - F.col("recon")))
+            .alias("max_abs_err"),
+            (F.sum("code") / F.count(F.lit(1))).alias("avg_code"),
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("n_dims").cast("bigint").alias("n_dims"),
+            F.col("total_abs_err").cast("bigint").alias("total_abs_err"),
+            F.col("max_abs_err").cast("bigint").alias("max_abs_err"),
+            "avg_code",
+        )
+    )

@@ -908,6 +908,47 @@ def llm_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_sq8_quantize",
+    oracle="""
+    WITH comp AS (
+      SELECT vec_id AS vid, u.i AS pos,
+             CAST(round(round(CAST(embedding[u.i] AS DOUBLE), 6)
+                        * 1000000, 0) AS BIGINT) AS xi
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+    ), rng AS (
+      SELECT pos, MIN(xi) AS mn, MAX(xi) AS mx FROM comp GROUP BY 1
+    ), coded AS (
+      SELECT vid, xi, mn, mx,
+             CASE WHEN mx = mn THEN 0
+                  ELSE ((xi - mn) * 255) // (mx - mn) END AS code
+      FROM comp JOIN rng USING (pos)
+    ), recon AS (
+      SELECT vid, xi, code,
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + (code * (mx - mn)) // 255 END AS rx
+      FROM coded
+    )
+    SELECT vid AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(ABS(xi - rx)) AS BIGINT) AS total_abs_err,
+           CAST(MAX(ABS(xi - rx)) AS BIGINT) AS max_abs_err,
+           SUM(code) * 1.0 / COUNT(*) AS avg_code
+    FROM recon GROUP BY 1
+    """,
+)
+def llm_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 int8 scalar-quantization audit over the embeddings table:
+    per-dim min/max codes, integer-exact reconstruction error per
+    vector (1e-6 units) — the go/no-go measurement before switching an
+    ANN index to int8 storage. Pure integer arithmetic end to end, so
+    the error numbers are oracle-EXACT; see
+    operators/similarity.py::sq8_quantize."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    return similarity.sq8_quantize(t["embeddings"])
+
+
+@query(
     "llm_embed_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

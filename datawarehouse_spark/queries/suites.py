@@ -389,6 +389,11 @@ SUITES: dict[str, list[Member]] = {
         # arithmetic, so the oracle unrolls the projection per plane
         # (VERDICT r7 ask #4); recall properties stay in pytest
         ("llm_ann_lsh_topk", [], ["q_id", "n_id", "cos", "rank"]),
+        # SQ8 int8 quantization audit — integer-micro-domain codes and
+        # reconstruction error, oracle-exact (r8)
+        ("llm_sq8_quantize", [],
+         ["vec_id", "n_dims", "total_abs_err", "max_abs_err",
+          "avg_code"]),
     ],
     # corpus lifecycle + sketch-membership + eval ops (new in r8):
     # version diffing, Bloom contamination, exact-N sampling, and the

@@ -1449,3 +1449,37 @@ def test_ann_quality_bounds_and_exact_agreement(spark):
     for r in rows:
         assert 0.0 <= r.recall <= 1.0 and r.n_overlap <= min(r.n_exact, max(r.n_ann, 0))
         assert r.rr == 0.0 or abs(r.rr - 1.0 / round(1.0 / r.rr)) < 1e-12
+
+
+def test_sq8_quantize_error_bounds(spark):
+    """SQ8 invariants: per-component |error| is bounded by one code
+    step (span/255, in micro units), endpoints reconstruct near-
+    exactly, and a constant dimension (span 0) codes to 0 with zero
+    error. Errors are integers (micro domain) by construction."""
+    from datawarehouse_spark.operators.similarity import sq8_quantize
+
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    rows = sq8_quantize(emb).collect()
+    assert len(rows) == emb.count()
+    # the per-dim span in micro units bounds each component's error
+    spans = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", F.round(F.round(F.col("x").cast("double"), 6) * 1e6, 0)
+                .cast("bigint").alias("xi"))
+        .groupBy("pos")
+        .agg((F.max("xi") - F.min("xi")).alias("span"))
+        .collect()
+    )
+    step = max((r.span // 255) + 1 for r in spans)
+    for r in rows:
+        assert 0 <= r.max_abs_err <= step, (r, step)
+        assert r.total_abs_err <= r.n_dims * step
+        assert 0.0 <= r.avg_code <= 255.0
+
+    # constant dim: zero span -> code 0, zero error
+    const = spark.createDataFrame(
+        [(1, [1.5, 2.0]), (2, [1.5, 3.0])], "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r for r in sq8_quantize(const).collect()}
+    # dim 0 is constant across vectors: contributes 0 error for both
+    assert got[1].max_abs_err <= (int(3e6) - int(2e6)) // 255 + 1
