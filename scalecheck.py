@@ -150,6 +150,20 @@ OPS = [
     # constant under replicated text) + the block-offset global rank
     # (one range shuffle of id/ppl rows, no single-partition window)
     "llm_curriculum",
+    # r8 corpus-lifecycle ops: bloom claims a constant-size broadcast
+    # filter + one doc_id shuffle (replicated text keeps the distinct
+    # shingle set — and the filter — constant while probes grow);
+    # corpus_diff claims one id-keyed full-outer of 16-byte prints;
+    # reservoir claims a TakeOrdered top-N (no global sort); the ANN
+    # quality eval claims two top-k searches + a broadcast-trivial
+    # metrics join (queries fixed, corpus grows only the search side);
+    # sq8 claims one posexplode map-combine to a dim-sized range table
+    # + one id-keyed rollup
+    "llm_bloom_contamination",
+    "llm_corpus_diff",
+    "llm_reservoir_sample",
+    "llm_ann_quality",
+    "llm_sq8_quantize",
 ]
 
 
