@@ -1102,3 +1102,223 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     )
     return j.select(F.col(id_col), status.alias("status"),
                     "old_fp", "new_fp")
+
+
+def _block_table(df: DataFrame, id_col: str, text: str,
+                 block_words: int, extra: list[str]) -> DataFrame:
+    """Split each document into consecutive non-overlapping
+    ``block_words``-word blocks (the tail block may be shorter) and
+    explode to one row per ``(id, block index, block text)`` — the
+    shared paragraph-granularity front end of
+    :func:`paragraph_dedup` and :func:`boilerplate_block_removal`.
+    The fixtures' text is a flat word stream (no newlines), so the
+    fixed word window IS the paragraph boundary; on real corpora the
+    same transforms run with ``split(text, '\\n')`` instead.
+
+    Zero shuffles: one projection with a generator — block slicing is
+    whole-stage-codegen array arithmetic on the token array.
+    """
+    k = block_words
+    toks = tokens_col(text)
+    n_blocks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - F.lit(1)),
+        lambda b: F.concat_ws(" ", F.slice(toks, b * k + 1, k)),
+    )
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra],
+        F.posexplode(blocks).alias("b", "btxt"),
+    )
+
+
+def _reassemble_blocks(df: DataFrame, kept: DataFrame, id_col: str,
+                       text: str, block_words: int,
+                       extra: list[str]) -> DataFrame:
+    """Stitch surviving ``(id, b, btxt)`` block rows back into one row
+    per document ``(id, *extra, n_blocks, n_kept, clean_text)`` — the
+    shared back end of the paragraph-granularity cleaners. One
+    id-keyed rollup (``array_sort`` of (pos, text) structs, no per-doc
+    window) plus one join back to the full document list so documents
+    losing every block keep a row with ``n_kept = 0``.
+    """
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "btxt"))),
+                lambda x: x["btxt"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra],
+        F.ceil(F.size(tokens_col(text)) / F.lit(float(block_words)))
+        .cast("bigint").alias("n_blocks"),
+    )
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col), *[F.col(c) for c in extra], F.col("n_blocks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+        .alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    block_words: int = 8,
+    persist: bool = True,
+) -> DataFrame:
+    """Paragraph-granular exact dedup with document reassembly — the
+    CCNet/Dolma cleaning step: every duplicated paragraph (here: a
+    ``block_words``-word block; the fixtures have no newlines) is
+    removed EXCEPT its first occurrence in corpus order, then each
+    document's surviving blocks are stitched back together. Unlike
+    :func:`dup_span_kept_ranges` (which drops corpus-frequent spans
+    from every document), this keeps exactly one canonical copy of
+    each repeated paragraph, so corpus-wide information is preserved
+    while redundancy is removed. Output: one row per document
+    ``(id, n_blocks, n_kept, clean_text)``; a fully-deduplicated
+    document keeps the row with ``n_kept = 0`` and empty text.
+
+    Scale shape: NO pair join. Blocks explode once; the canonical
+    occurrence per block text is one map-combined ``min(struct(id,
+    pos))`` aggregation keyed on the block's xxhash64 (8-byte shuffle
+    keys — block text itself never shuffles into the agg); keepers
+    come back via one hash join on the same key, and reassembly is
+    one id-keyed rollup (``array_sort`` of (pos, text) structs —
+    no per-doc window). Cost is linear in corpus token count.
+
+    ``persist=True`` caches the exploded block table — its two
+    consumers (the canonical agg and the keeper join) exchange
+    different shapes, so ReuseExchange cannot dedupe the explode —
+    then eagerly materializes the per-doc result and releases the
+    cache in a ``finally`` (the :func:`ngram_jaccard_pairs` contract).
+    """
+    blocks = _block_table(df, id_col, text, block_words, []) \
+        .withColumn("s", F.xxhash64("btxt"))
+    cached = None
+    if persist:
+        blocks = cached = blocks.persist()
+    canon = blocks.groupBy("s").agg(
+        F.min(F.struct(F.col(id_col), F.col("b"))).alias("first")
+    )
+    kept = (
+        blocks.join(canon, "s")
+        .filter(
+            (F.col(f"first.{id_col}") == F.col(id_col))
+            & (F.col("first.b") == F.col("b"))
+        )
+    )
+    out = _reassemble_blocks(df, kept, id_col, text, block_words, [])
+    if cached is not None:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+    return out
+
+
+def boilerplate_block_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    group_col: str = "source",
+    block_words: int = 8,
+    min_df: int = 2,
+    persist: bool = True,
+) -> DataFrame:
+    """Per-source boilerplate removal — the CCNet/FineWeb line-dedup
+    filter: a block (``block_words``-word window; see
+    :func:`_block_table`) that appears in ``min_df`` or more DISTINCT
+    documents of the SAME source is boilerplate (nav bars, license
+    headers, templated footers) and every occurrence is dropped —
+    unlike :func:`paragraph_dedup`, no canonical copy survives,
+    because template text carries no information. Output: one row per
+    document ``(id, group, n_blocks, n_kept, clean_text)``.
+
+    Scale shape: linear, NO pair join. One explode; the per-source
+    document frequency is a map-combined count over DISTINCT
+    ``(group, block-hash, id)`` rows (8-byte block keys); removal is
+    one left-anti hash join on ``(group, hash)``; reassembly is one
+    id-keyed rollup. The frequent-block table is tiny (boilerplate is
+    by definition a small set of hot strings), so at 100 TB the anti
+    join broadcasts.
+
+    ``persist=True``: same two-consumer cache contract as
+    :func:`paragraph_dedup`.
+    """
+    blocks = _block_table(df, id_col, text, block_words, [group_col]) \
+        .withColumn("s", F.xxhash64("btxt"))
+    cached = None
+    if persist:
+        blocks = cached = blocks.persist()
+    freq = (
+        blocks.select(group_col, "s", id_col).distinct()
+        .groupBy(group_col, "s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select(group_col, "s")
+    )
+    kept = blocks.join(freq, [group_col, "s"], "left_anti")
+    out = _reassemble_blocks(
+        df, kept, id_col, text, block_words, [group_col]
+    )
+    if cached is not None:
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+    return out
+
+
+def paragraph_dedup_increment(
+    new: DataFrame,
+    seen_blocks: DataFrame | None,
+    id_col: str = "doc_id",
+    text: str = "text",
+    block_words: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch step of STREAMING paragraph dedup — the
+    ingestion-time twin of :func:`paragraph_dedup` (same pattern as
+    :func:`incremental_dedup` for document-level dedup): blocks
+    already registered by earlier batches (``seen_blocks``, one
+    ``s`` int64 column) are dropped from every new document, blocks
+    repeated WITHIN the batch keep only their smallest ``(id, pos)``
+    occurrence, and the surviving blocks are stitched back per
+    document. Returns ``(cleaned, new_blocks)``: the per-document
+    output for this batch, and the distinct not-previously-seen block
+    hashes the caller appends to the registry. Replaying a corpus in
+    id order through this step batch-by-batch reproduces the batch
+    operator's output EXACTLY (differential-tested in
+    tests/test_streaming.py).
+
+    Scale shape per batch: cost is linear in the BATCH (one explode,
+    one map-combined min-struct agg, one anti join against the
+    registry — at 100 TB the registry lives in the state store /
+    snapshot table and the anti join is the only corpus-sized touch,
+    keyed on 8-byte hashes).
+    """
+    blocks = _block_table(new, id_col, text, block_words, []) \
+        .withColumn("s", F.xxhash64("btxt"))
+    canon = blocks.groupBy("s").agg(
+        F.min(F.struct(F.col(id_col), F.col("b"))).alias("first")
+    )
+    kept = (
+        blocks.join(canon, "s")
+        .filter(
+            (F.col(f"first.{id_col}") == F.col(id_col))
+            & (F.col("first.b") == F.col("b"))
+        )
+    )
+    if seen_blocks is not None:
+        kept = kept.join(seen_blocks.select("s"), "s", "left_anti")
+    cleaned = _reassemble_blocks(new, kept, id_col, text, block_words, [])
+    new_blocks = blocks.select("s").distinct()
+    if seen_blocks is not None:
+        new_blocks = new_blocks.join(
+            seen_blocks.select("s"), "s", "left_anti"
+        )
+    return cleaned, new_blocks

@@ -2637,3 +2637,94 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/text.py::curriculum_phases."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.curriculum_phases(t["documents"], n_phases=4)
+
+
+# consecutive non-overlapping 8-word blocks, one row per (doc, block) —
+# the DuckDB rendering of operators/dedup._block_table(block_words=8):
+# list_slice is 1-based-inclusive like Spark's slice, and the tail
+# block is included (len//8 rounded up), so both engines produce the
+# identical (b, btxt) table by construction.
+_DUCK_BLOCKS = """
+  SELECT doc_id, source, i AS b,
+         array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+           AS btxt
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents) t,
+       UNNEST(generate_series(
+         0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS u(i)
+"""
+
+
+@query(
+    "llm_paragraph_dedup",
+    oracle=f"""
+    WITH b AS ({_DUCK_BLOCKS}
+    ), canon AS (
+      SELECT doc_id, b, btxt,
+             ROW_NUMBER() OVER (PARTITION BY btxt ORDER BY doc_id, b)
+               AS rn
+      FROM b
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(btxt, ' ' ORDER BY b) AS clean_text
+      FROM canon WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(ceil(len(string_split(d.text, ' ')) / 8.0) AS BIGINT)
+             AS n_blocks,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup with reassembly (CCNet/Dolma
+    style): every duplicated 8-word block is dropped except its first
+    corpus-order occurrence, then documents are stitched back
+    together. The block-level middle ground between document-level
+    exact dedup and span removal; see
+    operators/dedup.py::paragraph_dedup for the 100 TB shape (one
+    min-struct agg on 8-byte block hashes + one id rollup, no pair
+    join)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.paragraph_dedup(t["documents"], block_words=8)
+
+
+@query(
+    "llm_boilerplate_blocks",
+    oracle=f"""
+    WITH b AS ({_DUCK_BLOCKS}
+    ), freq AS (
+      SELECT source, btxt
+      FROM (SELECT DISTINCT source, btxt, doc_id FROM b)
+      GROUP BY source, btxt HAVING COUNT(*) >= 2
+    ), kept AS (
+      SELECT b.doc_id, b.b, b.btxt FROM b
+      WHERE NOT EXISTS (SELECT 1 FROM freq f
+                        WHERE f.source = b.source
+                          AND f.btxt = b.btxt)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(btxt, ' ' ORDER BY b) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(ceil(len(string_split(d.text, ' ')) / 8.0) AS BIGINT)
+             AS n_blocks,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def llm_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal (CCNet/FineWeb line-dedup): an
+    8-word block appearing in ≥2 distinct documents of the same source
+    is template text and every occurrence is dropped (no canonical
+    copy survives — unlike llm_paragraph_dedup). See
+    operators/dedup.py::boilerplate_block_removal for the 100 TB
+    shape (distinct+count on (source, hash) + broadcast-sized anti
+    join)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.boilerplate_block_removal(
+        t["documents"], group_col="source", block_words=8, min_df=2
+    )

@@ -287,6 +287,12 @@ SUITES: dict[str, list[Member]] = {
         # to keep every driver line under 16 s at sf0.1
         ("llm_domain_overlap", ["source_a", "source_b"],
          ["n_a", "n_b", "n_common", "jaccard"]),
+        # paragraph-granular first-occurrence dedup with document
+        # reassembly (CCNet/Dolma cleaning; r8) — block-level dedup,
+        # so it lives with the dedup family (this suite has bench
+        # headroom after the r8 blocking split: 7.9 s)
+        ("llm_paragraph_dedup", ["clean_text"],
+         ["doc_id", "n_blocks", "n_kept"]),
     ],
     # LLM dedup blocking strategies that emit candidate pairs through a
     # global order or asymmetric containment — split out of
@@ -411,6 +417,11 @@ SUITES: dict[str, list[Member]] = {
         # the index-quality eval, oracle-checked end to end
         ("llm_ann_quality", [],
          ["q_id", "n_exact", "n_ann", "n_overlap", "recall", "rr"]),
+        # per-source boilerplate block removal with reassembly
+        # (CCNet/FineWeb line-dedup; r8) — corpus cleaning, so it
+        # lives with the lifecycle ops
+        ("llm_boilerplate_blocks", ["source", "clean_text"],
+         ["doc_id", "n_blocks", "n_kept"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [

@@ -164,6 +164,15 @@ OPS = [
     "llm_reservoir_sample",
     "llm_ann_quality",
     "llm_sq8_quantize",
+    # r8 paragraph-granularity cleaning pair: paragraph_dedup claims
+    # one min-struct agg on 8-byte block hashes + one keeper join +
+    # one doc_id rollup (the replica suffix token keeps cross-replica
+    # blocks distinct in the tail block only, so the block table grows
+    # ~linearly); boilerplate claims a distinct+count on (source,
+    # hash) and a broadcast-sized anti join (the frequent set is the
+    # hot-string set, constant-ish under replication)
+    "llm_paragraph_dedup",
+    "llm_boilerplate_blocks",
 ]
 
 

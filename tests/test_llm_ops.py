@@ -1483,3 +1483,84 @@ def test_sq8_quantize_error_bounds(spark):
     got = {r.vec_id: r for r in sq8_quantize(const).collect()}
     # dim 0 is constant across vectors: contributes 0 error for both
     assert got[1].max_abs_err <= (int(3e6) - int(2e6)) // 255 + 1
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    """Block-level dedup semantics on a hand-computable corpus
+    (block_words=2): a block repeated across docs survives only at
+    its smallest (doc_id, pos); a doc repeating its own block keeps
+    only the first copy; a fully-duplicated doc keeps n_kept=0 with
+    empty clean_text; reassembly preserves within-doc block order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),           # blocks: "a b", "c d"
+            (2, "a b x y a b"),       # "a b" dup (doc1 wins), self-rep
+            (3, "a b c d"),           # fully duplicated by doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(
+            docs, block_words=2, persist=False
+        ).collect()
+    }
+    assert out[1]["n_blocks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d"
+    # doc 2: "a b" at b=0 lost to doc 1; "x y" kept; "a b" at b=2 lost
+    assert out[2]["n_blocks"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "x y"
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_paragraph_dedup_tail_block_and_corpus_preservation(spark):
+    """The short tail block is its own unit, and the union of kept
+    blocks over the corpus equals the distinct block set (dedup keeps
+    exactly one canonical copy — nothing is lost, unlike span
+    removal)."""
+    docs = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r")], ["doc_id", "text"]
+    )
+    rows = dedup.paragraph_dedup(
+        docs, block_words=2, persist=False
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 1 keeps both blocks ("p q", tail "r"); doc 2 keeps none
+    assert by_id[1]["clean_text"] == "p q r"
+    assert by_id[1]["n_blocks"] == 2 and by_id[1]["n_kept"] == 2
+    assert by_id[2]["n_kept"] == 0
+    kept_blocks = set()
+    for r in rows:
+        if r["clean_text"]:
+            t = r["clean_text"].split(" ")
+            kept_blocks.update(
+                " ".join(t[i:i + 2]) for i in range(0, len(t), 2)
+            )
+    assert kept_blocks == {"p q", "r"}
+
+
+def test_boilerplate_blocks_source_scoped_removal(spark):
+    """A block frequent within ONE source is dropped from every doc of
+    that source (no canonical survivor), while the same block under a
+    different source survives; min_df counts DISTINCT docs, so a doc
+    repeating its own block does not make it boilerplate."""
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar u v", "s1"),   # "nav bar" boiler in s1
+            (2, "nav bar w x", "s1"),
+            (3, "nav bar y z", "s2"),   # lone in s2 → kept
+            (4, "q r q r", "s2"),       # self-repeat only → kept
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.boilerplate_block_removal(
+            docs, block_words=2, min_df=2, persist=False
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "u v" and out[1]["n_kept"] == 1
+    assert out[2]["clean_text"] == "w x"
+    assert out[3]["clean_text"] == "nav bar y z"
+    assert out[4]["clean_text"] == "q r q r" and out[4]["n_kept"] == 2
+    assert all(r["n_blocks"] == 2 for r in out.values())

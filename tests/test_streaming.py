@@ -556,3 +556,79 @@ def test_compaction_under_concurrent_read(spark, tmpdir):
     post = spark.read.parquet(path)
     assert post.count() == 4000
     assert post.agg(F.sum("event_id")).collect()[0][0] == sum(range(4000))
+
+
+def test_streaming_paragraph_dedup_matches_batch_replay(spark, tmpdir):
+    """Streaming paragraph dedup parity (the block-granular sibling of
+    test_streaming_incremental_dedup_matches_batch_replay): replaying
+    the corpus in id order through paragraph_dedup_increment inside
+    foreachBatch — accumulating the seen-block registry on disk — must
+    reproduce the batch paragraph_dedup output EXACTLY, row for row.
+    Chunks are consecutive id ranges so arrival order equals the batch
+    operator's corpus order (first occurrence = smallest (id, pos))."""
+    import os
+
+    from datawarehouse_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    n = docs.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    chunks = [
+        docs.filter(F.col("doc_id") < cut1),
+        docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        docs.filter(F.col("doc_id") >= cut2),
+    ]
+
+    batch_rows = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in dedup.paragraph_dedup(docs, block_words=8).collect()
+    }
+
+    src = f"{tmpdir}/pd_src"
+    os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        staged = f"{tmpdir}/pd_stage{i}"
+        ch.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    reg_dir = f"{tmpdir}/pd_registry"
+    out_dir = f"{tmpdir}/pd_out"
+
+    def ingest(batch_df, epoch_id):
+        ss = batch_df.sparkSession
+        seen = (
+            ss.read.parquet(reg_dir)
+            if os.path.isdir(reg_dir) else None
+        )
+        cleaned, new_blocks = dedup.paragraph_dedup_increment(
+            batch_df, seen, block_words=8
+        )
+        cleaned.write.mode("append").parquet(out_dir)
+        new_blocks.write.mode("append").parquet(reg_dir)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{tmpdir}/pd_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    stream_rows = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    # meaningful only if dedup actually dropped blocks — the fixture
+    # corpus carries planted dups
+    assert any(k < b for b, k, _ in batch_rows.values())
