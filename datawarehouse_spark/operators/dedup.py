@@ -1118,6 +1118,8 @@ def _block_table(df: DataFrame, id_col: str, text: str,
     Zero shuffles: one projection with a generator — block slicing is
     whole-stage-codegen array arithmetic on the token array.
     """
+    if block_words < 1:
+        raise ValueError(f"block_words must be >= 1, got {block_words}")
     k = block_words
     toks = tokens_col(text)
     n_blocks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
@@ -1250,6 +1252,11 @@ def boilerplate_block_removal(
     ``persist=True``: same two-consumer cache contract as
     :func:`paragraph_dedup`.
     """
+    if min_df < 2:
+        # min_df=1 would classify EVERY block as boilerplate (every
+        # block trivially occurs in >= 1 document) and silently blank
+        # the whole corpus — reject rather than obey
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
     blocks = _block_table(df, id_col, text, block_words, [group_col]) \
         .withColumn("s", F.xxhash64("btxt"))
     cached = None
@@ -1322,3 +1329,18 @@ def paragraph_dedup_increment(
             seen_blocks.select("s"), "s", "left_anti"
         )
     return cleaned, new_blocks
+
+
+def block_registry(df: DataFrame, id_col: str = "doc_id",
+                   text: str = "text",
+                   block_words: int = 8) -> DataFrame:
+    """The seen-block registry of a corpus — one ``s`` (xxhash64)
+    column, distinct — as consumed by
+    :func:`paragraph_dedup_increment`. One explode + one map-combined
+    distinct on 8-byte keys; at 100 TB this is the table a streaming
+    ingest keeps in the state store / snapshot table."""
+    return (
+        _block_table(df, id_col, text, block_words, [])
+        .select(F.xxhash64("btxt").alias("s"))
+        .distinct()
+    )

@@ -2728,3 +2728,58 @@ def llm_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.boilerplate_block_removal(
         t["documents"], group_col="source", block_words=8, min_df=2
     )
+
+
+@query(
+    "llm_incremental_paragraph_dedup",
+    oracle=f"""
+    WITH b AS ({_DUCK_BLOCKS}
+    ), nb AS (
+      SELECT doc_id, b, btxt FROM b WHERE doc_id % 10 = 9
+    ), seen AS (
+      SELECT DISTINCT btxt FROM b WHERE doc_id % 10 != 9
+    ), canon AS (
+      SELECT doc_id, b, btxt,
+             ROW_NUMBER() OVER (PARTITION BY btxt ORDER BY doc_id, b)
+               AS rn
+      FROM nb
+    ), kept AS (
+      SELECT doc_id, b, btxt FROM canon
+      WHERE rn = 1
+        AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.btxt = canon.btxt)
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(btxt, ' ' ORDER BY b) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(ceil(len(string_split(d.text, ' ')) / 8.0) AS BIGINT)
+             AS n_blocks,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    WHERE d.doc_id % 10 = 9
+    """,
+)
+def llm_incremental_paragraph_dedup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """One ingestion step of STREAMING paragraph dedup as a batch
+    query: the doc_id%10==9 slice plays the nightly batch, the rest
+    the existing corpus whose block registry has already been
+    accumulated — new documents lose every block the corpus has seen
+    plus intra-batch repeats, then reassemble. The replayed-stream
+    parity with the batch operator is differential-tested in
+    tests/test_streaming.py; this entry puts the per-increment
+    transform itself under the SQL oracle gate. Work scales with the
+    increment (one explode of the BATCH + an anti join against the
+    registry on 8-byte keys), never corpus size — see
+    operators/dedup.py::paragraph_dedup_increment."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    new_batch = d.filter(F.col("doc_id") % 10 == 9).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 != 9).select("doc_id", "text")
+    seen = dedup.block_registry(corpus, block_words=8)
+    cleaned, _ = dedup.paragraph_dedup_increment(
+        new_batch, seen, block_words=8
+    )
+    return cleaned

@@ -422,6 +422,11 @@ SUITES: dict[str, list[Member]] = {
         # lives with the lifecycle ops
         ("llm_boilerplate_blocks", ["source", "clean_text"],
          ["doc_id", "n_blocks", "n_kept"]),
+        # one ingestion step of streaming paragraph dedup (batch slice
+        # vs accumulated block registry; r8) — the oracle-gated twin
+        # of the foreachBatch replay test in tests/test_streaming.py
+        ("llm_incremental_paragraph_dedup", ["clean_text"],
+         ["doc_id", "n_blocks", "n_kept"]),
     ],
     # multimodal catalog + frame sampling
     "suite_multimodal": [

@@ -1564,3 +1564,37 @@ def test_boilerplate_blocks_source_scoped_removal(spark):
     assert out[3]["clean_text"] == "nav bar y z"
     assert out[4]["clean_text"] == "q r q r" and out[4]["n_kept"] == 2
     assert all(r["n_blocks"] == 2 for r in out.values())
+
+
+def test_block_ops_reject_degenerate_params(spark):
+    """block_words < 1 is a slicing-arithmetic footgun and min_df < 2
+    would classify EVERY block as boilerplate (df >= 1 always) and
+    silently blank the corpus — both rejected up front."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s1")], ["doc_id", "text", "source"]
+    )
+    with _pytest.raises(ValueError, match="block_words"):
+        dedup.paragraph_dedup(docs, block_words=0, persist=False)
+    with _pytest.raises(ValueError, match="min_df"):
+        dedup.boilerplate_block_removal(docs, min_df=1, persist=False)
+
+
+def test_paragraph_dedup_empty_text_pinned(spark):
+    """An empty text splits to one empty block in both engines
+    (Spark split('', ' ') == DuckDB string_split): the first empty doc
+    keeps its (empty) block, later empty docs dedup against it — the
+    behavior is pinned so a tokenizer change can't silently flip it."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(
+            docs, block_words=2, persist=False
+        ).collect()
+    }
+    assert out[1]["n_blocks"] == 1 and out[1]["n_kept"] == 1
+    assert out[1]["clean_text"] == ""
+    assert out[2]["n_blocks"] == 1 and out[2]["n_kept"] == 0
