@@ -266,6 +266,10 @@ SUITES: dict[str, list[Member]] = {
         ("llm_quality_calibration", ["lang", "is_outlier"],
          ["doc_id", "n_tok", "stop_ratio", "slope", "intercept",
           "resid"]),
+        # per-doc top-3 TF-IDF terms (corpus-level term statistics) —
+        # folded from a standalone row in r9 to fit the driver's
+        # 50-entry window; 0.7 s standalone, suite stays under 16 s
+        ("llm_tfidf_top_terms", ["term"], ["doc_id", "tfidf", "rank"]),
     ],
     # LLM dedup pair generation / blocking / graph resolution (the
     # pair-join heavy third of the old suite_text_metrics; absorbs the
@@ -428,13 +432,31 @@ SUITES: dict[str, list[Member]] = {
         ("llm_incremental_paragraph_dedup", ["clean_text"],
          ["doc_id", "n_blocks", "n_kept"]),
     ],
-    # multimodal catalog + frame sampling
+    # multimodal catalog + frame sampling + Arrow feature extraction
+    # (mm_feature_extraction folded in for r9 — the registry must fit
+    # the driver's 50-entry verification window, and at 0.3 s it never
+    # needed its own bench line)
     "suite_multimodal": [
         ("mm_media_catalog", ["kind", "codec"], ["media_id", "n_bytes"]),
         ("mm_frame_sample", ["kind"], ["media_id", "frame_idx"]),
         # WebDataset-style shard packing by global running byte total
         ("mm_shard_packing", ["kind"],
          ["media_id", "est_bytes", "cum_bytes", "shard"]),
+        # Arrow-batched strided-byte features over the fake decode
+        ("mm_feature_extraction", ["kind"],
+         ["media_id", "n_bytes", "byte_mean", "byte_entropy_proxy",
+          "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
+    ],
+    # MinHash pipeline: signatures + LSH banding candidates (merged
+    # from two standalone rows in r9 for the same 50-entry reason —
+    # signature→banding is one logical pipeline, and the suite union
+    # keeps both members row-level hash-verified)
+    "suite_minhash_lsh": [
+        # mh0..mh7 are 10-hex-digit md5 slices — exact as string keys
+        ("llm_minhash_signature",
+         ["mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7"],
+         ["doc_id"]),
+        ("llm_minhash_lsh_candidates", [], ["doc_a", "doc_b"]),
     ],
 }
 
@@ -486,8 +508,7 @@ FINAL_ORDER: list[str] = [
     # quality band, cap and DSIR weights in one job) — standalone so
     # the driver verifies and the bench times it as its own line
     "llm_corpus_prep",
-    "llm_minhash_signature",
-    "llm_minhash_lsh_candidates",
+    "suite_minhash_lsh",
     "llm_ngram_near_dup",
     "llm_simhash_pairs",
     "llm_dedup_clusters",
@@ -502,11 +523,15 @@ FINAL_ORDER: list[str] = [
     # hybrid BM25→PRF-cosine retrieval cascade (r6 stretch): standalone
     # so the two-stage composition is its own verified + benched line
     "llm_hybrid_retrieval",
-    "llm_tfidf_top_terms",
     "suite_corpus_ops",
     "suite_multimodal",
-    "mm_feature_extraction",
 ]
+
+# The driver's correctness gate verifies at most the first 50 registry
+# entries (observed empirically: CORRECTNESS_r08 recorded exactly 50 of
+# 53 rows, silently dropping the tail). Every entry MUST sit inside the
+# window — enforced by tests/test_suites.py::test_registry_fits_driver_gate.
+DRIVER_GATE_CAP = 50
 
 # Raw queries intentionally NOT in the driver registry (no deterministic
 # SQL oracle possible — verified by dedicated pytest properties instead):

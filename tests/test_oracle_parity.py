@@ -18,6 +18,29 @@ from tests.oracle_compare import compare_query
 SF_DRIVER = os.environ.get("SPARK_GRAFT_DRIVER_SF_DIR", "/root/testdata/sf0.01")
 
 
+def test_registry_fits_driver_gate():
+    """The driver verifies only the first DRIVER_GATE_CAP registry
+    entries (CORRECTNESS_r08 recorded exactly 50 of 53 rows — the three
+    trailing entries silently lost their hard evidence). Overflow must
+    never recur, and every entry must carry an oracle so a green round
+    means ALL of them were hash-verified."""
+    from datawarehouse_spark.queries.suites import (
+        DRIVER_GATE_CAP,
+        FINAL_ORDER,
+    )
+
+    assert len(FINAL_ORDER) <= DRIVER_GATE_CAP, (
+        f"registry has {len(FINAL_ORDER)} entries; the driver gate "
+        f"verifies only the first {DRIVER_GATE_CAP} — fold the overflow "
+        "into a suite (see queries/suites.py)"
+    )
+    assert list(QUERIES) == FINAL_ORDER
+    assert set(ORACLES) == set(FINAL_ORDER), (
+        "driver entries without an oracle get only a rows-only check: "
+        f"{sorted(set(FINAL_ORDER) - set(ORACLES))}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, duck, name):
     ok, msg = compare_query(spark, duck, QUERIES[name], ORACLES[name], SF_ORACLE)
