@@ -1086,17 +1086,27 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     shuffle on the id. No text ever shuffles; at 100 TB the join is
     two column-pruned scans plus an id-keyed exchange, and on bucketed
     or snapshot-manifest layouts the exchange drops too.
+
+    NULL-text handling: presence is decided by explicit row markers,
+    NOT fingerprint nullness — ``md5(NULL)`` is NULL, so a NULL-text
+    document present in both versions must not masquerade as
+    added/removed. Such a doc compares fingerprints as SQL equality
+    (NULL = NULL is not true) and is labeled ``changed`` — the
+    conservative re-ingest call, and exactly what the SQL oracle's
+    ``CASE WHEN old_fp = new_fp`` computes.
     """
     o = old.select(
-        F.col(id_col), F.md5(F.col(text)).alias("old_fp")
+        F.col(id_col), F.md5(F.col(text)).alias("old_fp"),
+        F.lit(1).alias("_in_old"),
     )
     nw = new.select(
-        F.col(id_col), F.md5(F.col(text)).alias("new_fp")
+        F.col(id_col), F.md5(F.col(text)).alias("new_fp"),
+        F.lit(1).alias("_in_new"),
     )
     j = o.join(nw, id_col, "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )

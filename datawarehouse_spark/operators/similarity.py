@@ -919,7 +919,13 @@ def kmeans_assign(
                         ],
                         axis=1,
                     )
-                    best = np.argmin(d2, axis=1)  # ties → lowest index
+                    # snap the float64 sums onto the 1e-6 grid before
+                    # argmin: a true decimal tie can differ by ~1e-13
+                    # across clusters in float, which would let argmin
+                    # pick a different cid than the sql engine's
+                    # (dist2, cid) ascending order. On-grid, argmin's
+                    # lowest-index rule IS asc(cid).
+                    best = np.argmin(np.round(d2, 6), axis=1)
                     return pd.DataFrame(
                         {
                             "cid": np.array(frozen_ids, dtype="int32")[best],

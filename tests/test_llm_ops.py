@@ -1423,6 +1423,32 @@ def test_corpus_diff_statuses(spark):
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
 
 
+def test_corpus_diff_null_text_presence(spark):
+    """NULL text must not be misread as absence: md5(NULL) is NULL, so
+    presence is decided by explicit row markers. A NULL-text doc
+    present in both versions is 'changed' (unknown fingerprint —
+    conservative re-ingest, matching the oracle's CASE WHEN old_fp =
+    new_fp); a NULL-text doc removed is 'removed', added is 'added'."""
+    from datawarehouse_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "gamma"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now text"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "changed",   # NULL → NULL: fp unknown on both sides
+        2: "changed",   # NULL → text
+        3: "changed",   # text → NULL
+        4: "added",     # NULL-text doc new in this version
+        5: "removed",   # NULL-text doc dropped
+    }
+
+
 def test_reservoir_sample_exact_n_and_uniformity_shape(spark):
     """Exactly N rows, deterministic across runs, ranks 1..N in
     md5-priority order, and the picked set is insertion-order-free
