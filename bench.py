@@ -242,6 +242,16 @@ def main() -> None:
             "sf": sf_val,
         }
     print(json.dumps(out))
+    # Persist the full line in-repo (full-registry runs only — never
+    # --only subsets or --members attribution runs): the round driver
+    # captures stdout through a bounded tail that truncated BENCH_r08's
+    # totals and first two query lines, so the committed copy is the
+    # canonical series artifact (SCALE.md "Bench artifacts").
+    if only is None and not members:
+        os.makedirs(".benchmarks", exist_ok=True)
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "latest")
+        with open(f".benchmarks/bench_{tag}.json", "w") as fh:
+            fh.write(json.dumps(out) + "\n")
     spark.stop()
     if check_path is not None:
         floor = float(os.environ.get("SPARK_GRAFT_CHECK_FLOOR", "0.75"))

@@ -1114,44 +1114,60 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                     "old_fp", "new_fp")
 
 
-def _block_table(df: DataFrame, id_col: str, text: str,
-                 block_words: int, extra: list[str]) -> DataFrame:
-    """Split each document into consecutive non-overlapping
-    ``block_words``-word blocks (the tail block may be shorter) and
-    explode to one row per ``(id, block index, block text)`` — the
-    shared paragraph-granularity front end of
-    :func:`paragraph_dedup` and :func:`boilerplate_block_removal`.
-    The fixtures' text is a flat word stream (no newlines), so the
-    fixed word window IS the paragraph boundary; on real corpora the
-    same transforms run with ``split(text, '\\n')`` instead.
-
-    Zero shuffles: one projection with a generator — block slicing is
-    whole-stage-codegen array arithmetic on the token array.
-    """
+def _blocks_col(text: str, block_words: int, unit: str):
+    """Array-of-blocks column shared by :func:`_block_table` and
+    :func:`_reassemble_blocks` — ``unit="words"`` slices the token
+    array into consecutive non-overlapping ``block_words``-word
+    windows (the tail block may be shorter; the fixtures' text is a
+    flat word stream, so the fixed window IS the paragraph boundary);
+    ``unit="lines"`` splits on real newlines (the CCNet/FineWeb
+    paragraph boundary on real corpora — ``block_words`` is ignored).
+    Both are whole-stage-codegen array arithmetic, zero shuffles."""
+    if unit == "lines":
+        return F.split(F.col(text), "\n")
+    if unit != "words":
+        raise ValueError(f"unit must be 'words' or 'lines', got {unit!r}")
     if block_words < 1:
         raise ValueError(f"block_words must be >= 1, got {block_words}")
     k = block_words
     toks = tokens_col(text)
     n_blocks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
-    blocks = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), n_blocks - F.lit(1)),
         lambda b: F.concat_ws(" ", F.slice(toks, b * k + 1, k)),
     )
+
+
+def _block_table(df: DataFrame, id_col: str, text: str,
+                 block_words: int, extra: list[str],
+                 unit: str = "words") -> DataFrame:
+    """Explode each document into one row per ``(id, block index,
+    block text)`` — the shared paragraph-granularity front end of
+    :func:`paragraph_dedup` and :func:`boilerplate_block_removal`.
+    Block boundary per :func:`_blocks_col` (word windows on the
+    newline-free fixtures, real ``\\n`` paragraphs with
+    ``unit="lines"`` — parity over both proven in
+    tests/test_llm_ops.py::test_paragraph_ops_newline_unit).
+
+    Zero shuffles: one projection with a generator.
+    """
     return df.select(
         F.col(id_col), *[F.col(c) for c in extra],
-        F.posexplode(blocks).alias("b", "btxt"),
+        F.posexplode(_blocks_col(text, block_words, unit)).alias("b", "btxt"),
     )
 
 
 def _reassemble_blocks(df: DataFrame, kept: DataFrame, id_col: str,
                        text: str, block_words: int,
-                       extra: list[str]) -> DataFrame:
+                       extra: list[str], unit: str = "words") -> DataFrame:
     """Stitch surviving ``(id, b, btxt)`` block rows back into one row
     per document ``(id, *extra, n_blocks, n_kept, clean_text)`` — the
     shared back end of the paragraph-granularity cleaners. One
     id-keyed rollup (``array_sort`` of (pos, text) structs, no per-doc
     window) plus one join back to the full document list so documents
-    losing every block keep a row with ``n_kept = 0``.
+    losing every block keep a row with ``n_kept = 0``. Blocks rejoin
+    with the boundary they were split on (space for word windows,
+    newline for ``unit="lines"``).
     """
     agg = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1160,12 +1176,12 @@ def _reassemble_blocks(df: DataFrame, kept: DataFrame, id_col: str,
                 F.array_sort(F.collect_list(F.struct("b", "btxt"))),
                 lambda x: x["btxt"],
             ),
-            " ",
+            "\n" if unit == "lines" else " ",
         ).alias("clean_text"),
     )
     base = df.select(
         F.col(id_col), *[F.col(c) for c in extra],
-        F.ceil(F.size(tokens_col(text)) / F.lit(float(block_words)))
+        F.size(_blocks_col(text, block_words, unit))
         .cast("bigint").alias("n_blocks"),
     )
     return base.join(agg, id_col, "left").select(
@@ -1182,6 +1198,7 @@ def paragraph_dedup(
     text: str = "text",
     block_words: int = 8,
     persist: bool = True,
+    unit: str = "words",
 ) -> DataFrame:
     """Paragraph-granular exact dedup with document reassembly — the
     CCNet/Dolma cleaning step: every duplicated paragraph (here: a
@@ -1209,7 +1226,7 @@ def paragraph_dedup(
     then eagerly materializes the per-doc result and releases the
     cache in a ``finally`` (the :func:`ngram_jaccard_pairs` contract).
     """
-    blocks = _block_table(df, id_col, text, block_words, []) \
+    blocks = _block_table(df, id_col, text, block_words, [], unit) \
         .withColumn("s", F.xxhash64("btxt"))
     cached = None
     if persist:
@@ -1224,7 +1241,8 @@ def paragraph_dedup(
             & (F.col("first.b") == F.col("b"))
         )
     )
-    out = _reassemble_blocks(df, kept, id_col, text, block_words, [])
+    out = _reassemble_blocks(df, kept, id_col, text, block_words, [],
+                             unit)
     if cached is not None:
         try:
             out = out.localCheckpoint(eager=True)
@@ -1241,6 +1259,7 @@ def boilerplate_block_removal(
     block_words: int = 8,
     min_df: int = 2,
     persist: bool = True,
+    unit: str = "words",
 ) -> DataFrame:
     """Per-source boilerplate removal — the CCNet/FineWeb line-dedup
     filter: a block (``block_words``-word window; see
@@ -1267,7 +1286,8 @@ def boilerplate_block_removal(
         # block trivially occurs in >= 1 document) and silently blank
         # the whole corpus — reject rather than obey
         raise ValueError(f"min_df must be >= 2, got {min_df}")
-    blocks = _block_table(df, id_col, text, block_words, [group_col]) \
+    blocks = _block_table(df, id_col, text, block_words, [group_col],
+                          unit) \
         .withColumn("s", F.xxhash64("btxt"))
     cached = None
     if persist:
@@ -1281,7 +1301,7 @@ def boilerplate_block_removal(
     )
     kept = blocks.join(freq, [group_col, "s"], "left_anti")
     out = _reassemble_blocks(
-        df, kept, id_col, text, block_words, [group_col]
+        df, kept, id_col, text, block_words, [group_col], unit
     )
     if cached is not None:
         try:
@@ -1297,6 +1317,7 @@ def paragraph_dedup_increment(
     id_col: str = "doc_id",
     text: str = "text",
     block_words: int = 8,
+    unit: str = "words",
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch step of STREAMING paragraph dedup — the
     ingestion-time twin of :func:`paragraph_dedup` (same pattern as
@@ -1318,7 +1339,7 @@ def paragraph_dedup_increment(
     snapshot table and the anti join is the only corpus-sized touch,
     keyed on 8-byte hashes).
     """
-    blocks = _block_table(new, id_col, text, block_words, []) \
+    blocks = _block_table(new, id_col, text, block_words, [], unit) \
         .withColumn("s", F.xxhash64("btxt"))
     canon = blocks.groupBy("s").agg(
         F.min(F.struct(F.col(id_col), F.col("b"))).alias("first")
@@ -1332,7 +1353,8 @@ def paragraph_dedup_increment(
     )
     if seen_blocks is not None:
         kept = kept.join(seen_blocks.select("s"), "s", "left_anti")
-    cleaned = _reassemble_blocks(new, kept, id_col, text, block_words, [])
+    cleaned = _reassemble_blocks(new, kept, id_col, text, block_words,
+                                 [], unit)
     new_blocks = blocks.select("s").distinct()
     if seen_blocks is not None:
         new_blocks = new_blocks.join(
@@ -1343,14 +1365,15 @@ def paragraph_dedup_increment(
 
 def block_registry(df: DataFrame, id_col: str = "doc_id",
                    text: str = "text",
-                   block_words: int = 8) -> DataFrame:
+                   block_words: int = 8,
+                   unit: str = "words") -> DataFrame:
     """The seen-block registry of a corpus — one ``s`` (xxhash64)
     column, distinct — as consumed by
     :func:`paragraph_dedup_increment`. One explode + one map-combined
     distinct on 8-byte keys; at 100 TB this is the table a streaming
     ingest keeps in the state store / snapshot table."""
     return (
-        _block_table(df, id_col, text, block_words, [])
+        _block_table(df, id_col, text, block_words, [], unit)
         .select(F.xxhash64("btxt").alias("s"))
         .distinct()
     )

@@ -1449,6 +1449,77 @@ def test_corpus_diff_null_text_presence(spark):
     }
 
 
+def test_paragraph_ops_newline_unit(spark):
+    """unit='lines' runs the same dedup/boilerplate transforms over
+    REAL newline paragraph boundaries (the docstring's claim about
+    real corpora, now exercised): hand-computed expectations on a
+    newline-bearing corpus, plus batch-vs-increment replay parity in
+    lines mode."""
+    from datawarehouse_spark.operators.dedup import (
+        block_registry,
+        boilerplate_block_removal,
+        paragraph_dedup,
+        paragraph_dedup_increment,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "intro one\nshared footer\nbody alpha"),
+            (2, "A", "intro two\nshared footer\nbody beta"),
+            (3, "B", "shared footer\nunique gamma"),
+        ],
+        "doc_id long, source string, text string",
+    )
+
+    pd_out = {
+        r.doc_id: r
+        for r in paragraph_dedup(docs, unit="lines", persist=False).collect()
+    }
+    assert (pd_out[1].n_blocks, pd_out[1].n_kept) == (3, 3)
+    assert pd_out[1].clean_text == "intro one\nshared footer\nbody alpha"
+    assert (pd_out[2].n_blocks, pd_out[2].n_kept) == (3, 2)
+    assert pd_out[2].clean_text == "intro two\nbody beta"
+    assert (pd_out[3].n_blocks, pd_out[3].n_kept) == (2, 1)
+    assert pd_out[3].clean_text == "unique gamma"
+
+    bp_out = {
+        r.doc_id: r
+        for r in boilerplate_block_removal(
+            docs, unit="lines", persist=False
+        ).collect()
+    }
+    # 'shared footer' hits min_df=2 only within source A — dropped from
+    # docs 1 and 2, kept in B's doc 3
+    assert bp_out[1].clean_text == "intro one\nbody alpha"
+    assert bp_out[2].clean_text == "intro two\nbody beta"
+    assert bp_out[3].clean_text == "shared footer\nunique gamma"
+    assert all(bp_out[i].n_kept == 2 for i in (1, 2, 3))
+
+    # streaming replay parity over newline paragraphs: feeding the
+    # corpus id-by-id through the increment reproduces the batch op
+    batch = {
+        (r.doc_id, r.clean_text, r.n_blocks, r.n_kept)
+        for r in pd_out.values()
+    }
+    seen = None
+    replayed = set()
+    for i in (1, 2, 3):
+        cleaned, new_blocks = paragraph_dedup_increment(
+            docs.filter(F.col("doc_id") == i), seen, unit="lines"
+        )
+        replayed |= {
+            (r.doc_id, r.clean_text, r.n_blocks, r.n_kept)
+            for r in cleaned.collect()
+        }
+        add = new_blocks.localCheckpoint(eager=True)
+        seen = add if seen is None else seen.union(add).distinct()
+    assert replayed == batch
+    # and the registry builder agrees with the accumulated stream state
+    assert {r.s for r in seen.collect()} == {
+        r.s for r in block_registry(docs, unit="lines").collect()
+    }
+
+
 def test_reservoir_sample_exact_n_and_uniformity_shape(spark):
     """Exactly N rows, deterministic across runs, ranks 1..N in
     md5-priority order, and the picked set is insertion-order-free
