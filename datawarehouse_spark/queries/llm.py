@@ -996,12 +996,14 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
-    """Unrolled ``iters``-iteration Lloyd's k-means oracle (the
-    PageRank/BPE unrolled-CTE convention): md5-ordered deterministic
-    init, exact-decimal distances and centroid means, double
-    comparison for assignment with cid tiebreak — bit-exact against
-    operators/similarity.py::kmeans_assign."""
+def _kmeans_cte_blocks(k: int, iters: int) -> str:
+    """The shared unrolled Lloyd's-k-means CTE body (WITH-prefix,
+    no final SELECT): md5-ordered deterministic init, exact-decimal
+    distances and centroid means, double comparison for assignment
+    with cid tiebreak — bit-exact against
+    operators/similarity.py::kmeans_assign. Consumed by
+    :func:`_kmeans_oracle` (assignment output) and
+    :func:`_ivf_ann_oracle` (cells + probes + rerank)."""
     blocks = [f"""
     ve AS (
       SELECT vec_id AS vid, u.i AS pos,
@@ -1036,12 +1038,58 @@ def _kmeans_oracle(k: int, iters: int) -> str:
       FROM ve JOIN a{i} a USING (vid)
       GROUP BY 1, 2
     )""")
+    return "WITH " + "".join(blocks)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means oracle (the PageRank/BPE unrolled-CTE
+    convention) — see :func:`_kmeans_cte_blocks`."""
     return (
-        "WITH " + "".join(blocks)
+        _kmeans_cte_blocks(k, iters)
         + f"""
     SELECT vid AS vec_id, CAST(cid AS BIGINT) AS cluster,
            round(dist2, 6) AS dist2
     FROM a{iters}"""
+    )
+
+
+def _ivf_ann_oracle(n_cells: int = 8, iters: int = 2, n_probe: int = 2,
+                    topk: int = 5) -> str:
+    """Unrolled DuckDB oracle for the grid-exact IVF ANN path (VERDICT
+    r8 ask #3 — the SQ8 integer-micro-domain trick applied to index
+    training): the coarse quantizer replays as the shared k-means CTEs
+    (:func:`_kmeans_cte_blocks`); corpus cells are the final
+    assignment a{{iters}}; query probes rank the SAME d{{iters}}
+    distance table (vs c_{{iters-1}} centroids — exactly what
+    operators/similarity.py::ivf_topk_grid probes with) by
+    (dist2, cid); candidates re-rank with round-6
+    list_cosine_similarity, the contract :func:`_lsh_ann_oracle`
+    already proved hash-exact against exact_rerank."""
+    return (
+        _kmeans_cte_blocks(n_cells, iters)
+        + f""", cells AS (
+      SELECT vid AS n_id, cid AS cell FROM a{iters}
+    ), probes AS (
+      SELECT vid AS q_id, cid AS cell FROM d{iters}
+      WHERE vid < 5
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vid ORDER BY dist2, cid) <= {n_probe}
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+      SELECT p.q_id, c.n_id,
+             round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                          CAST(ce.embedding AS DOUBLE[])), 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY p.q_id
+               ORDER BY round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                                     CAST(ce.embedding AS DOUBLE[])), 6) DESC,
+                        c.n_id) AS BIGINT) AS rank
+      FROM probes p
+      JOIN cells c USING (cell)
+      JOIN embeddings qe ON qe.vec_id = p.q_id
+      JOIN embeddings ce ON ce.vec_id = c.n_id
+      WHERE p.q_id <> c.n_id
+    ) WHERE rank <= {topk}"""
     )
 
 
@@ -1058,17 +1106,22 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(t["embeddings"], k=4, iters=2)
 
 
-@query("llm_ann_ivf_topk")  # approximate — rows-only check
+@query("llm_ann_ivf_topk", oracle=_ivf_ann_oracle())
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic coarse centroids, cell
-    assignment as a JVM argmax expression, n_probe cells re-ranked
-    exactly. The cell id is the shuffle key — candidate generation
-    touches ~n_probe/n_cells of the corpus. Recall vs llm_cosine_topk
-    asserted in tests."""
+    """IVF approximate top-k, driver-oracle-checked since r9: the
+    grid-exact variant (operators/similarity.py::ivf_topk_grid) trains
+    its coarse quantizer with the decimal-exact Lloyd k-means, so
+    index build AND search replay as unrolled CTEs
+    (:func:`_ivf_ann_oracle`) — the same graduation path LSH took in
+    r8. The cell id is the shuffle key — candidate generation touches
+    ~n_probe/n_cells of the corpus. Recall vs llm_cosine_topk stays
+    asserted in tests (alongside the spherical ivf_topk variant, which
+    remains the pure-speed path)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=4
+    return similarity.ivf_topk_grid(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_cells=8, n_probe=2, iters=2,
     )
 
 

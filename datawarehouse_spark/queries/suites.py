@@ -404,6 +404,10 @@ SUITES: dict[str, list[Member]] = {
         ("llm_sq8_quantize", [],
          ["vec_id", "n_dims", "total_abs_err", "max_abs_err",
           "avg_code"]),
+        # IVF ANN on the decimal grid — driver-checked since r9: the
+        # coarse quantizer is the same unrolled-CTE k-means, so index
+        # training AND probe+rerank replay exactly (VERDICT r8 ask #3)
+        ("llm_ann_ivf_topk", [], ["q_id", "n_id", "cos", "rank"]),
     ],
     # corpus lifecycle + sketch-membership + eval ops (new in r8):
     # version diffing, Bloom contamination, exact-N sampling, and the
@@ -535,15 +539,17 @@ DRIVER_GATE_CAP = 50
 
 # Raw queries intentionally NOT in the driver registry (no deterministic
 # SQL oracle possible — verified by dedicated pytest properties instead):
-#   llm_ann_ivf_topk, llm_ann_ivfpq_topk (recall properties in
-#   tests/test_llm_ops.py — their k-means++ cell training collects
-#   float centroids whose downstream argmax has no exact SQL replay),
-#   mm_resize (roundtrip test). llm_ann_lsh_topk graduated to the
-#   driver gate in r8: its md5-derived hyperplanes make the whole
-#   bucket+rerank path oracle-replayable (queries/llm.py::
-#   _lsh_ann_oracle).
+#   llm_ann_ivfpq_topk (recall properties in tests/test_llm_ops.py —
+#   its PQ codebook training is driver-side float numpy with no exact
+#   SQL replay), mm_resize (roundtrip test). llm_ann_lsh_topk
+#   graduated to the driver gate in r8 (md5-derived hyperplanes make
+#   the bucket+rerank path oracle-replayable, queries/llm.py::
+#   _lsh_ann_oracle); llm_ann_ivf_topk graduated in r9 (grid-exact
+#   k-means quantizer makes index training replayable,
+#   _ivf_ann_oracle) — the spherical ivf_topk stays the pure-speed
+#   variant, pytest-only.
 TESTS_ONLY: frozenset[str] = frozenset(
-    {"llm_ann_ivf_topk", "llm_ann_ivfpq_topk", "mm_resize"}
+    {"llm_ann_ivfpq_topk", "mm_resize"}
 )
 
 

@@ -83,6 +83,37 @@ def test_ivf_topk_scores_exact_and_recall(spark):
     assert recall >= 0.4, f"IVF recall@5 = {recall}"
 
 
+def test_ivf_topk_grid_recall_and_engine_parity(spark):
+    """The oracle-checkable grid IVF (driver-gated since r9) keeps the
+    recall properties of the spherical variant, carries exact cosines,
+    and its two assignment engines produce identical results."""
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_all = {
+        (r.q_id, r.n_id): r.cos
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    true_top5 = {
+        (r.q_id, r.n_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    g = similarity.ivf_topk_grid(
+        emb, queries, k=5, n_cells=8, n_probe=2
+    ).collect()
+    assert len(g) > 0
+    for r in g:
+        assert abs(exact_all[(r.q_id, r.n_id)] - r.cos) < 1e-9
+    hits = {(r.q_id, r.n_id) for r in g}
+    recall = len(hits & true_top5) / len(true_top5)
+    assert recall >= 0.4, f"grid IVF recall@5 = {recall}"
+    s = similarity.ivf_topk_grid(
+        emb, queries, k=5, n_cells=8, n_probe=2, impl="sql"
+    ).collect()
+    assert {(r.q_id, r.n_id, r.cos, r.rank) for r in g} == {
+        (r.q_id, r.n_id, r.cos, r.rank) for r in s
+    }
+
+
 def test_embed_near_dup_pairs_symmetric_threshold(spark):
     """cosine_pairs returns exactly the ≥-threshold pairs the exact
     ranker scores, each once with id_a < id_b."""
