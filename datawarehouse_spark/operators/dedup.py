@@ -1338,6 +1338,14 @@ def paragraph_dedup_increment(
     registry — at 100 TB the registry lives in the state store /
     snapshot table and the anti join is the only corpus-sized touch,
     keyed on 8-byte hashes).
+
+    Production recipe (exactly-once under foreachBatch replay, proven
+    with a mid-stream kill in tests/test_streaming.py::
+    test_streaming_paragraph_dedup_snapshot_registry_restart): persist
+    the registry through ``SnapshotTable`` upserts keyed on ``s`` with
+    rows tagged by epoch, read it back filtered to epochs strictly
+    before the current one (a replayed epoch must not see its own
+    blocks), and overwrite an epoch-keyed output directory.
     """
     blocks = _block_table(new, id_col, text, block_words, [], unit) \
         .withColumn("s", F.xxhash64("btxt"))

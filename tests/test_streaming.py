@@ -632,3 +632,121 @@ def test_streaming_paragraph_dedup_matches_batch_replay(spark, tmpdir):
     # meaningful only if dedup actually dropped blocks — the fixture
     # corpus carries planted dups
     assert any(k < b for b, k, _ in batch_rows.values())
+
+
+def test_streaming_paragraph_dedup_snapshot_registry_restart(spark, tmpdir):
+    """VERDICT r8 ask #6 — the PRODUCTION shape of ingestion-time
+    paragraph dedup: the seen-block registry lives in the S11
+    SnapshotTable store (versioned commits, not a bare parquet dir),
+    the per-epoch output write is idempotent (overwrite into an
+    epoch-keyed directory — the exactly-once foreachBatch recipe), and
+    the registry write is an s-keyed upsert so replaying an epoch
+    commutes. A mid-stream kill AFTER epoch 1's writes but BEFORE its
+    checkpoint commit forces Structured Streaming to replay that epoch
+    on restart; the final output must still equal the batch operator
+    row for row, and the registry must equal block_registry(corpus)."""
+    import os
+
+    from datawarehouse_spark.operators import dedup
+    from datawarehouse_spark.sources.snapshot import SnapshotTable
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    n = docs.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    chunks = [
+        docs.filter(F.col("doc_id") < cut1),
+        docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        docs.filter(F.col("doc_id") >= cut2),
+    ]
+    batch_rows = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in dedup.paragraph_dedup(docs, block_words=8).collect()
+    }
+
+    src = f"{tmpdir}/ps_src"
+    os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        staged = f"{tmpdir}/ps_stage{i}"
+        ch.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    reg_path = f"{tmpdir}/ps_registry"
+    out_dir = f"{tmpdir}/ps_out"
+    kill_flag = f"{tmpdir}/ps_kill"
+    open(kill_flag, "w").close()
+
+    def ingest(batch_df, epoch_id):
+        ss = batch_df.sparkSession
+        e = int(epoch_id)
+        has_reg = os.path.isdir(os.path.join(reg_path, "_manifests"))
+        # registry rows are epoch-tagged; a replayed epoch must see
+        # only STRICTLY-EARLIER epochs' blocks, or its own (possibly
+        # already-upserted) rows would mark the whole batch as seen —
+        # the state-versioning half of the exactly-once recipe
+        seen = (
+            SnapshotTable(ss, reg_path).read()
+            .filter(F.col("epoch") < e).select("s")
+            if has_reg else None
+        )
+        cleaned, new_blocks = dedup.paragraph_dedup_increment(
+            batch_df, seen, block_words=8
+        )
+        # idempotent epoch output: replay overwrites, never duplicates
+        cleaned.write.mode("overwrite").parquet(f"{out_dir}/epoch={e}")
+        # registry through the snapshot store; upsert on the block
+        # hash makes an epoch replay commute (same s rows → no-op)
+        tagged = new_blocks.withColumn("epoch", F.lit(e))
+        if has_reg:
+            SnapshotTable(ss, reg_path).upsert(tagged, key="s")
+        else:
+            SnapshotTable.create(ss, tagged, reg_path)
+        # simulated crash: epoch 1's writes landed, its checkpoint
+        # commit never does — restart MUST replay this epoch
+        if int(epoch_id) == 1 and os.path.exists(kill_flag):
+            raise RuntimeError("injected mid-stream kill after writes")
+
+    def run():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{tmpdir}/ps_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run()
+    try:
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass  # the injected kill surfaces here
+    finally:
+        q.stop()
+    assert q.exception() is not None, "the injected kill must fire"
+    # epoch 1 wrote but was never committed to the checkpoint
+    assert os.path.isdir(f"{out_dir}/epoch=1")
+
+    os.remove(kill_flag)
+    q2 = run()
+    try:
+        q2.awaitTermination(180)
+    finally:
+        q2.stop()
+    assert q2.exception() is None
+
+    stream_rows = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in spark.read.parquet(f"{out_dir}/epoch=*").collect()
+    }
+    assert stream_rows == batch_rows
+    reg = SnapshotTable(spark, reg_path)
+    assert reg.current_version() >= 3  # create + >=2 upsert commits
+    assert {r.s for r in reg.read().collect()} == {
+        r.s for r in dedup.block_registry(docs, block_words=8).collect()
+    }
