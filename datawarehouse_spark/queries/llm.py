@@ -1053,7 +1053,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     )
 
 
-def _ivf_ann_oracle(n_cells: int = 8, iters: int = 2, n_probe: int = 2,
+def _ivf_ann_oracle(n_cells: int = 8, iters: int = 2, n_probe: int = 4,
                     topk: int = 5) -> str:
     """Unrolled DuckDB oracle for the grid-exact IVF ANN path (VERDICT
     r8 ask #3 — the SQ8 integer-micro-domain trick applied to index
@@ -1116,12 +1116,15 @@ def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r8. The cell id is the shuffle key — candidate generation touches
     ~n_probe/n_cells of the corpus. Recall vs llm_cosine_topk stays
     asserted in tests (alongside the spherical ivf_topk variant, which
-    remains the pure-speed path)."""
+    remains the pure-speed path). n_probe=4 of 8 cells is the
+    evidence-picked default: the sf0.1 sweep (SCALE.md "ANN index
+    tuning") measures recall@5 0.74 vs 0.48 at n_probe=2 for the same
+    search wall-time."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     return similarity.ivf_topk_grid(
         emb, emb.filter(F.col("vec_id") < 5),
-        k=5, n_cells=8, n_probe=2, iters=2,
+        k=5, n_cells=8, n_probe=4, iters=2,
     )
 
 
