@@ -325,3 +325,69 @@ def test_read_resilient_corrupt_file_policies(spark, tmp_path):
 
     with pytest.raises(ValueError):
         dwio.read_resilient(spark, p, policy="quarantine")
+
+
+def test_aqe_skew_join_splits_adversarial_partition(spark):
+    """SURVEY §2.3's "AQE skew-join is the built-in form of the manual
+    salt recipes" — demonstrated at the plan level, not asserted
+    (VERDICT r8 ask #8): an adversarial 90%-hot-key shuffle join run
+    under spark.sql.adaptive.skewJoin must show the hot partition
+    actually SPLIT (``skew=true`` on the join in the final adaptive
+    plan), with thresholds lowered to test scale (defaults trigger at
+    256 MB partitions — exactly the 100 TB regime; the mechanism is
+    identical). The manual salt recipes (J5/J6) remain the
+    deterministic-plan form; wall-time comparison lives in SCALE.md
+    "AQE skew-join evidence"."""
+    restore = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        # no broadcast (force the shuffle join AQE rewrites), and scale
+        # the 256 MB/5x detection defaults down to fixture size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB"
+        )
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            # ~64 bytes of deterministic padding so the hot partition
+            # clears the lowered byte threshold
+            F.concat(F.md5(F.col("id").cast("string")),
+                     F.md5((F.col("id") + 1).cast("string"))).alias("pad"),
+        )
+        small = spark.range(1_000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        j = big.join(small, "k")
+        # execute j's OWN queryExecution (count() would build a new
+        # aggregate plan and leave j's adaptive plan unfinalized)
+        n = len(j.collect())
+        # 90% of big hits k=0 (in small), plus the uniform ids < 1000
+        assert n == 180_000 + sum(
+            1 for i in range(200_000) if i % 10 == 9 and i < 1_000
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not mark the hot partition as skewed:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
