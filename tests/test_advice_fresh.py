@@ -66,6 +66,34 @@ TRIAGE: dict[str, dict[str, str]] = {
         "note": "the promised numpy dist2 re-check and the shard "
         "boundary-crossing assertion were added (not trimmed).",
     },
+    # --- round 9 triage ---
+    "datawarehouse_spark/operators/dedup.py:1098": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/dedup.py",
+        "fix_pattern": r'F\.lit\(1\)\.alias\("_in_old"\)',
+        "note": "corpus_diff joins explicit presence markers; NULL-text "
+        "docs classify by row presence, fp comparison only decides "
+        "changed/unchanged (NULL fp → 'changed', matching the oracle). "
+        "Pinned by test_corpus_diff_null_text_presence.",
+    },
+    "datawarehouse_spark/operators/similarity.py:922": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/similarity.py",
+        "fix_pattern": r"np\.argmin\(np\.round\(d2, 6\), axis=1\)",
+        "note": "gemm k-means snaps float64 distance sums onto the 1e-6 "
+        "grid before argmin, so decimal ties resolve to the lowest cid "
+        "exactly like the sql engine's (dist2, cid) ordering.",
+    },
+    "CORRECTNESS_r08.json:1": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/queries/suites.py",
+        "fix_pattern": r"DRIVER_GATE_CAP = 50",
+        "note": "structural fix: the registry is compressed to 50 "
+        "entries (every one under the driver gate) and pinned by "
+        "test_registry_fits_driver_gate, so the r9+ artifacts cover "
+        "every FINAL_ORDER entry; the r8 artifact itself cannot be "
+        "regenerated in-repo (driver-side capture).",
+    },
 }
 
 FINDING_RE = re.compile(r"^- \*\*(\w+)\*\* ([\w./_-]+):(\d+) — ")
