@@ -173,6 +173,12 @@ OPS = [
     # hot-string set, constant-ish under replication)
     "llm_paragraph_dedup",
     "llm_boilerplate_blocks",
+    # r9 grid-exact IVF ANN (the driver-gated variant): claims per
+    # Lloyd iteration one corpus scan + a k·dim re-mean shuffle, then
+    # a cell-keyed hash join touching ~n_probe/n_cells of the corpus
+    # (queries fixed) — ratio should sit well below the data ratio
+    # because the probe fraction and the query set are constant
+    "llm_ann_ivf_topk",
 ]
 
 
