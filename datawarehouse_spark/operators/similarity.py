@@ -438,6 +438,50 @@ def ivf_topk(
     return exact_rerank(pairs, k)
 
 
+def _grid_probes(spark, queries: DataFrame, state: dict, n_probe: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """(q_id, cell) rows: each query's ``n_probe`` nearest coarse
+    centroids of the trained grid k-means (``state`` from
+    :func:`kmeans_assign`), by the identical round-6 / exact-decimal
+    arithmetic the assignment used, ties (dist2, cid) ascending —
+    the probe stage shared by :func:`ivf_topk_grid` and
+    :func:`ivfpq_topk_grid`."""
+    cen = spark.createDataFrame(
+        [
+            (int(cid), pos, float(qv))
+            for cid, row in zip(state["cids"], state["C"])
+            for pos, qv in enumerate(row)
+        ],
+        "cid int, pos int, q double",
+    )
+    qe = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
+            )
+        ).alias("pos", "v"),
+    )
+    d2 = (
+        qe.join(F.broadcast(cen), "pos")
+        .groupBy("q_id", "cid")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("v") - F.col("q")) * (F.col("v") - F.col("q")),
+                    6,
+                ).cast("decimal(38,6)")
+            ).cast("double").alias("dist2")
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    return (
+        d2.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= n_probe)
+        .select("q_id", F.col("cid").alias("cell"))
+    )
+
+
 def ivf_topk_grid(
     corpus: DataFrame,
     queries: DataFrame,
@@ -477,40 +521,7 @@ def ivf_topk_grid(
         corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
         impl=impl, _state=state,
     )
-    cen = spark.createDataFrame(
-        [
-            (int(cid), pos, float(qv))
-            for cid, row in zip(state["cids"], state["C"])
-            for pos, qv in enumerate(row)
-        ],
-        "cid int, pos int, q double",
-    )
-    qe = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.posexplode(
-            F.transform(
-                F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
-            )
-        ).alias("pos", "v"),
-    )
-    d2 = (
-        qe.join(F.broadcast(cen), "pos")
-        .groupBy("q_id", "cid")
-        .agg(
-            F.sum(
-                F.round(
-                    (F.col("v") - F.col("q")) * (F.col("v") - F.col("q")),
-                    6,
-                ).cast("decimal(38,6)")
-            ).cast("double").alias("dist2")
-        )
-    )
-    w = W.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc("cid"))
-    probes = (
-        d2.withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") <= n_probe)
-        .select("q_id", F.col("cid").alias("cell"))
-    )
+    probes = _grid_probes(spark, queries, state, n_probe, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")
     ).join(
@@ -526,6 +537,237 @@ def ivf_topk_grid(
         F.col("q_id") != F.col("n_id")
     )
     return exact_rerank(pairs, k)
+
+
+def ivfpq_topk_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    shortlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "gemm",
+) -> DataFrame:
+    """IVF-PQ approximate top-k on the exact decimal grid — the
+    oracle-checkable sibling of :func:`ivfpq_topk`, completing VERDICT
+    r8 ask #3's parenthetical: coarse IVF routing via the grid k-means
+    (:func:`ivf_topk_grid`'s quantizer), PRODUCT-QUANTIZED
+    asymmetric-distance scoring inside probed cells, exact cosine
+    re-rank of the top ``shortlist``·k ADC candidates per query.
+
+    The whole pipeline replays as unrolled DuckDB CTEs
+    (queries/llm.py::_ivfpq_ann_oracle) because every float leaves the
+    decimal grid nowhere: PQ codebooks train as SUBSPACE k-means where
+    the subspace is a data dimension — the exploded (vid, pos, v)
+    GRID-NORMALIZED component table (round-6 of x/||x||; the norm is
+    the left-associative float64 fold the LSH oracle replays
+    bit-for-bit, sqrt/division IEEE-identical in both engines) with
+    ``sub = pos // dsub`` runs ONE shared Lloyd recipe: round-6
+    squared terms, exact decimal distance sums and means, (d2, code)
+    tie-break, init = the ksub md5-lowest vectors' slices (the same
+    ids in every subspace, so one md5 ordering covers all m books).
+    PQ must quantize the NORMALIZED vector for cosine retrieval —
+    euclidean ADC on raw vectors ranks by norm, not angle: measured
+    recall@5 0.08 raw vs 0.44 normalized at m=8/ksub=16/shortlist=8
+    on the sf0.001 fixture, level with the FAISS-shaped
+    :func:`ivfpq_topk`'s 0.40 under the same 0.64 coarse-routing
+    bound. The coarse routing stays on the raw grid, matching
+    :func:`ivf_topk_grid`'s cells.
+
+    Like :func:`kmeans_assign`, assignment/encoding runs as an
+    Arrow-batched GEMM kernel on the same grid arithmetic (each
+    squared term rounded to 6, sums snapped back onto the 1e-6 grid
+    before argmin, lowest-code ties) — the float64 sum of ≤dsub
+    pre-rounded terms sits ~1e-13 from the decimal value, far inside
+    the grid — while the re-means and the ADC table stay exact-decimal
+    DataFrame aggregations; oracle parity at sf0.001 AND sf0.01 is the
+    engines-equal proof. Unlike :func:`pq_train_codebooks` (driver-
+    sample float recipe), training is distributed over the full corpus.
+
+    Scale shape: per training iteration ONE Arrow corpus scan (codes)
+    plus one map-combined decimal re-mean to a codebook-sized driver
+    sync; encoding is the same scan once more; search shuffles only
+    (cell) for candidate generation and (q_id, n_id) for the ADC
+    rollup — the corpus travels as m small codes, full vectors are
+    read only for the shortlist re-rank, exactly the FAISS IVFPQ
+    memory story.
+    """
+    if impl != "gemm":
+        raise ValueError(f"impl must be 'gemm', got {impl!r}")
+    spark = corpus.sparkSession
+    first = corpus.select(vec_col).head()
+    dim = len(first[0]) if first is not None else m
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    dec = "decimal(38,6)"
+
+    # coarse routing: grid k-means cells + probes
+    state: dict = {}
+    assign = kmeans_assign(
+        corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        impl=impl, _state=state,
+    )
+    probes = _grid_probes(spark, queries, state, n_probe, id_col, vec_col)
+
+    # grid-normalized wide + exploded component tables
+    nrm = norm_col(vec_col)
+    nv = F.when(
+        nrm == 0, F.transform(F.col(vec_col), lambda x: F.lit(0.0))
+    ).otherwise(
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") / nrm, 6)
+        )
+    )
+    wide = corpus.select(
+        F.col(id_col).alias("vid"), nv.alias("nv")
+    ).persist()
+    ve = wide.select(
+        "vid", F.posexplode("nv").alias("pos", "v")
+    ).withColumn("sub", (F.col("pos") / dsub).cast("int"))
+    try:
+        # init codebooks: the ksub md5-lowest vectors, code = md5 rank
+        init = (
+            wide.select("vid")
+            .orderBy(F.md5(F.col("vid").cast("string")), "vid")
+            .limit(ksub)
+            .collect()
+        )
+        code_of = {r["vid"]: i for i, r in enumerate(init)}
+        books = [
+            (code_of[r["vid"]], r["pos"], float(r["v"]))
+            for r in ve.filter(
+                F.col("vid").isin(*code_of.keys())
+            ).collect()
+        ]
+
+        def code_rows(book_rows):
+            """(vid, sub, code) via the Arrow GEMM kernel — same grid
+            arithmetic as the SQL/oracle shape (terms rounded to 6,
+            sums snapped to the grid, lowest-code ties)."""
+            by_sub: dict[int, dict[int, np.ndarray]] = {}
+            for code, pos, q in book_rows:
+                by_sub.setdefault(pos // dsub, {}).setdefault(
+                    code, np.zeros(dsub)
+                )[pos % dsub] = q
+            subs = []
+            for j in range(m):
+                cids = sorted(by_sub.get(j, {}))
+                B = (
+                    np.array([by_sub[j][c] for c in cids])
+                    if cids else np.zeros((0, dsub))
+                )
+                subs.append((np.array(cids, dtype="int32"), B))
+
+            @F.pandas_udf("array<int>")
+            def enc(vs: pd.Series) -> pd.Series:
+                X = np.vstack(vs.values)
+                out = np.empty((len(X), m), dtype="int32")
+                for j, (cids, B) in enumerate(subs):
+                    S = X[:, j * dsub:(j + 1) * dsub]
+                    D = np.round(
+                        (S[:, None, :] - B[None, :, :]) ** 2, 6
+                    ).sum(axis=2)
+                    out[:, j] = cids[np.argmin(np.round(D, 6), axis=1)]
+                return pd.Series(list(out))
+
+            return wide.select(
+                "vid", F.posexplode(enc(F.col("nv"))).alias("sub", "code")
+            )
+
+        for _ in range(iters):
+            pa = code_rows(books)
+            books = [
+                (r["code"], r["pos"], float(r["q"]))
+                for r in ve.join(pa, ["vid", "sub"])
+                .groupBy("code", "pos")
+                .agg(
+                    F.round(
+                        F.sum(F.col("v").cast(dec)).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias("q")
+                )
+                .collect()
+            ]
+
+        # encode the corpus against the final books; the query side of
+        # the ADC table is the exact-decimal distance table restricted
+        # to query vids (tiny), so ADC sums replay in SQL verbatim
+        codes = code_rows(books)
+        cen = spark.createDataFrame(books, "code int, pos int, q double")
+        qd = (
+            ve.join(
+                F.broadcast(
+                    queries.select(F.col(id_col).alias("vid")).distinct()
+                ),
+                "vid",
+            )
+            .join(F.broadcast(cen), "pos")
+            .groupBy(
+                F.col("vid").alias("q_id"), "sub", "code"
+            )
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("v") - F.col("q")) * (F.col("v") - F.col("q")),
+                        6,
+                    ).cast(dec)
+                ).cast("double").alias("d2")
+            )
+        )
+
+        cand = (
+            assign.select(
+                F.col(id_col).alias("n_id"), F.col("cluster").alias("cell")
+            )
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id")
+        )
+        adc = (
+            cand.join(
+                codes.select(F.col("vid").alias("n_id"), "sub", "code"),
+                "n_id",
+            )
+            .join(F.broadcast(qd), ["q_id", "sub", "code"])
+            .groupBy("q_id", "n_id")
+            .agg(
+                F.sum(F.col("d2").cast(dec)).cast("double").alias("adc")
+            )
+        )
+        ws = W.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
+        short = (
+            adc.withColumn("sr", F.row_number().over(ws))
+            .filter(F.col("sr") <= shortlist * k)
+            .select("q_id", "n_id")
+        )
+        pairs = (
+            short.join(
+                corpus.select(
+                    F.col(id_col).alias("n_id"),
+                    F.col(vec_col).alias("c_vec"),
+                ),
+                "n_id",
+            )
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                    )
+                ),
+                "q_id",
+            )
+        )
+        return exact_rerank(pairs, k).localCheckpoint(eager=True)
+    finally:
+        wide.unpersist()
 
 
 def ann_topk_lsh(

@@ -1156,6 +1156,137 @@ def _dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
     return tuple(out)
 
 
+def _ivfpq_ann_oracle(n_cells: int = 8, iters: int = 2, n_probe: int = 4,
+                      m: int = 8, ksub: int = 16, shortlist: int = 8,
+                      topk: int = 5, dim: int = 64) -> str:
+    """Unrolled DuckDB oracle for the grid-exact IVF-PQ path — the
+    full FAISS IVFPQ pipeline (coarse routing → PQ codebook training →
+    encoding → asymmetric-distance shortlist → exact re-rank) as CTEs.
+    The trick that keeps this ONE set of CTEs instead of m unrolled
+    subspace trainings: the subspace id is a DATA dimension
+    (``(pos-1) // dsub`` over the shared exploded component table), so
+    per-subspace Lloyd is the k-means recipe with ``sub`` added to
+    every grouping — see operators/similarity.py::ivfpq_topk_grid.
+    ``dim`` pinned to the fixture's 64 (guarded like the LSH oracle).
+
+    PQ codebooks/ADC run on GRID-NORMALIZED components — round-6 of
+    x/||x||, where ||x|| is the left-associative float64 sum the LSH
+    oracle already replays bit-for-bit, and sqrt/division are IEEE
+    correctly-rounded identically in both engines."""
+    dsub = dim // m
+    n2 = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        f" * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    parts = [_kmeans_cte_blocks(n_cells, iters)]
+    parts.append(f""", cells AS (
+      SELECT vid AS n_id, cid AS cell FROM a{iters}
+    ), probes AS (
+      SELECT vid AS q_id, cid AS cell FROM d{iters}
+      WHERE vid < 5
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vid ORDER BY dist2, cid) <= {n_probe}
+    ), pinit AS (
+      SELECT vid,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vid AS VARCHAR)), vid) AS INT) - 1 AS code
+      FROM (SELECT vec_id AS vid FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ksub})
+    ), nrm AS (
+      SELECT e.vec_id AS vid, sqrt({n2}) AS nn FROM embeddings e
+    ), nve AS (
+      SELECT e.vec_id AS vid, u.i AS pos,
+             CASE WHEN nrm.nn = 0 THEN 0.0
+                  ELSE round(CAST(e.embedding[u.i] AS DOUBLE) / nrm.nn, 6)
+             END AS v
+      FROM embeddings e JOIN nrm ON nrm.vid = e.vec_id,
+           LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) u
+    ), b0 AS (
+      SELECT pinit.code, nve.pos, nve.v AS q
+      FROM nve JOIN pinit USING (vid)
+    )""".replace("{n2}", n2))
+    for i in range(1, iters + 1):
+        parts.append(f""", pd{i} AS (
+      SELECT ve.vid, (ve.pos - 1) // {dsub} AS sub, b.code,
+             CAST(SUM(CAST(round((ve.v - b.q) * (ve.v - b.q), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS d2
+      FROM nve ve JOIN b{i - 1} b ON ve.pos = b.pos
+      GROUP BY 1, 2, 3
+    ), pa{i} AS (
+      SELECT vid, sub, code FROM pd{i}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vid, sub ORDER BY d2, code) = 1
+    ), b{i} AS (
+      SELECT a.code, ve.pos,
+             round(CAST(SUM(CAST(ve.v AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS q
+      FROM nve ve JOIN pa{i} a
+        ON ve.vid = a.vid AND (ve.pos - 1) // {dsub} = a.sub
+      GROUP BY 1, 2
+    )""")
+    parts.append(f""", pdE AS (
+      SELECT ve.vid, (ve.pos - 1) // {dsub} AS sub, b.code,
+             CAST(SUM(CAST(round((ve.v - b.q) * (ve.v - b.q), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS d2
+      FROM nve ve JOIN b{iters} b ON ve.pos = b.pos
+      GROUP BY 1, 2, 3
+    ), pcode AS (
+      SELECT vid, sub, code FROM pdE
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vid, sub ORDER BY d2, code) = 1
+    ), qd AS (
+      SELECT vid AS q_id, sub, code, d2 FROM pdE WHERE vid < 5
+    ), cand AS (
+      SELECT p.q_id, c.n_id
+      FROM probes p JOIN cells c USING (cell)
+      WHERE p.q_id <> c.n_id
+    ), adc AS (
+      SELECT cand.q_id, cand.n_id,
+             CAST(SUM(CAST(qd.d2 AS DECIMAL(38,6))) AS DOUBLE) AS adc
+      FROM cand
+      JOIN pcode nc ON nc.vid = cand.n_id
+      JOIN qd ON qd.q_id = cand.q_id
+            AND qd.sub = nc.sub AND qd.code = nc.code
+      GROUP BY 1, 2
+    ), short AS (
+      SELECT q_id, n_id FROM adc
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY adc, n_id) <= {shortlist * topk}
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+      SELECT s.q_id, s.n_id,
+             round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                          CAST(ce.embedding AS DOUBLE[])), 6) AS cos,
+             CAST(row_number() OVER (
+               PARTITION BY s.q_id
+               ORDER BY round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                                     CAST(ce.embedding AS DOUBLE[])), 6) DESC,
+                        s.n_id) AS BIGINT) AS rank
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.q_id
+      JOIN embeddings ce ON ce.vec_id = s.n_id
+    ) WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+@query("llm_ann_ivfpq_grid", oracle=_ivfpq_ann_oracle())
+def llm_ann_ivfpq_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k, driver-oracle-checked (r9): the
+    grid-exact variant — coarse routing, distributed subspace-k-means
+    codebook training, PQ encoding, asymmetric-distance shortlist and
+    exact re-rank all on the decimal grid, replayed end-to-end by
+    :func:`_ivfpq_ann_oracle`. The FAISS-shaped normalized variant
+    (llm_ann_ivfpq_topk, cached index, driver-sample training) stays
+    the pure-speed path with pytest recall properties."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return similarity.ivfpq_topk_grid(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_cells=8, n_probe=4, m=8, ksub=16, iters=2, shortlist=8,
+    )
+
+
 @query("llm_ann_ivfpq_topk")  # approximate — rows-only check
 def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k (FAISS IVFPQ shape): coarse IVF routing,

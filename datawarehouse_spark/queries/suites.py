@@ -408,6 +408,10 @@ SUITES: dict[str, list[Member]] = {
         # coarse quantizer is the same unrolled-CTE k-means, so index
         # training AND probe+rerank replay exactly (VERDICT r8 ask #3)
         ("llm_ann_ivf_topk", [], ["q_id", "n_id", "cos", "rank"]),
+        # IVF-PQ on the decimal grid (r9): subspace-k-means codebooks
+        # trained with sub as a data dimension, ADC shortlist + exact
+        # rerank — the full FAISS pipeline under the hash gate
+        ("llm_ann_ivfpq_grid", [], ["q_id", "n_id", "cos", "rank"]),
     ],
     # corpus lifecycle + sketch-membership + eval ops (new in r8):
     # version diffing, Bloom contamination, exact-N sampling, and the
