@@ -179,6 +179,10 @@ OPS = [
     # (queries fixed) — ratio should sit well below the data ratio
     # because the probe fraction and the query set are constant
     "llm_ann_ivf_topk",
+    # r9 grid IVF-PQ: adds per-iteration one Arrow encode scan + a
+    # codebook-sized re-mean sync on top of the IVF claim; the ADC
+    # rollup is candidates×m rows (candidates = probed fraction)
+    "llm_ann_ivfpq_grid",
 ]
 
 
