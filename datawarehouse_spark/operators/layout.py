@@ -1,0 +1,102 @@
+"""Storage-layout operators: multi-dimensional clustering keys.
+
+At 100 TB the scan you avoid is cheaper than any scan you optimize:
+file-level data skipping (parquet row-group / file min-max pruning,
+the manifest pruning in sources/snapshot.py) only works when rows
+inside a file are CLOSE in the filtered dimension. A layout sorted on
+one column gives perfect skipping on that column and none on any
+other; interleaving the bits of several columns' rank codes — the
+Z-order / Morton curve, the technique behind Delta Lake's OPTIMIZE
+ZORDER BY and Iceberg's sort-order transforms — keeps every listed
+dimension partially clustered, so a range predicate on ANY of them
+prunes most files (measured in tests/test_io_and_skew.py::
+test_zorder_layout_prunes_on_secondary_dimension).
+
+Everything here is exact integer arithmetic (BIGINT scaling with
+integer division, bit shifts and masks) inside whole-stage codegen —
+deterministic, engine-portable, and SQL-oracle-checkable. No UDFs, no
+floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Append Z-order curve columns: per-dimension rank codes
+    ``z1..zD`` (each column min-max scaled to ``[0, 2^bits - 1]`` with
+    exact BIGINT arithmetic — ``(x - min) * (2^bits - 1) DIV
+    max(max - min, 1)``) and the interleaved Morton key ``out_col``
+    (bit ``b`` of dimension ``d`` lands at position ``b·D + d``).
+
+    Writing the table ordered by ``out_col`` (``repartitionByRange``
+    on it, or a range-partitioned sort) clusters every listed
+    dimension at once; ``bits·D`` must stay ≤ 63 (BIGINT).
+
+    Scale shape: ONE aggregation computes all D min/max pairs (a
+    scalar row, broadcast back — the same bounded-scalar crossJoin
+    pattern as the TPC-H Q11/Q22 shapes); the scaling + interleave is
+    a pure projection, so the whole key costs one scan plus the sort
+    the caller was already paying for the write. NULLs in any listed
+    column pin that dimension's code to 0 (they cluster together at
+    the curve origin rather than poisoning the key to NULL).
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    ndim = len(cols)
+    if bits * ndim > 63:
+        raise ValueError(
+            f"bits*dims = {bits * ndim} exceeds the 63-bit BIGINT budget"
+        )
+    scale = (1 << bits) - 1
+    stats = df.agg(
+        *[
+            agg
+            for i, c in enumerate(cols, 1)
+            for agg in (
+                F.min(F.col(c).cast("bigint")).alias(f"_mn{i}"),
+                F.max(F.col(c).cast("bigint")).alias(f"_mx{i}"),
+            )
+        ]
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    zcols: list[Column] = []
+    for i, c in enumerate(cols, 1):
+        code = F.expr(
+            f"CAST((CAST({c} AS BIGINT) - _mn{i}) * {scale} AS BIGINT) "
+            f"DIV GREATEST(_mx{i} - _mn{i}, CAST(1 AS BIGINT))"
+        )
+        zcols.append(F.coalesce(code, F.lit(0)).alias(f"z{i}"))
+    out = j.select(*df.columns, *zcols)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for d in range(ndim):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(f"z{d + 1}"), b).bitwiseAND(F.lit(1)),
+                b * ndim + d,
+            ).cast("bigint")
+    return out.withColumn(out_col, z)
+
+
+def file_range_profile(spark, path: str, col: str) -> DataFrame:
+    """Per-file (min, max) of ``col`` for a parquet directory — the
+    information a file-skipping reader holds in its footer/manifest
+    statistics, surfaced as a DataFrame so layout quality is
+    measurable: the fewer files whose range intersects a predicate,
+    the fewer files a pruning scan opens."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(F.col(col)).alias("mn"),
+            F.max(F.col(col)).alias("mx"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

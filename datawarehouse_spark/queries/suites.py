@@ -41,10 +41,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 Member = tuple[str, list[str], list[str]]
 
 SUITES: dict[str, list[Member]] = {
-    # §2.1/§2.6 scan + order/limit
+    # §2.1/§2.6 scan + order/limit + storage layout
     "suite_scan_sort": [
         ("s1_scan_project", ["r_name"], ["r_regionkey"]),
         ("o1_order_by_limit", [], ["l_orderkey", "l_linenumber", "l_extendedprice"]),
+        # Z-order clustering key (r9): the multi-dimensional layout
+        # extension of S2 pruning — all-BIGINT, exact as doubles
+        ("s15_zorder_clustering", [],
+         ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "z1", "z2", "zkey"]),
     ],
     # §2.2 predicates: filter, LIKE, IN list, date range, NULL, AND/OR/NOT
     "suite_predicates": [

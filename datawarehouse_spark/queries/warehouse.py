@@ -718,3 +718,51 @@ def j16_pit_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eff_version",
         )
     )
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """Interleave replay in SQL: identical BIGINT scaling (integer
+    division) and bit arithmetic — see operators/layout.py."""
+    scale = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((z{d + 1} >> {b}) & 1) << {b * 2 + d})"
+        for b in range(bits)
+        for d in range(2)
+    )
+    return f"""
+    WITH st AS (
+      SELECT MIN(l_partkey) AS mn1, MAX(l_partkey) AS mx1,
+             MIN(l_suppkey) AS mn2, MAX(l_suppkey) AS mx2
+      FROM lineitem
+    ), q AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             COALESCE((l_partkey - mn1) * {scale}
+                      // GREATEST(mx1 - mn1, 1), 0) AS z1,
+             COALESCE((l_suppkey - mn2) * {scale}
+                      // GREATEST(mx2 - mn2, 1), 0) AS z2
+      FROM lineitem, st
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(z1 AS BIGINT) AS z1, CAST(z2 AS BIGINT) AS z2,
+           CAST({terms} AS BIGINT) AS zkey
+    FROM q
+    """
+
+
+@query("s15_zorder_clustering", oracle=_zorder_oracle())
+def s15_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order / Morton clustering key over (l_partkey, l_suppkey) —
+    the multi-dimensional layout extension of S2's partition pruning
+    (Delta OPTIMIZE ZORDER BY / Iceberg sort-order shape): writing
+    lineitem ordered by zkey clusters BOTH dimensions, so file-level
+    min-max skipping prunes range predicates on either one (measured:
+    tests/test_io_and_skew.py::
+    test_zorder_layout_prunes_on_secondary_dimension). Exact BIGINT
+    scaling + bit interleave — pure codegen projection, one scalar
+    min/max broadcast, no UDF; see operators/layout.py::zorder_key."""
+    from datawarehouse_spark.operators.layout import zorder_key
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)

@@ -391,3 +391,47 @@ def test_aqe_skew_join_splits_adversarial_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_prunes_on_secondary_dimension(spark, tmp_path):
+    """The Z-order claim, measured: under a single-column sort the
+    secondary dimension spans every file (no file-skipping is
+    possible); under the Morton layout the same narrow l_suppkey
+    predicate intersects only a small fraction of the files'
+    min-max ranges — the statistic a footer/manifest-pruning reader
+    skips by. Also sanity-checks the curve: zkey is a bijective
+    interleave (distinct (z1, z2) → distinct zkey)."""
+    from datawarehouse_spark.operators.layout import (
+        file_range_profile,
+        zorder_key,
+    )
+
+    li = load_tables(spark, SF_ORACLE, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    z = zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    # interleave is bijective on the code pair
+    n_pairs = z.select("z1", "z2").distinct().count()
+    assert z.select("zkey").distinct().count() == n_pairs
+
+    n_files = 64  # finer tiles → the curve's locality shows up
+    by_part = str(tmp_path / "by_part")
+    by_z = str(tmp_path / "by_z")
+    li.repartitionByRange(n_files, "l_partkey").write.parquet(by_part)
+    z.repartitionByRange(n_files, "zkey").write.parquet(by_z)
+
+    lo, hi = 4, 4  # point predicate (the fixture has ~10 suppkeys)
+    def hit_files(path):
+        prof = file_range_profile(spark, path, "l_suppkey").collect()
+        assert len(prof) >= n_files - 8  # range partitioner may merge some
+        return sum(1 for r in prof if r.mn <= hi and r.mx >= lo), len(prof)
+
+    part_hits, part_total = hit_files(by_part)
+    z_hits, z_total = hit_files(by_z)
+    # single-column sort: suppkey spans everything — no skipping at all
+    assert part_hits == part_total
+    # z-order: the suppkey band misses most files' min-max range
+    assert z_hits <= z_total // 3, (
+        f"z-order should prune ≥ 2/3 of the files: {z_hits}/{z_total}"
+    )
+    assert z_hits >= 1  # the matching rows do live somewhere
