@@ -148,3 +148,51 @@ def salted_agg(df: DataFrame, group_cols: list[str], agg_exprs: dict,
             raise ValueError(f"unsupported agg kind: {kind}")
     phase1 = salted.groupBy(*group_cols, "_salt").agg(*partials)
     return phase1.groupBy(*group_cols).agg(*finals)
+
+def column_profile(df: DataFrame, numeric: list[str],
+                   strings: list[str]) -> DataFrame:
+    """Table profiling — the warehouse ``ANALYZE TABLE`` statistics as
+    a query result: per column, row count, null count, exact distinct
+    count, and min/max (numeric columns in ``min_num/max_num`` rounded
+    to 6, string columns in ``min_str/max_str``; the other pair is
+    NULL). Long-form output ``(col_name, n, n_null, n_distinct,
+    min_num, max_num, min_str, max_str)`` — what an optimizer's stats
+    collector, a DQ monitor, or a migration diff consumes.
+
+    Scale shape: ONE aggregation pass over the table computes every
+    column's statistics at once (Spark plans the multi-count-distinct
+    via expand — one scan, one shuffle); the wide scalar row is then
+    unpivoted to long form on the driver side of the plan (a literal
+    stack over one row, no second scan). At 100 TB this is exactly one
+    table scan; swap the exact distinct for approx_count_distinct when
+    a 2% estimate is acceptable and the expand becomes a plain agg.
+    """
+    aggs = []
+    for c in numeric + strings:
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(c).alias(f"_mn_{c}"),
+            F.max(c).alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = []
+    for c in numeric + strings:
+        is_num = c in numeric
+        parts.append(F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"_n_{c}").cast("bigint").alias("n"),
+            F.col(f"_nn_{c}").cast("bigint").alias("n_null"),
+            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+            (F.round(F.col(f"_mn_{c}").cast("double"), 6) if is_num
+             else F.lit(None).cast("double")).alias("min_num"),
+            (F.round(F.col(f"_mx_{c}").cast("double"), 6) if is_num
+             else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if is_num
+             else F.col(f"_mn_{c}").cast("string")).alias("min_str"),
+            (F.lit(None).cast("string") if is_num
+             else F.col(f"_mx_{c}").cast("string")).alias("max_str"),
+        ))
+    return wide.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+

@@ -103,6 +103,10 @@ SUITES: dict[str, list[Member]] = {
         # dq_audit; exact-integer variance, sqrt is the only libm)
         ("t11_daily_anomaly_scan", ["event_type", "dt", "is_anomaly"],
          ["c", "mean_c", "z"]),
+        # ANALYZE-TABLE column statistics in one scan (r9) — the
+        # profiling sibling of a15_key_distribution
+        ("dq_column_profile", ["col_name", "min_str", "max_str"],
+         ["n", "n_null", "n_distinct", "min_num", "max_num"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [

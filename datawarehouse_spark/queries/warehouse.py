@@ -766,3 +766,45 @@ def s15_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+
+def _profile_oracle() -> str:
+    num = ["o_orderkey", "o_custkey", "o_totalprice"]
+    strs = ["o_orderstatus", "o_orderpriority"]
+    sels = []
+    for c in num + strs:
+        is_num = c in num
+        mn = (f"round(CAST(MIN({c}) AS DOUBLE), 6)" if is_num
+              else "CAST(NULL AS DOUBLE)")
+        mx = (f"round(CAST(MAX({c}) AS DOUBLE), 6)" if is_num
+              else "CAST(NULL AS DOUBLE)")
+        mns = ("CAST(NULL AS VARCHAR)" if is_num
+               else f"CAST(MIN({c}) AS VARCHAR)")
+        mxs = ("CAST(NULL AS VARCHAR)" if is_num
+               else f"CAST(MAX({c}) AS VARCHAR)")
+        sels.append(f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num,
+           {mns} AS min_str, {mxs} AS max_str
+    FROM orders""")
+    return "\n    UNION ALL\n".join(sels)
+
+
+@query("dq_column_profile", oracle=_profile_oracle())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE-TABLE statistics surface, r9):
+    per-column row/null/exact-distinct counts and min/max over the
+    orders table in ONE aggregation pass — the stats a cost-based
+    optimizer, DQ monitor, or migration diff consumes. See
+    operators/skew.py::column_profile for the one-scan shape."""
+    from datawarehouse_spark.operators.skew import column_profile
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return column_profile(
+        t["orders"],
+        numeric=["o_orderkey", "o_custkey", "o_totalprice"],
+        strings=["o_orderstatus", "o_orderpriority"],
+    )
