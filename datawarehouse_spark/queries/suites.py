@@ -143,6 +143,9 @@ SUITES: dict[str, list[Member]] = {
         # extraction via the streaming cleanse transform)
         ("t4_drift_filter_batch", ["event_type"],
          ["event_id", "ts_us", "user_id", "k"]),
+        # T12 (r9) — dense-grid gap fill with linear interpolation on
+        # the integer hour index (the resample-before-metrics step)
+        ("t12_gap_fill", ["observed"], ["user_id", "h", "v_filled"]),
     ],
     # §2.5 windows: first/last value, default frame, partition count/sum
     "suite_windows_basic": [

@@ -808,3 +808,73 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric=["o_orderkey", "o_custkey", "o_totalprice"],
         strings=["o_orderstatus", "o_orderpriority"],
     )
+
+@query(
+    "t12_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+             round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(range(mn, mx + 1)) AS h FROM b
+    ), j AS (
+      SELECT g.user_id, g.h, hv.v
+      FROM grid g LEFT JOIN hourly hv USING (user_id, h)
+    ), f AS (
+      SELECT user_id, h, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+      FROM j
+    )
+    SELECT user_id, CAST(h AS BIGINT) AS h,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE CAST((CAST(round(pv * 1000000) AS BIGINT)
+                                   * (tn - h)
+                                 + CAST(round(nv * 1000000) AS BIGINT)
+                                   * (h - tp)) // (tn - tp) AS DOUBLE)
+                           / 1000000.0
+                 END, 6) AS v_filled,
+           (v IS NOT NULL) AS observed
+    FROM f
+    """,
+)
+def t12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + linear interpolation (r9): per-user
+    hourly value totals gap-filled onto the dense hour grid — the
+    resample step before rates/moving averages/charts. Integer hour
+    index (unix_micros DIV 3600000000 — the a7 micros convention), so
+    the result is suite-safe; see operators/temporal.py::gap_fill for
+    the one-shuffle two-frame shape."""
+    from datawarehouse_spark.operators.temporal import gap_fill
+
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 3600000000").alias("h"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double"), 6
+            ).alias("v")
+        )
+    )
+    return gap_fill(hourly, ["user_id"], "h", "v")

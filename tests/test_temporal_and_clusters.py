@@ -130,3 +130,43 @@ def test_asof_join_null_valued_match_stays_the_match(spark):
                     right_time="rt").collect()[0]
     assert row.rt == 20 and row.s == "b"
     assert row.v is None, "stale v=5.0 leaked from the t=10 row"
+
+
+def test_gap_fill_interpolation_semantics(spark):
+    """Hand-computed dense-grid fill: observed rows pass through,
+    single and multi-step gaps interpolate linearly on the exact
+    1e-6 integer grid, separate keys keep separate grids."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_spark.operators.temporal import gap_fill
+
+    obs = spark.createDataFrame(
+        [
+            ("a", 10, 1.0), ("a", 12, 2.0),   # gap at 11 → 1.5
+            ("a", 15, 5.0),                    # gaps 13, 14 → 3.0, 4.0
+            ("b", 3, 7.5),                     # singleton → 1-row grid
+        ],
+        "k string, t long, v double",
+    )
+    out = {
+        (r.k, r.t): (r.v_filled, r.observed)
+        for r in gap_fill(obs, ["k"], "t", "v").collect()
+    }
+    assert out == {
+        ("a", 10): (1.0, True),
+        ("a", 11): (1.5, False),
+        ("a", 12): (2.0, True),
+        ("a", 13): (3.0, False),
+        ("a", 14): (4.0, False),
+        ("a", 15): (5.0, True),
+        ("b", 3): (7.5, True),
+    }
+    # odd spans hit non-representable thirds: floor on the micro grid
+    obs2 = spark.createDataFrame(
+        [("c", 0, 0.0), ("c", 3, 1.0)], "k string, t long, v double"
+    )
+    got = {
+        r.t: r.v_filled
+        for r in gap_fill(obs2, ["k"], "t", "v").collect()
+    }
+    assert got == {0: 0.0, 1: 0.333333, 2: 0.666666, 3: 1.0}
