@@ -758,6 +758,98 @@ _COSINE_TOPK_ORACLE = """
     """
 
 
+def _mrl_oracle(dims=(8, 16, 32), k: int = 5) -> str:
+    """Matryoshka truncation-quality oracle: per query, top-k overlap
+    between full-dim exact cosine and PREFIX-dim exact cosine, per
+    truncation width — the same rerank replay as the full-dim oracle
+    with list slices."""
+    def topk(alias, sl):
+        e = f"CAST(q.embedding{sl} AS DOUBLE[])"
+        c = f"CAST(c.embedding{sl} AS DOUBLE[])"
+        return f"""{alias} AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity({e}, {c}), 6) DESC,
+                          c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+      ) WHERE rank <= {k}
+    )"""
+    parts = [topk("full5", "")]
+    sels = []
+    for d in dims:
+        parts.append(topk(f"t{d}", f"[1:{d}]"))
+        sels.append(f"""
+    SELECT f.q_id, CAST({d} AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_full,
+           CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           round(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS overlap_frac
+    FROM full5 f LEFT JOIN t{d} t ON f.q_id = t.q_id AND f.n_id = t.n_id
+    GROUP BY 1""")
+    return ("WITH " + ",\n    ".join(parts)
+            + "\n    UNION ALL\n".join(sels))
+
+
+@query("llm_mrl_quality", oracle=_mrl_oracle())
+def llm_mrl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval quality (r9): per query vector,
+    the top-5 overlap between full-dim exact cosine and PREFIX-dim
+    exact cosine at d in {8, 16, 32} — the measurement behind the
+    MRL-style "truncate stored embeddings to d dims" memory/quality
+    trade (a 64-to-16 truncation is a 4x index-memory cut; this op
+    says what it costs on YOUR corpus — the same evidence-based-tuning
+    role as llm_ann_quality). Scale: the searches dominate; the
+    overlap join is q*k rows."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    full = similarity.cosine_topk(emb, q, k=5).select("q_id", "n_id")
+    base = full.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_full"))
+    outs = []
+    for d in (8, 16, 32):
+        embd = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tr = similarity.cosine_topk(
+            embd, embd.filter(F.col("vec_id") < 5), k=5
+        ).select(
+            F.col("q_id").alias("_tq"), F.col("n_id").alias("_tn")
+        )
+        ov = (
+            full.join(
+                tr,
+                (full["q_id"] == tr["_tq"]) & (full["n_id"] == tr["_tn"]),
+                "left",
+            )
+            .groupBy(full["q_id"].alias("q_id"))
+            .agg(
+                F.sum(
+                    F.when(F.col("_tn").isNotNull(), 1).otherwise(0)
+                ).alias("n_overlap"),
+            )
+        )
+        outs.append(
+            base.join(ov, "q_id")
+            .select(
+                "q_id",
+                F.lit(d).cast("bigint").alias("d"),
+                F.col("n_full").cast("bigint").alias("n_full"),
+                F.col("n_overlap").cast("bigint").alias("n_overlap"),
+                F.round(
+                    F.col("n_overlap") * F.lit(1.0) / F.col("n_full"), 6
+                ).alias("overlap_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 @query("llm_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id<5 —

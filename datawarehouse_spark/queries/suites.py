@@ -441,6 +441,10 @@ SUITES: dict[str, list[Member]] = {
         # the index-quality eval, oracle-checked end to end
         ("llm_ann_quality", [],
          ["q_id", "n_exact", "n_ann", "n_overlap", "recall", "rr"]),
+        # Matryoshka truncation quality (r9): top-5 overlap of
+        # prefix-dim vs full-dim exact cosine per truncation width
+        ("llm_mrl_quality", [],
+         ["q_id", "d", "n_full", "n_overlap", "overlap_frac"]),
         # per-source boilerplate block removal with reassembly
         # (CCNet/FineWeb line-dedup; r8) — corpus cleaning, so it
         # lives with the lifecycle ops
