@@ -1385,3 +1385,155 @@ def block_registry(df: DataFrame, id_col: str = "doc_id",
         .select(F.xxhash64("btxt").alias("s"))
         .distinct()
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    key_len: int = 40,
+    q: int = 2,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All pairs whose match keys (first ``key_len`` chars) are within
+    Levenshtein distance ``max_dist`` — the record-linkage / typo-match
+    member of the dedup family (Ed-Join, Xiao et al. VLDB'08; q-gram
+    count filtering, Gravano et al. VLDB'01). Complements the set-
+    similarity ops (Jaccard/PPJoin/containment): edit distance is the
+    right metric when near-keys differ by character noise (typos, OCR,
+    URL variants), not word-level edits.
+
+    LOSSLESS filtering before the quadratic verify:
+
+    * length filter — ``ed(a,b) <= d`` forces ``|len(a)-len(b)| <= d``;
+    * q-gram prefix filter — one edit destroys at most ``q`` of a
+      string's positional q-grams, hence removes at most ``q`` elements
+      from its DISTINCT q-gram set, so ``ed <= d`` bounds the set
+      difference both ways: ``|GA \\ GB| <= q*d`` and symmetrically.
+      When ``max(|GA|,|GB|) > q*d`` that forces a shared gram among
+      each side's first ``q*d + 1`` grams in the shared global
+      (df, gram)-ascending order (prefix-filter lemma with overlap
+      ``alpha = max(|GA|,|GB|) - q*d``; the conservative prefix length
+      ``q*d + 1`` upper-bounds ``|G| - alpha + 1`` for both sides).
+    * degenerate keys — if ``min(|GA|,|GB|) <= q*d`` the bound is
+      vacuous, but then BOTH sides have ``|G| <= 2*q*d`` (the set
+      difference bound again), so routing every doc with
+      ``|G| <= 2*q*d`` — highly repetitive or sub-``q``-length keys,
+      a corpus rarity — into one small bucket joined all-pairs under
+      the length filter keeps the whole operator lossless.
+
+    Verification is a single JVM ``levenshtein`` per candidate —
+    whole-stage codegen, no UDF. The driver oracle is the NAIVE
+    all-pairs DuckDB join, so the hash check proves losslessness
+    end-to-end, exactly as llm_prefix_filter_pairs does for PPJoin.
+
+    Scale shape: one explode + map-combined df count, one frequency
+    join (shuffle on the 8-byte gram hash), prefix self-join on rare
+    grams, then an id-keyed join of the candidate set against the
+    (id, key) table for the verify — no all-pairs product anywhere on
+    the long-key path.
+    """
+    keys = df.select(
+        F.col(id_col), F.substring(F.col(text), 1, key_len).alias("key")
+    ).withColumn("klen", F.length("key"))
+    keys = keys.persist()
+
+    # distinct q-grams per key (hashed to 8-byte join keys); keys
+    # shorter than q have none (the sequence guard matters — Spark's
+    # sequence(1, stop) DESCENDS when stop < 1)
+    grams = (
+        keys.filter(F.col("klen") >= q)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("klen") - q + 1),
+                    lambda i: F.col("key").substr(i, F.lit(q)),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+    grams = grams.persist()
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # per-doc gram array in the shared global (df, gram-hash) order;
+    # the prefix is the first q*d+1 elements — the rarest grams, the
+    # keys with the least join fan-out
+    pref_len = q * max_dist + 1
+    pref = (
+        grams.join(freq, "g")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("c", "g"))).alias("arr"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.slice(F.transform("arr", lambda x: x["g"]), 1, pref_len)
+            ).alias("g"),
+        )
+        .join(keys.select(id_col, "klen"), id_col)
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.abs(F.col("a.klen") - F.col("b.klen"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # degenerate bucket: docs whose distinct-gram count is <= 2*q*d
+    # (repetitive or sub-q keys). Any qualifying pair with a vacuous
+    # prefix bound has BOTH sides here, so an all-pairs join WITHIN the
+    # bucket (under the length filter) restores losslessness; the
+    # bucket is a corpus rarity and stays broadcast-sized
+    n_g = keys.select(id_col).join(
+        grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g")),
+        id_col, "left",
+    ).select(id_col, F.coalesce("n_g", F.lit(0)).alias("n_g"))
+    deg = (
+        keys.join(n_g.filter(F.col("n_g") <= 2 * q * max_dist), id_col)
+        .select(id_col, "klen")
+    )
+    sa = deg.select(F.col(id_col).alias("doc_a"), F.col("klen").alias("la"))
+    sb = deg.select(F.col(id_col).alias("doc_b"), F.col("klen").alias("lb"))
+    short_cand = (
+        sa.join(
+            sb,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= F.lit(max_dist)),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ka = keys.select(F.col(id_col).alias("doc_a"), F.col("key").alias("key_a"),
+                     F.col("klen").alias("len_a"))
+    kb = keys.select(F.col(id_col).alias("doc_b"), F.col("key").alias("key_b"),
+                     F.col("klen").alias("len_b"))
+    verified = (
+        cand.unionByName(short_cand)
+        .distinct()
+        .join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "doc_a", "doc_b",
+            F.col("len_a").cast("bigint").alias("len_a"),
+            F.col("len_b").cast("bigint").alias("len_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+    )
+    try:
+        return verified.localCheckpoint(eager=True)
+    finally:
+        grams.unpersist()
+        keys.unpersist()

@@ -2531,6 +2531,52 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_edit_distance_pairs",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 6000000,
+             substr(text, 1, 4) || 'Z' || substr(text, 6)
+      FROM documents WHERE doc_id % 50 = 0
+    ), k AS (
+      SELECT doc_id, substr(text, 1, 40) AS key FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(length(a.key) AS BIGINT) AS len_a,
+           CAST(length(b.key) AS BIGINT) AS len_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+      AND abs(length(a.key) - length(b.key)) <= 2
+    WHERE levenshtein(a.key, b.key) <= 2
+    """,
+)
+def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant key matching: all pairs within Levenshtein
+    distance 2 on the 40-char match key, via LOSSLESS q-gram prefix +
+    length filtering (Ed-Join). The oracle is the NAIVE all-pairs
+    DuckDB join, so the hash check proves the filter's losslessness
+    end-to-end — the same bar llm_prefix_filter_pairs sets for PPJoin.
+    Runs over the corpus plus one-char-substituted copies of every
+    50th document so nonzero-distance matches exist at fixture scale
+    (the fixture's own near-dups differ by word edits, distance >= 14
+    — exactly the regime where set similarity, not edit distance, is
+    the right metric; the dist-0 rows are the planted exact dups).
+    See operators/dedup.py::edit_distance_pairs."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    typo = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(6000000)).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 4), F.lit("Z"),
+            F.expr("substring(text, 6)"),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(typo)
+    return dedup.edit_distance_pairs(corpus, max_dist=2)
+
+
 def _bpe_oracle(k: int, emit: str = "merges") -> str:
     """Unrolled k-round BPE oracle (the PageRank unrolled-CTE
     convention): each round re-derives pair counts from the previous

@@ -329,6 +329,10 @@ SUITES: dict[str, list[Member]] = {
         # suite_text_quality for suite balance)
         ("llm_dup_span_remove",
          [], ["doc_id", "span_start", "span_end", "n_kept"]),
+        # typo-tolerant key matching (Ed-Join, r9): lossless q-gram
+        # prefix + length filter before the levenshtein verify
+        ("llm_edit_distance_pairs", [],
+         ["doc_a", "doc_b", "len_a", "len_b", "dist"]),
     ],
     # LLM corpus mixing / sampling / packing / tokenizer training (the
     # dataset-assembly third; absorbs the llm_stratified_sample

@@ -116,6 +116,11 @@ OPS = [
     # boundary (VERDICT r7 ask #7)
     "llm_ngram_near_dup",
     "llm_sorted_neighborhood",
+    # Ed-Join claims candidate volume bounded by rare-gram prefix df²
+    # plus a constant degenerate bucket; replicas are exact key dups,
+    # so true pairs grow ~R² (same documented output-size envelope as
+    # the other lossless pair joins)
+    "llm_edit_distance_pairs",
     "llm_token_entropy",
     # containment shares the capped-self-join envelope (both orders);
     # PPS claims zero data shuffles beyond a scalar reduce; BPE claims

@@ -1754,3 +1754,50 @@ def test_paragraph_dedup_empty_text_pinned(spark):
     assert out[1]["n_blocks"] == 1 and out[1]["n_kept"] == 1
     assert out[1]["clean_text"] == ""
     assert out[2]["n_blocks"] == 1 and out[2]["n_kept"] == 0
+
+
+def test_edit_distance_pairs_typos_and_losslessness(spark):
+    """Ed-Join finds every pair within levenshtein <= d — including
+    nonzero distances (typos) and pairs of REPETITIVE keys whose
+    distinct q-gram sets are too small for the prefix bound (they must
+    be caught by the degenerate bucket, not dropped). Expected set is
+    computed naively in-test."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # dist 2 vs 1 (within key 40: dist 0)
+        (3, "the quick brown fax jumps over the lazy dog"),   # 1 sub vs 1
+        (4, "a completely different sentence about spark sql"),
+        (5, "aaaaaaaaaaaa"),                                  # repetitive: 1 distinct bigram
+        (6, "aaaaabaaaaaa"),                                  # 1 sub vs 5, tiny gram set
+        (7, "ababababababab"),                                # disjoint-ish gram set
+        (8, "zz"),                                            # sub-cut short key
+        (9, "zzz"),                                           # dist 1 vs 8
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in dedup.edit_distance_pairs(docs, max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+        m, n = len(a), len(b)
+        d = np.arange(n + 1)
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return int(d[n])
+
+    keys = {i: t[:40] for i, t in rows}
+    want = {
+        (i, j): lev(keys[i], keys[j])
+        for i in keys for j in keys
+        if i < j and lev(keys[i], keys[j]) <= 2
+    }
+    assert got == want
+    assert (3, 1) not in got  # normalized ordering: doc_a < doc_b
+    assert any(d > 0 for d in got.values())  # typo pairs recovered
+    assert (5, 6) in got  # degenerate-bucket pair survived
