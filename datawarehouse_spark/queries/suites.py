@@ -107,6 +107,10 @@ SUITES: dict[str, list[Member]] = {
         # profiling sibling of a15_key_distribution
         ("dq_column_profile", ["col_name", "min_str", "max_str"],
          ["n", "n_null", "n_distinct", "min_num", "max_num"]),
+        # incremental materialized-view refresh (r9): delta merge vs
+        # full-recompute oracle proves the partial-agg merge algebra
+        ("a23_incremental_view_refresh", ["o_orderpriority", "order_month"],
+         ["revenue", "n_orders", "min_price", "max_price", "avg_price"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [

@@ -878,3 +878,76 @@ def t12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gap_fill(hourly, ["user_id"], "h", "v")
+
+
+@query(
+    "a23_incremental_view_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def a23_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    rollup is materialized over the pre-2000 facts, then REFRESHED from
+    the post-2000 delta by merging partial-aggregate state
+    (operators/views.py::incremental_agg_merge) — the base facts are
+    never re-scanned. The oracle is the FULL RECOMPUTE over all
+    orders, so the hash check proves the merge algebra is exact:
+    decimal SUM state is associative (a double-state view would drift
+    by float reassociation), COUNT merges by addition, MIN/MAX by
+    least/greatest, AVG divides the merged state once at presentation
+    (single IEEE division — bit-deterministic in both engines).
+
+    Scale shape: two fact scans here only because the fixture has no
+    stored view; in production the left input IS the stored view, so a
+    refresh costs one partial agg of the delta partition plus one
+    view-sized full-outer merge shuffle on the group keys.
+    """
+    from datawarehouse_spark.operators import views
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    orders = t["orders"]
+    keys = ["o_orderpriority", "order_month"]
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        ).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+            .alias("revenue_state"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.col("o_totalprice").cast("decimal(38,2)"))
+            .alias("min_state"),
+            F.max(F.col("o_totalprice").cast("decimal(38,2)"))
+            .alias("max_state"),
+        )
+
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    view = agg(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = agg(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = views.incremental_agg_merge(
+        view, delta, keys,
+        {"revenue_state": "sum", "n_orders": "sum",
+         "min_state": "min", "max_state": "max"},
+    )
+    return merged.select(
+        "o_orderpriority", "order_month",
+        F.col("revenue_state").cast("double").alias("revenue"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("min_state").cast("double").alias("min_price"),
+        F.col("max_state").cast("double").alias("max_price"),
+        (F.col("revenue_state").cast("double")
+         / F.col("n_orders").cast("double")).alias("avg_price"),
+    )

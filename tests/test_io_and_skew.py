@@ -435,3 +435,44 @@ def test_zorder_layout_prunes_on_secondary_dimension(spark, tmp_path):
         f"z-order should prune ≥ 2/3 of the files: {z_hits}/{z_total}"
     )
     assert z_hits >= 1  # the matching rows do live somewhere
+
+
+def test_incremental_agg_merge_cycles_equal_full_recompute(spark):
+    """Two successive delta refreshes of a materialized agg view equal
+    the full recompute exactly — decimal SUM state is associative, the
+    merged output schema is a fixed point (valid input for the next
+    cycle), and groups appearing only in a delta (or only in the view)
+    survive the full-outer merge with correct state."""
+    from datawarehouse_spark.operators import views
+
+    rows = [(k, b, float(v)) for b, data in enumerate(
+        [[("a", 1.11), ("a", 2.22), ("b", 5.0)],
+         [("a", 0.10), ("c", 7.77)],
+         [("b", 0.01), ("c", 0.33), ("d", 9.99)]])
+        for k, v in data for _ in [0]]
+    df = spark.createDataFrame(rows, ["k", "batch", "v"])
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.sum(F.col("v").cast("decimal(38,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("v").cast("decimal(38,2)")).alias("mn"),
+            F.max(F.col("v").cast("decimal(38,2)")).alias("mx"),
+        )
+
+    rules = {"s": "sum", "n": "sum", "mn": "min", "mx": "max"}
+    view = agg(df.filter(F.col("batch") == 0))
+    for b in (1, 2):
+        view = views.incremental_agg_merge(
+            view, agg(df.filter(F.col("batch") == b)), ["k"], rules)
+    got = {r["k"]: (str(r["s"]), r["n"], str(r["mn"]), str(r["mx"]))
+           for r in view.collect()}
+    want = {r["k"]: (str(r["s"]), r["n"], str(r["mn"]), str(r["mx"]))
+            for r in agg(df).collect()}
+    assert got == want
+    # schema fixed point: state columns keep their exact types
+    assert dict(view.dtypes)["s"] == "decimal(38,2)"
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown merge rule"):
+        views.incremental_agg_merge(view, view, ["k"], {"s": "avg"})
