@@ -186,3 +186,45 @@ def gap_fill(observed: DataFrame, keys: list[str], t_col: str,
         F.round(filled, 6).alias("v_filled"),
         F.col(v_col).isNotNull().alias("observed"),
     )
+
+
+def mad_outlier_scores(
+    series: DataFrame,
+    keys: list[str],
+    value: str = "c",
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Modified z-scores over a per-key series: ``0.6745 * (v - median)
+    / MAD`` with the Iglewicz-Hoaglin cutoff — the robust twin of the
+    mean/std z-score (one genuine spike inflates std and masks the
+    next; median/MAD shrug it off). Medians are exact continuous
+    percentiles (engine-portable, see a20); for integer inputs they
+    live on the exact .25 grid, so ``rz`` is one multiply and one
+    divide from exact values. MAD = 0 (constant series) yields NULL
+    ``rz`` and ``is_outlier`` = false. Adds ``med_c``/``mad_c``/
+    ``rz``/``is_outlier`` to the input rows.
+
+    Scale shape: two percentile aggs and two broadcast joins on the
+    keys-sized rollups — the input series is scanned twice, never
+    shuffled beyond the keys.
+    """
+    med = series.groupBy(*keys).agg(
+        F.percentile(value, F.lit(0.5)).alias("med_c"))
+    dev = (
+        series.join(F.broadcast(med), keys)
+        .withColumn("dev", F.abs(F.col(value) - F.col("med_c")))
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad_c"))
+    rz_raw = (F.lit(0.6745) * (F.col(value) - F.col("med_c"))
+              / F.col("mad_c"))
+    return (
+        dev.join(F.broadcast(mad), keys)
+        .drop("dev")
+        .withColumn("rz", F.when(F.col("mad_c") > 0, F.round(rz_raw, 6)))
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("mad_c") > 0, F.abs(rz_raw) > cutoff)
+            .otherwise(F.lit(False)),
+        )
+    )

@@ -103,6 +103,10 @@ SUITES: dict[str, list[Member]] = {
         # dq_audit; exact-integer variance, sqrt is the only libm)
         ("t11_daily_anomaly_scan", ["event_type", "dt", "is_anomaly"],
          ["c", "mean_c", "z"]),
+        # MAD robust-outlier twin of t11 (r9): exact .25-grid medians,
+        # Iglewicz-Hoaglin modified z on the unrounded score
+        ("t13_mad_outlier_scan", ["event_type", "dt", "is_outlier"],
+         ["c", "med_c", "mad_c", "rz"]),
         # ANALYZE-TABLE column statistics in one scan (r9) — the
         # profiling sibling of a15_key_distribution
         ("dq_column_profile", ["col_name", "min_str", "max_str"],

@@ -951,3 +951,62 @@ def a23_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue_state").cast("double")
          / F.col("n_orders").cast("double")).alias("avg_price"),
     )
+
+
+@query(
+    "t13_mad_outlier_scan",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, quantile_cont(c, 0.5) AS med_c
+      FROM daily GROUP BY 1
+    ), dev AS (
+      SELECT d.event_type, d.dt, d.c, m.med_c,
+             abs(d.c - m.med_c) AS dev
+      FROM daily d JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad_c
+      FROM dev GROUP BY 1
+    )
+    SELECT v.event_type, v.dt, v.c, v.med_c, a.mad_c,
+           CASE WHEN a.mad_c > 0
+                THEN ROUND(0.6745 * (v.c - v.med_c) / a.mad_c, 6)
+           END AS rz,
+           CASE WHEN a.mad_c > 0
+                THEN abs(0.6745 * (v.c - v.med_c) / a.mad_c) > 3.5
+                ELSE FALSE END AS is_outlier
+    FROM dev v JOIN mad a USING (event_type)
+    """,
+)
+def t13_mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume outlier scan — the MAD (median absolute
+    deviation) twin of t11's z-score. Mean/std are themselves dragged
+    by the outliers they hunt (one bot spike inflates std and masks
+    the next spike); the modified z-score 0.6745*(c - median)/MAD with
+    the Iglewicz-Hoaglin 3.5 cutoff is the standard robust upgrade.
+
+    Portability: medians come from exact continuous percentiles
+    (Spark percentile == DuckDB quantile_cont, the a20-proven pair);
+    an even-count median averages two BIGINTs — division by 2 is
+    exact in binary, so med/dev/MAD live on the exact .25 grid and
+    cross the engines bit-for-bit. Only rz rounds (after one multiply
+    and one divide, both single IEEE ops); is_outlier compares the
+    UNROUNDED score, t11's convention. A constant series (MAD = 0)
+    yields NULL rz, never a division blowup.
+
+    Scale shape: one map-combined (type, day) count over the fact
+    scan; both percentile aggs and joins run on the types-sized and
+    types x days-sized rollups — the fact table is touched once.
+    """
+    from datawarehouse_spark.operators.temporal import mad_outlier_scores
+
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = t["events"].groupBy(
+        "event_type", F.col("ts").cast("date").alias("dt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return mad_outlier_scores(daily, ["event_type"], value="c").select(
+        "event_type", "dt", "c", "med_c", "mad_c", "rz", "is_outlier"
+    )

@@ -170,3 +170,30 @@ def test_gap_fill_interpolation_semantics(spark):
         for r in gap_fill(obs2, ["k"], "t", "v").collect()
     }
     assert got == {0: 0.0, 1: 0.333333, 2: 0.666666, 3: 1.0}
+
+
+def test_mad_outlier_flags_spike_that_zscore_masking_hides(spark):
+    """A synthetic series with TWO spikes: MAD scoring flags both
+    (median/MAD ignore the spikes themselves), and the exact .25-grid
+    median arithmetic matches a hand computation. The fixture's smooth
+    traffic yields zero outliers, so the detection path is pinned
+    here."""
+    from datawarehouse_spark.operators.temporal import mad_outlier_scores
+
+    series = [("pv", d, c) for d, c in enumerate(
+        [100, 102, 98, 101, 99, 100, 1000, 97, 103, 950])]
+    series += [("click", d, 50) for d in range(10)]  # constant: MAD 0
+    df = spark.createDataFrame(series, ["event_type", "dt", "c"])
+    out = {(r.event_type, r.dt): r
+           for r in mad_outlier_scores(df, ["event_type"]).collect()}
+    # pv: sorted [97,98,99,100,100,101,102,103,950,1000] -> med 100.5
+    # devs sorted [.5,.5,.5,1.5,1.5,2.5,2.5,3.5,849.5,899.5] -> mad 2.0
+    r = out[("pv", 6)]
+    assert r.med_c == 100.5 and r.mad_c == 2.0
+    assert r.is_outlier and abs(r.rz - round(0.6745 * 899.5 / 2.0, 6)) < 1e-12
+    assert out[("pv", 9)].is_outlier
+    assert sum(v.is_outlier for (k, _), v in out.items() if k == "pv") == 2
+    # inliers unflagged, constant series never divides by zero
+    assert not out[("pv", 0)].is_outlier
+    c = out[("click", 3)]
+    assert c.mad_c == 0.0 and c.rz is None and not c.is_outlier
