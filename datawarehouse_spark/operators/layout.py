@@ -100,3 +100,65 @@ def file_range_profile(spark, path: str, col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def equiheight_histogram(
+    df: DataFrame,
+    value: str,
+    tiebreak: str,
+    k: int = 16,
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Equi-height (equi-depth) histogram of a numeric column — the
+    selectivity statistic a cost-based optimizer keeps per column
+    (Spark's own ANALYZE TABLE ... FOR COLUMNS builds exactly this
+    shape). Rows are ranked in (value, tiebreak) order — the composite
+    is unique, so the rank and therefore every bucket boundary is
+    deterministic — and row ``grn`` lands in bucket
+    ``(grn-1)*k DIV n``: pure integer arithmetic, engine-portable,
+    no float division anywhere. Emits per bucket: row count and the
+    raw (untouched — no arithmetic, no rounding) lo/hi value bounds.
+
+    Scale shape — a distributed global rank WITHOUT a single-partition
+    window (the sorted_neighborhood_pairs machinery): one range
+    shuffle, per-block row_number, an n_blocks-row broadcast
+    offset/total table, then a map-side bucket projection into a
+    k-row aggregation. The classic ntile() formulation would funnel
+    the whole table through ONE partition's window; this never does.
+    """
+    if k < 1:
+        raise ValueError(f"equiheight_histogram needs k >= 1, got {k}")
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(value).alias("v"), F.col(tiebreak).alias("tb"))
+    ranged = base.repartitionByRange(n_blocks, "v", "tb").withColumn(
+        "blk", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "rn", F.row_number().over(W.partitionBy("blk").orderBy("v", "tb"))
+    )
+    cnt = local.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
+    off_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    off = cnt.select(
+        "blk",
+        F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"),
+        F.sum("c").over(
+            W.orderBy("blk").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("tot"),
+    )
+    return (
+        local.join(F.broadcast(off), "blk")
+        .select(
+            "v",
+            # bigint DIV — exact integer division, never a float path
+            F.expr(f"((rn + off - 1) * {int(k)}) div tot")
+            .cast("bigint").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

@@ -115,6 +115,9 @@ SUITES: dict[str, list[Member]] = {
         # full-recompute oracle proves the partial-agg merge algebra
         ("a23_incremental_view_refresh", ["o_orderpriority", "order_month"],
          ["revenue", "n_orders", "min_price", "max_price", "avg_price"]),
+        # equi-height histogram (r9): distributed-global-rank bucket
+        # boundaries vs the oracle's single ROW_NUMBER
+        ("dq_equiheight_histogram", [], ["bucket", "n_rows", "lo", "hi"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [

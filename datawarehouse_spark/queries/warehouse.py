@@ -1010,3 +1010,39 @@ def t13_mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_scores(daily, ["event_type"], value="c").select(
         "event_type", "dt", "c", "med_c", "mad_c", "rz", "is_outlier"
     )
+
+
+@query(
+    "dq_equiheight_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS grn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST((grn - 1) * 16 // n AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def dq_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height histogram of o_totalprice (16 buckets) — the
+    selectivity statistic behind ANALYZE TABLE ... FOR COLUMNS, and
+    the third member of the profiling family (dq_column_profile's
+    min/max + a15's key skew + this distribution shape). Bucket
+    assignment is pure integer arithmetic over a DETERMINISTIC global
+    rank on the unique (value, key) order; lo/hi pass through with no
+    arithmetic, so the hash check is exact. The oracle's single
+    ROW_NUMBER proves the Spark side's distributed rank (range
+    shuffle + per-block row_number + broadcast offsets — never a
+    single-partition window) computes the same total order.
+    See operators/layout.py::equiheight_histogram."""
+    from datawarehouse_spark.operators.layout import equiheight_histogram
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    return equiheight_histogram(
+        t["orders"], "o_totalprice", "o_orderkey", k=16
+    )

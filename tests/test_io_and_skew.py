@@ -476,3 +476,30 @@ def test_incremental_agg_merge_cycles_equal_full_recompute(spark):
     import pytest
     with pytest.raises(ValueError, match="unknown merge rule"):
         views.incremental_agg_merge(view, view, ["k"], {"s": "avg"})
+
+
+def test_equiheight_histogram_depth_bounds_and_block_invariance(spark):
+    """Equi-height property: bucket depths differ by at most 1, cover
+    every row, and bucket value-ranges are ordered and non-overlapping
+    on distinct values. The global rank must be invariant to where the
+    range-partition boundaries fall (unique composite order), so
+    different n_blocks yield the identical histogram."""
+    from datawarehouse_spark.operators.layout import equiheight_histogram
+
+    import pytest
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 500).alias("v"), F.col("id").alias("k"))
+    h = {r.bucket: r for r in
+         equiheight_histogram(df, "v", "k", k=16, n_blocks=8).collect()}
+    assert sorted(h) == list(range(16))
+    depths = [h[b].n_rows for b in range(16)]
+    assert sum(depths) == 1000 and max(depths) - min(depths) <= 1
+    for b in range(15):
+        assert h[b].lo <= h[b].hi <= h[b + 1].lo
+    h2 = {r.bucket: (r.n_rows, r.lo, r.hi) for r in
+          equiheight_histogram(df, "v", "k", k=16, n_blocks=3).collect()}
+    assert h2 == {b: (r.n_rows, r.lo, r.hi) for b, r in h.items()}
+    one = equiheight_histogram(df, "v", "k", k=1).collect()
+    assert len(one) == 1 and one[0].n_rows == 1000
+    with pytest.raises(ValueError, match="k >= 1"):
+        equiheight_histogram(df, "v", "k", k=0)
