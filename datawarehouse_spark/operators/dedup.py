@@ -1427,24 +1427,41 @@ def edit_distance_pairs(
     all-pairs DuckDB join, so the hash check proves losslessness
     end-to-end, exactly as llm_prefix_filter_pairs does for PPJoin.
 
-    Scale shape: one explode + map-combined df count, one frequency
-    join (shuffle on the 8-byte gram hash), prefix self-join on rare
-    grams, then an id-keyed join of the candidate set against the
-    (id, key) table for the verify — no all-pairs product anywhere on
-    the long-key path.
+    Scale shape: exact-duplicate keys COLLAPSE first (one hash agg),
+    so the gram machinery — explode + map-combined df count, frequency
+    join on the 8-byte gram hash, prefix self-join on rare grams,
+    levenshtein verify — runs over DISTINCT keys only: a corpus where
+    the same key repeats m times (mirror dumps, crawl re-fetches)
+    adds nothing to the join. Duplicate groups re-expand into output
+    pairs at the end through id-keyed joins, where the work is
+    output-bound by construction (those pairs ARE the answer). No
+    all-pairs product anywhere on the long-key path.
     """
-    keys = df.select(
-        F.col(id_col), F.substring(F.col(text), 1, key_len).alias("key")
-    ).withColumn("klen", F.length("key"))
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text), 1, key_len).alias("key"),
+    )
+    ids = ids.persist()
+    # collapse exact-duplicate keys FIRST: the gram machinery runs on
+    # DISTINCT keys only, so a corpus where the same key repeats m
+    # times (mirror dumps, crawl re-fetches — the common case at
+    # scale) costs the join nothing extra; duplicate groups re-expand
+    # into output pairs at the end, where the work is output-bound by
+    # construction
+    keys = (
+        ids.groupBy("key")
+        .agg(F.min("_id").alias("kid"))
+        .withColumn("klen", F.length("key"))
+    )
     keys = keys.persist()
 
-    # distinct q-grams per key (hashed to 8-byte join keys); keys
-    # shorter than q have none (the sequence guard matters — Spark's
-    # sequence(1, stop) DESCENDS when stop < 1)
+    # distinct q-grams per distinct key (hashed to 8-byte join keys);
+    # keys shorter than q have none (the sequence guard matters —
+    # Spark's sequence(1, stop) DESCENDS when stop < 1)
     grams = (
         keys.filter(F.col("klen") >= q)
         .select(
-            F.col(id_col),
+            "kid",
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.col("klen") - q + 1),
@@ -1452,88 +1469,123 @@ def edit_distance_pairs(
                 )
             ).alias("g"),
         )
-        .select(id_col, F.xxhash64("g").alias("g"))
+        .select("kid", F.xxhash64("g").alias("g"))
         .distinct()
     )
     grams = grams.persist()
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-    # per-doc gram array in the shared global (df, gram-hash) order;
+    # per-key gram array in the shared global (df, gram-hash) order;
     # the prefix is the first q*d+1 elements — the rarest grams, the
     # keys with the least join fan-out
     pref_len = q * max_dist + 1
     pref = (
         grams.join(freq, "g")
-        .groupBy(id_col)
+        .groupBy("kid")
         .agg(F.sort_array(F.collect_list(F.struct("c", "g"))).alias("arr"))
         .select(
-            F.col(id_col),
+            "kid",
             F.explode(
                 F.slice(F.transform("arr", lambda x: x["g"]), 1, pref_len)
             ).alias("g"),
         )
-        .join(keys.select(id_col, "klen"), id_col)
+        .join(keys.select("kid", "klen"), "kid")
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.kid") < F.col("b.kid"))
             & (
                 F.abs(F.col("a.klen") - F.col("b.klen"))
                 <= F.lit(max_dist)
             ),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.kid").alias("ka"),
+            F.col("b.kid").alias("kb"),
         )
         .distinct()
     )
-    # degenerate bucket: docs whose distinct-gram count is <= 2*q*d
-    # (repetitive or sub-q keys). Any qualifying pair with a vacuous
-    # prefix bound has BOTH sides here, so an all-pairs join WITHIN the
-    # bucket (under the length filter) restores losslessness; the
-    # bucket is a corpus rarity and stays broadcast-sized
-    n_g = keys.select(id_col).join(
-        grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_g")),
-        id_col, "left",
-    ).select(id_col, F.coalesce("n_g", F.lit(0)).alias("n_g"))
+    # degenerate bucket: distinct keys whose distinct-gram count is
+    # <= 2*q*d (repetitive or sub-q keys). Any qualifying pair with a
+    # vacuous prefix bound has BOTH sides here, so an all-pairs join
+    # WITHIN the bucket (under the length filter) restores
+    # losslessness; the bucket is a corpus rarity and stays small
+    n_g = keys.select("kid").join(
+        grams.groupBy("kid").agg(F.count(F.lit(1)).alias("n_g")),
+        "kid", "left",
+    ).select("kid", F.coalesce("n_g", F.lit(0)).alias("n_g"))
     deg = (
-        keys.join(n_g.filter(F.col("n_g") <= 2 * q * max_dist), id_col)
-        .select(id_col, "klen")
+        keys.join(n_g.filter(F.col("n_g") <= 2 * q * max_dist), "kid")
+        .select("kid", "klen")
     )
-    sa = deg.select(F.col(id_col).alias("doc_a"), F.col("klen").alias("la"))
-    sb = deg.select(F.col(id_col).alias("doc_b"), F.col("klen").alias("lb"))
+    sa = deg.select(F.col("kid").alias("ka"), F.col("klen").alias("la"))
+    sb = deg.select(F.col("kid").alias("kb"), F.col("klen").alias("lb"))
     short_cand = (
         sa.join(
             sb,
-            (F.col("doc_a") < F.col("doc_b"))
+            (F.col("ka") < F.col("kb"))
             & (F.abs(F.col("la") - F.col("lb")) <= F.lit(max_dist)),
         )
-        .select("doc_a", "doc_b")
+        .select("ka", "kb")
         .distinct()
     )
-    ka = keys.select(F.col(id_col).alias("doc_a"), F.col("key").alias("key_a"),
-                     F.col("klen").alias("len_a"))
-    kb = keys.select(F.col(id_col).alias("doc_b"), F.col("key").alias("key_b"),
-                     F.col("klen").alias("len_b"))
-    verified = (
+    ja = keys.select(F.col("kid").alias("ka"), F.col("key").alias("key_a"),
+                     F.col("klen").alias("la"))
+    jb = keys.select(F.col("kid").alias("kb"), F.col("key").alias("key_b"),
+                     F.col("klen").alias("lb"))
+    kp = (
         cand.unionByName(short_cand)
         .distinct()
-        .join(ka, "doc_a")
-        .join(kb, "doc_b")
+        .join(ja, "ka")
+        .join(jb, "kb")
         .withColumn("dist", F.levenshtein("key_a", "key_b"))
         .filter(F.col("dist") <= max_dist)
+    )
+    # expand distinct-key matches over the duplicate-key groups; the
+    # lens must travel WITH their ids through the (doc_a, doc_b)
+    # normalization
+    ma = ids.select(F.col("key").alias("key_a"), F.col("_id").alias("ida"))
+    mb = ids.select(F.col("key").alias("key_b"), F.col("_id").alias("idb"))
+    sw = F.col("ida") <= F.col("idb")
+    inter = (
+        kp.join(ma, "key_a")
+        .join(mb, "key_b")
         .select(
-            "doc_a", "doc_b",
-            F.col("len_a").cast("bigint").alias("len_a"),
-            F.col("len_b").cast("bigint").alias("len_b"),
-            F.col("dist").cast("bigint").alias("dist"),
+            F.when(sw, F.col("ida")).otherwise(F.col("idb")).alias("doc_a"),
+            F.when(sw, F.col("idb")).otherwise(F.col("ida")).alias("doc_b"),
+            F.when(sw, F.col("la")).otherwise(F.col("lb")).alias("len_a"),
+            F.when(sw, F.col("lb")).otherwise(F.col("la")).alias("len_b"),
+            F.col("dist"),
         )
+    )
+    # identical-key pairs (distance 0): a hash self-join within each
+    # duplicate group — pure output, no filtering needed
+    x, y = ids.alias("x"), ids.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.key") == F.col("y.key"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("doc_a"),
+            F.col("y._id").alias("doc_b"),
+            F.length("x.key").alias("len_a"),
+            F.length("y.key").alias("len_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    verified = inter.unionByName(intra).select(
+        "doc_a", "doc_b",
+        F.col("len_a").cast("bigint").alias("len_a"),
+        F.col("len_b").cast("bigint").alias("len_b"),
+        F.col("dist").cast("bigint").alias("dist"),
     )
     try:
         return verified.localCheckpoint(eager=True)
     finally:
         grams.unpersist()
         keys.unpersist()
+        ids.unpersist()
