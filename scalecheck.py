@@ -103,6 +103,14 @@ OPS = [
     # anomaly scan runs on the types×days rollup after one fact count;
     # the PIT join claims broadcast-dim + residual-range (no fan-out)
     "t11_daily_anomaly_scan",
+    # MAD twin: same rollup, two percentile aggs + broadcast joins
+    "t13_mad_outlier_scan",
+    # incremental view refresh claims one fact-partial agg per side +
+    # a view-sized full-outer merge on the group keys
+    "a23_incremental_view_refresh",
+    # equi-height histogram claims one range shuffle + per-block
+    # window + k-row agg — the distributed-global-rank shape
+    "dq_equiheight_histogram",
     "j16_pit_dim_join",
     # prefix-filter join claims candidate volume bounded by rare-shingle
     # df² — replicas are mutual near-dups, so true pairs grow ~R² (the
