@@ -125,6 +125,9 @@ SUITES: dict[str, list[Member]] = {
         ("u2_union_distinct", [], ["nationkey"]),
         ("u3_intersect", [], ["custkey"]),
         ("u4_except", [], ["custkey"]),
+        # anti-entropy table checksums (r9): the 60-bit XOR-fold rides
+        # as a string KEY — exact, no double-precision clipping
+        ("dq_table_checksum", ["m", "checksum"], ["n_rows"]),
     ],
     # §2.8 scalar/string functions
     "suite_scalar_string": [

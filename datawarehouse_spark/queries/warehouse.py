@@ -1046,3 +1046,44 @@ def dq_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equiheight_histogram(
         t["orders"], "o_totalprice", "o_orderkey", k=16
     )
+
+
+@query(
+    "dq_table_checksum",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           bit_xor(CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR)
+             || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+             o_orderpriority
+           ), 1, 15) AS BIGINT)) AS checksum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly anti-entropy checksums of the orders table: every
+    column canonicalized (decimal-string money, ISO date — the
+    engine-portable renderings), md5-prefix hashed per row, XOR-folded
+    per month. The DuckDB oracle computes the same checksum from the
+    same parquet, so a green row IS the cross-engine reconciliation
+    this op exists to perform — two warehouses exchanging these 80
+    rows (instead of 15k facts) prove their copies identical, and any
+    single-row drift flips exactly one group's checksum.
+    See sources/io.py::table_checksum."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    return dwio.table_checksum(
+        t["orders"],
+        [F.date_format("o_orderdate", "yyyy-MM").alias("m")],
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(38,2)").cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderpriority"),
+        ],
+    )

@@ -281,3 +281,33 @@ def read_resilient(spark: SparkSession, path: str,
         "ignoreCorruptFiles", "true" if policy == "skip" else "false"
     )
     return reader.parquet(path)
+
+
+def table_checksum(df: DataFrame, group_by, canon_cols) -> DataFrame:
+    """Order-independent partition checksums for cross-system
+    reconciliation (the anti-entropy primitive behind the reference's
+    own migrate-and-compare methodology, docs/sql调优.md:91 —
+    generalized from "rerun both and diff" to "exchange one checksum
+    row per partition"). Each row's CANONICALIZED columns (caller
+    supplies engine-portable renderings: decimal-string for money,
+    ISO strings for dates — never raw double-to-string) concatenate
+    into one line, hash to a 60-bit md5-prefix BIGINT, and XOR-fold
+    per group: XOR is commutative/associative, so the checksum is
+    independent of row order, partitioning, and merge schedule, and
+    any single-row difference flips it.
+
+    Scale shape: one scan, map-side partial bit_xor, one groups-sized
+    shuffle — the comparison between two warehouses then exchanges
+    |groups| rows instead of the table.
+    """
+    row = F.concat_ws("|", *canon_cols)
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("bigint")
+    gb = [F.col(g) if isinstance(g, str) else g for g in group_by]
+    return (
+        df.select(*gb, h.alias("_h"))
+        .groupBy(*[c for c in df.select(*gb).columns])
+        .agg(
+            F.expr("bit_xor(_h)").alias("checksum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )

@@ -503,3 +503,27 @@ def test_equiheight_histogram_depth_bounds_and_block_invariance(spark):
     assert len(one) == 1 and one[0].n_rows == 1000
     with pytest.raises(ValueError, match="k >= 1"):
         equiheight_histogram(df, "v", "k", k=0)
+
+
+def test_table_checksum_order_invariant_and_drift_sensitive(spark):
+    """The XOR-fold checksum must be identical under any row order or
+    partitioning (anti-entropy requires it), and any single-row edit
+    must flip exactly its group's checksum while counts stay equal —
+    the drift signature a reconciliation job alerts on."""
+    rows = [(i, "g%d" % (i % 3), float(i) + 0.25) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    canon = [F.col("id").cast("string"),
+             F.col("v").cast("decimal(38,2)").cast("string")]
+
+    def cs(d):
+        return {r.g: (r.checksum, r.n_rows)
+                for r in dwio.table_checksum(d, ["g"], canon).collect()}
+
+    base = cs(df)
+    assert cs(df.repartition(13).sortWithinPartitions(F.desc("id"))) == base
+    # one-row drift: value changes in group g1 only
+    drifted = df.withColumn(
+        "v", F.when(F.col("id") == 7, 999.99).otherwise(F.col("v")))
+    d = cs(drifted)
+    assert d["g1"][0] != base["g1"][0] and d["g1"][1] == base["g1"][1]
+    assert d["g0"] == base["g0"] and d["g2"] == base["g2"]
