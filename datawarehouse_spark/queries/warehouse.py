@@ -909,10 +909,11 @@ def a23_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     least/greatest, AVG divides the merged state once at presentation
     (single IEEE division — bit-deterministic in both engines).
 
-    Scale shape: two fact scans here only because the fixture has no
-    stored view; in production the left input IS the stored view, so a
-    refresh costs one partial agg of the delta partition plus one
-    view-sized full-outer merge shuffle on the group keys.
+    Scale shape: ONE fact scan builds both partial states (the fixture
+    stores no materialization, so the "view" side must be derived);
+    in production the left input IS the stored view, so a refresh
+    costs one partial agg of the delta partition plus one view-sized
+    full-outer merge shuffle on the group keys.
     """
     from datawarehouse_spark.operators import views
 
@@ -920,23 +921,26 @@ def a23_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t["orders"]
     keys = ["o_orderpriority", "order_month"]
 
-    def agg(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.col("o_orderpriority"),
-            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
-        ).agg(
-            F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
-            .alias("revenue_state"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.min(F.col("o_totalprice").cast("decimal(38,2)"))
-            .alias("min_state"),
-            F.max(F.col("o_totalprice").cast("decimal(38,2)"))
-            .alias("max_state"),
-        )
-
+    # rows tag themselves view-side or delta-side and the split
+    # happens on the (tiny) checkpointed rollup — the 64x sweep
+    # caught the naive two-scan form paying the full fact scan twice
+    # (ratio 34.5 vs 1.5; SCALE.md has both measurements)
     cutoff = F.lit("2000-01-01").cast("timestamp")
-    view = agg(orders.filter(F.col("o_orderdate") < cutoff))
-    delta = agg(orders.filter(F.col("o_orderdate") >= cutoff))
+    rollup = orders.groupBy(
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        (F.col("o_orderdate") >= cutoff).alias("_is_delta"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .alias("revenue_state"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.col("o_totalprice").cast("decimal(38,2)"))
+        .alias("min_state"),
+        F.max(F.col("o_totalprice").cast("decimal(38,2)"))
+        .alias("max_state"),
+    ).localCheckpoint(eager=True)
+    view = rollup.filter(~F.col("_is_delta")).drop("_is_delta")
+    delta = rollup.filter(F.col("_is_delta")).drop("_is_delta")
     merged = views.incremental_agg_merge(
         view, delta, keys,
         {"revenue_state": "sum", "n_orders": "sum",

@@ -111,6 +111,15 @@ OPS = [
     # equi-height histogram claims one range shuffle + per-block
     # window + k-row agg — the distributed-global-rank shape
     "dq_equiheight_histogram",
+    # column profiler claims ONE expand-based scan (5 count-distincts
+    # share it) + a constant 5-row result; table checksum claims one
+    # map-combined XOR-fold per table, output bounded by table count;
+    # gap fill claims a per-key dense-span explode bounded by the
+    # true gap volume plus two linear window passes (reverse-last
+    # trick — no O(rows²) forward frame)
+    "dq_column_profile",
+    "dq_table_checksum",
+    "t12_gap_fill",
     "j16_pit_dim_join",
     # prefix-filter join claims candidate volume bounded by rare-shingle
     # df² — replicas are mutual near-dups, so true pairs grow ~R² (the
