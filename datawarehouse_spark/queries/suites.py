@@ -182,6 +182,10 @@ SUITES: dict[str, list[Member]] = {
         ("w9_cohort_retention", ["cohort_dt"], ["day_offset", "n_users"]),
         # Markov-funnel transition matrix P(next | current)
         ("w10_event_transitions", ["src", "dst"], ["n", "p_next"]),
+        # bounded VALUE-RANGE frame (r9): trailing 90-day spend — the
+        # frame family w7's ROWS/unbounded-RANGE members leave out
+        ("w11_trailing_range_window", [],
+         ["o_orderkey", "o_custkey", "day", "spend_90d", "n_90d"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [
@@ -218,6 +222,11 @@ SUITES: dict[str, list[Member]] = {
         # RFM quintile segmentation (date key is exact as ISO string)
         ("x5_rfm_segmentation", ["last_dt", "rfm"],
          ["custkey", "f_cnt", "m_amt", "r_score", "f_score", "m_score"]),
+        # CBO statistics in action (r9): per-bucket containment
+        # estimate of |orders JOIN customer| next to the exact size
+        ("dq_join_cardinality_estimate", [],
+         ["bucket", "n_o", "n_c", "ndv_o", "ndv_c",
+          "est_rows", "true_rows", "rel_err"]),
     ],
     # TPC-H workload suite (SURVEY §6's "TPC-H-class" claim made
     # runnable; Q1/Q18/Q22 live on as a1/a19/p13 → all 22 queries

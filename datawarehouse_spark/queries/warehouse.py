@@ -1091,3 +1091,113 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority"),
         ],
     )
+
+
+@query(
+    "dq_join_cardinality_estimate",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi FROM customer
+    ), oc AS (
+      SELECT o_custkey AS k, COUNT(*) AS cnt_o FROM orders GROUP BY 1
+    ), cc AS (
+      SELECT c_custkey AS k, COUNT(*) AS cnt_c FROM customer GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(oc.k, cc.k) AS k, cnt_o, cnt_c
+      FROM oc FULL OUTER JOIN cc ON oc.k = cc.k
+    ), per AS (
+      SELECT GREATEST(0, LEAST(15, ((j.k - lo) * 16) // (hi - lo + 1)))
+               AS bucket,
+             SUM(COALESCE(cnt_o, 0)) AS n_o,
+             SUM(CASE WHEN cnt_o IS NOT NULL THEN 1 ELSE 0 END) AS ndv_o,
+             SUM(COALESCE(cnt_c, 0)) AS n_c,
+             SUM(CASE WHEN cnt_c IS NOT NULL THEN 1 ELSE 0 END) AS ndv_c,
+             SUM(COALESCE(cnt_o, 0) * COALESCE(cnt_c, 0)) AS true_rows
+      FROM j CROSS JOIN b GROUP BY 1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_o AS BIGINT) AS n_o,
+           CAST(n_c AS BIGINT) AS n_c,
+           CAST(ndv_o AS BIGINT) AS ndv_o,
+           CAST(ndv_c AS BIGINT) AS ndv_c,
+           CAST(((n_o * n_c * 1000000) // GREATEST(ndv_o, ndv_c))
+                AS DOUBLE) / 1000000.0 AS est_rows,
+           CAST(true_rows AS BIGINT) AS true_rows,
+           CASE WHEN true_rows > 0 THEN
+             CAST((ABS(((n_o * n_c * 1000000) // GREATEST(ndv_o, ndv_c))
+                       - true_rows * 1000000) // true_rows) AS DOUBLE)
+             / 1000000.0
+           END AS rel_err
+    FROM per
+    """,
+)
+def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based join-cardinality estimation vs ground truth —
+    the statistic the profiling family (dq_column_profile min/max +
+    a15 key skew + dq_equiheight_histogram distribution) exists to
+    FEED: a cost-based optimizer sizes orders ⋈ customer per key-range
+    bucket as n_o·n_c / max(ndv_o, ndv_c) (the System-R containment
+    assumption Catalyst's CBO also applies), and this query publishes
+    the per-bucket estimate NEXT TO the exact join size so the
+    assumption's error is measured, not trusted. On uniform TPC-H keys
+    the estimate is near-exact; skewed corpora light up rel_err, which
+    tells the planner which joins need runtime re-planning (AQE) over
+    static stats.
+
+    Engine parity: the estimate division runs in the integer micro
+    domain (·1e6, one BIGINT floor-division, /1e6 at the end — the
+    SQ8/gap-fill convention) so both engines sit on the identical
+    1e-6 grid; numerators are non-negative, where Spark's truncating
+    DIV equals DuckDB's flooring //. Pre-clamp bucket arithmetic can
+    go negative for out-of-range keys, where trunc and floor differ
+    by at most 1 — both land below 0 and clamp to bucket 0.
+
+    Scale shape: both sides reduce to per-key rollups (map-combined)
+    before the ONE key exchange; the bucket stats are a 16-row
+    aggregate of that ndv-sized join, and the true join size is
+    Σ cnt_o·cnt_c — computed WITHOUT materializing the row-expanded
+    join. The bounds row is a broadcast cross join.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    oc = (
+        t["orders"].groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_o"))
+    )
+    cc = (
+        t["customer"].groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_c"))
+    )
+    bounds = t["customer"].agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    )
+    j = oc.join(cc, "k", "full_outer").crossJoin(F.broadcast(bounds))
+    bucket = F.expr(
+        "greatest(0L, least(15L, ((k - lo) * 16) DIV (hi - lo + 1)))"
+    )
+    zero = F.lit(0).cast("bigint")
+    per = j.groupBy(bucket.alias("bucket")).agg(
+        F.sum(F.coalesce("cnt_o", zero)).alias("n_o"),
+        F.sum(F.col("cnt_o").isNotNull().cast("bigint")).alias("ndv_o"),
+        F.sum(F.coalesce("cnt_c", zero)).alias("n_c"),
+        F.sum(F.col("cnt_c").isNotNull().cast("bigint")).alias("ndv_c"),
+        F.sum(F.coalesce("cnt_o", zero) * F.coalesce("cnt_c", zero))
+        .alias("true_rows"),
+    )
+    est_micro = F.expr("(n_o * n_c * 1000000L) DIV greatest(ndv_o, ndv_c)")
+    err_micro = F.abs(est_micro - F.col("true_rows") * F.lit(1000000))
+    return per.select(
+        "bucket",
+        "n_o",
+        "n_c",
+        "ndv_o",
+        "ndv_c",
+        (est_micro.cast("double") / F.lit(1000000.0)).alias("est_rows"),
+        "true_rows",
+        F.when(
+            F.col("true_rows") > 0,
+            F.expr(
+                "abs((n_o * n_c * 1000000L) DIV greatest(ndv_o, ndv_c)"
+                " - true_rows * 1000000L) DIV true_rows"
+            ).cast("double") / F.lit(1000000.0),
+        ).alias("rel_err"),
+    )

@@ -386,3 +386,59 @@ def w10_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W2
     share = F.col("n") / F.sum("n").over(W2.partitionBy("src"))
     return pairs.select("src", "dst", "n", share.alias("p_next"))
+
+
+@query(
+    "w11_trailing_range_window",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey, o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(o_totalprice AS DECIMAL(38,2)) AS dec
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+           CAST(SUM(dec) OVER w AS DOUBLE) AS spend_90d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_90d
+    FROM d
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w11_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 stretch — bounded VALUE-RANGE frame: each order's trailing
+    90-day spend and order count per customer (`RANGE BETWEEN 89
+    PRECEDING AND CURRENT ROW` over an integer day index). The one
+    frame family w7 left uncovered: ROWS frames count rows, this one
+    slides on the ORDER BY *value*, so same-day orders are peers (both
+    engines include the full peer group — value frames have no tie
+    ambiguity, which is also why no tiebreak column is needed).
+
+    Day index is `unix_micros DIV 86400000000` (the a7 integer-index
+    convention — non-negative, so Spark's truncating DIV equals
+    DuckDB's flooring //); the sum is exact decimal cast to double
+    once.
+
+    Scale shape: ONE Exchange on o_custkey serves both aggregates;
+    Spark executes bounded range frames with two monotone cursors per
+    partition — O(rows) per partition, no per-row rescan (the
+    (currentRow, unboundedFollowing) trap in operators/temporal.py
+    does not apply to trailing frames).
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("day"),
+        F.col("o_totalprice").cast("decimal(38,2)").alias("dec"),
+    )
+    w = (
+        W.partitionBy("o_custkey").orderBy("day").rangeBetween(-89, 0)
+    )
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("dec").over(w).cast("double").alias("spend_90d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_90d"),
+    )
