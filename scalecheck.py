@@ -120,6 +120,12 @@ OPS = [
     "dq_column_profile",
     "dq_table_checksum",
     "t12_gap_fill",
+    # bounded range frame claims one Exchange + O(rows) two-cursor
+    # frame evaluation (output = input rows, so linear is the floor);
+    # cardinality estimate claims map-combined key rollups before the
+    # one ndv-sized exchange + a 16-row agg
+    "w11_trailing_range_window",
+    "dq_join_cardinality_estimate",
     "j16_pit_dim_join",
     # prefix-filter join claims candidate volume bounded by rare-shingle
     # df² — replicas are mutual near-dups, so true pairs grow ~R² (the
