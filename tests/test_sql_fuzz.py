@@ -165,3 +165,79 @@ def test_fuzz_comparator_catches_divergence(spark, duck, orders_view):
         _assert_engines_agree(
             spark, duck, base.format("= 1"), duck_sql=base.format("= 2")
         )
+
+
+@st.composite
+def join_query(draw) -> str:
+    """orders JOIN customer with random join type, side predicates, and
+    either an aggregate or a projection on top. LEFT joins exercise
+    null-extension; the aggregate form exercises post-join rollups."""
+    jt = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    where = draw(predicate())
+    if draw(st.booleans()):
+        return (
+            "SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS s "
+            f"FROM orders o {jt} customer c ON o.o_custkey = c.c_custkey "
+            f"WHERE {where} GROUP BY 1"
+        )
+    return (
+        "SELECT o.o_orderkey, o.o_orderstatus, c.c_mktsegment "
+        f"FROM orders o {jt} customer c ON o.o_custkey = c.c_custkey "
+        f"WHERE {where}"
+    )
+
+
+@st.composite
+def window_query(draw) -> str:
+    """Ranking/offset window functions over a random partition key.
+    ORDER BY includes the unique o_orderkey so every function is
+    deterministic (ROW_NUMBER over a tied order would be engine-chance,
+    not an engine bug)."""
+    part = draw(st.sampled_from(
+        ["o_orderstatus", "o_orderpriority", "(o_custkey % 11)"]
+    ))
+    fn = draw(st.sampled_from([
+        "ROW_NUMBER()",
+        "RANK()",
+        "DENSE_RANK()",
+        "LAG(o_orderkey, 1) OVER w",
+        "LEAD(o_orderkey, 1) OVER w",
+        "CAST(COUNT(*) OVER w2 AS BIGINT)",
+    ]))
+    expr = fn if "OVER" in fn else f"{fn} OVER w"
+    return (
+        f"SELECT o_orderkey, {expr} AS wv FROM orders "
+        f"WHERE {draw(predicate())} "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY o_orderkey), "
+        "w2 AS (PARTITION BY "
+        f"{part} ORDER BY o_orderkey "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    )
+
+
+@given(sql=join_query())
+@_SETTINGS
+def test_fuzz_join_queries_match_duckdb(spark, duck, orders_view,
+                                        customer_view, sql):
+    """Random inner/left joins (row and aggregate forms) produce
+    identical results in Spark SQL and DuckDB."""
+    _assert_engines_agree(spark, duck, sql)
+
+
+@given(sql=window_query())
+@_SETTINGS
+def test_fuzz_window_queries_match_duckdb(spark, duck, orders_view, sql):
+    """Random ranking/offset/frame window functions over deterministic
+    total orders produce identical results in Spark SQL and DuckDB."""
+    _assert_engines_agree(spark, duck, sql)
+
+
+@pytest.fixture(scope="module")
+def customer_view(spark):
+    from datawarehouse_spark.catalog import load_tables
+
+    t = load_tables(spark, SF_ORACLE, ("customer",))
+    t["customer"].createOrReplaceTempView("customer")
+    yield
+    spark.catalog.dropTempView("customer")
