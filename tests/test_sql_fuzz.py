@@ -241,3 +241,69 @@ def customer_view(spark):
     t["customer"].createOrReplaceTempView("customer")
     yield
     spark.catalog.dropTempView("customer")
+
+
+@st.composite
+def setop_query(draw) -> str:
+    """UNION / UNION ALL / INTERSECT / EXCEPT of two filtered
+    projections of the same shape — the branch predicates are random,
+    so overlap ranges from disjoint to identical."""
+    op = draw(st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+    ))
+    sel = "SELECT o_orderstatus, CAST((o_custkey % 19) AS BIGINT) AS g"
+    return (
+        f"{sel} FROM orders WHERE {draw(predicate())} "
+        f"{op} {sel} FROM orders WHERE {draw(predicate())}"
+    )
+
+
+@st.composite
+def subquery_query(draw) -> str:
+    """EXISTS / NOT EXISTS / IN / NOT IN correlated-style membership
+    against a filtered customer subquery, plus CASE and HAVING on an
+    aggregate on top — the semi/anti-join planning surface."""
+    form = draw(st.sampled_from(
+        ["EXISTS", "NOT EXISTS", "IN", "NOT IN"]
+    ))
+    seg = draw(st.sampled_from(
+        ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    ))
+    if "EXISTS" in form:
+        member = (
+            f"{form} (SELECT 1 FROM customer c "
+            f"WHERE c.c_custkey = o.o_custkey "
+            f"AND c.c_mktsegment = '{seg}')"
+        )
+    else:
+        # c_custkey is never NULL, so NOT IN keeps its intuitive
+        # anti-join semantics in both engines
+        member = (
+            f"o.o_custkey {form} (SELECT c_custkey FROM customer "
+            f"WHERE c_mktsegment = '{seg}')"
+        )
+    havn = draw(st.integers(1, 40))
+    return (
+        "SELECT CASE WHEN o.o_totalprice >= 100000 THEN 'hi' ELSE 'lo' "
+        "END AS band, o.o_orderpriority AS pri, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders o WHERE {member} AND {draw(predicate())} "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {havn}"
+    )
+
+
+@given(sql=setop_query())
+@_SETTINGS
+def test_fuzz_setop_queries_match_duckdb(spark, duck, orders_view, sql):
+    """Random UNION/INTERSECT/EXCEPT compositions produce identical
+    result sets in Spark SQL and DuckDB."""
+    _assert_engines_agree(spark, duck, sql)
+
+
+@given(sql=subquery_query())
+@_SETTINGS
+def test_fuzz_subquery_queries_match_duckdb(spark, duck, orders_view,
+                                            customer_view, sql):
+    """Random EXISTS/IN membership subqueries with CASE bands and
+    HAVING produce identical results in Spark SQL and DuckDB."""
+    _assert_engines_agree(spark, duck, sql)
