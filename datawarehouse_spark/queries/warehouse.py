@@ -1158,46 +1158,19 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ cnt_o·cnt_c — computed WITHOUT materializing the row-expanded
     join. The bounds row is a broadcast cross join.
     """
+    from datawarehouse_spark.operators.layout import join_cardinality_stats
+
     t = load_tables(spark, sf_dir, ("orders", "customer"))
-    oc = (
-        t["orders"].groupBy(F.col("o_custkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt_o"))
+    stats = join_cardinality_stats(
+        t["orders"], t["customer"], "o_custkey", "c_custkey", n_buckets=16
     )
-    cc = (
-        t["customer"].groupBy(F.col("c_custkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("cnt_c"))
-    )
-    bounds = t["customer"].agg(
-        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
-    )
-    j = oc.join(cc, "k", "full_outer").crossJoin(F.broadcast(bounds))
-    bucket = F.expr(
-        "greatest(0L, least(15L, ((k - lo) * 16) DIV (hi - lo + 1)))"
-    )
-    zero = F.lit(0).cast("bigint")
-    per = j.groupBy(bucket.alias("bucket")).agg(
-        F.sum(F.coalesce("cnt_o", zero)).alias("n_o"),
-        F.sum(F.col("cnt_o").isNotNull().cast("bigint")).alias("ndv_o"),
-        F.sum(F.coalesce("cnt_c", zero)).alias("n_c"),
-        F.sum(F.col("cnt_c").isNotNull().cast("bigint")).alias("ndv_c"),
-        F.sum(F.coalesce("cnt_o", zero) * F.coalesce("cnt_c", zero))
-        .alias("true_rows"),
-    )
-    est_micro = F.expr("(n_o * n_c * 1000000L) DIV greatest(ndv_o, ndv_c)")
-    err_micro = F.abs(est_micro - F.col("true_rows") * F.lit(1000000))
-    return per.select(
+    return stats.select(
         "bucket",
-        "n_o",
-        "n_c",
-        "ndv_o",
-        "ndv_c",
-        (est_micro.cast("double") / F.lit(1000000.0)).alias("est_rows"),
+        F.col("n_a").alias("n_o"),
+        F.col("n_b").alias("n_c"),
+        F.col("ndv_a").alias("ndv_o"),
+        F.col("ndv_b").alias("ndv_c"),
+        "est_rows",
         "true_rows",
-        F.when(
-            F.col("true_rows") > 0,
-            F.expr(
-                "abs((n_o * n_c * 1000000L) DIV greatest(ndv_o, ndv_c)"
-                " - true_rows * 1000000L) DIV true_rows"
-            ).cast("double") / F.lit(1000000.0),
-        ).alias("rel_err"),
+        "rel_err",
     )

@@ -501,3 +501,31 @@ def test_domain_overlap_reuses_shingle_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 3, plan
+
+
+def test_trailing_range_frame_single_exchange(spark):
+    """w11: one Exchange on the partition key serves BOTH window
+    aggregates in ONE Window operator — a second Window or Exchange
+    would mean the frame pair re-shuffled."""
+    df = QUERIES["w11_trailing_range_window"](spark, SF_ORACLE)
+    plan = parity.analyze(df).spark_plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "RangeFrame" in plan, "frame must be a value-RANGE frame"
+
+
+def test_join_cardinality_estimate_never_expands_join(spark):
+    """The estimator's exact join size must come from the per-key
+    rollup join (two partial-agg exchanges + one final bucket agg),
+    never a row-expanded orders×customer join: every join input in
+    the plan is an aggregate, and the only broadcast is the scalar
+    bounds row."""
+    df = QUERIES["dq_join_cardinality_estimate"](spark, SF_ORACLE)
+    plan = parity.analyze(df).spark_plan
+    # 4 hash exchanges (rollup each side + the scalar bounds agg +
+    # the final bucket agg) + 1 broadcast of the bounds row
+    assert plan.count("Exchange") == 5, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    smj = plan.count("SortMergeJoin")
+    bhj = plan.count("BroadcastHashJoin")
+    assert smj + bhj == 1, f"expected exactly the rollup join: {plan}"

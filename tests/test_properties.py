@@ -530,3 +530,44 @@ def test_curriculum_phase_formula_equals_python(spark, ppls, n_phases):
     }
     assert got == want
     assert set(got.values()) <= set(range(1, n_phases + 1))
+
+
+# --- join-cardinality estimation: the containment assumption's known
+# regimes, on arbitrary data ---------------------------------------------
+
+CARD_KEYS = st.integers(min_value=0, max_value=9)
+
+
+@given(fk=st.lists(CARD_KEYS, min_size=1, max_size=60))
+@_SETTINGS
+def test_join_cardinality_exact_on_pk_fk(spark, fk):
+    """PK-FK joins are estimated EXACTLY by containment regardless of
+    fact-side skew: with the dim side unique, n_b = ndv_b per bucket,
+    so n_a·n_b/max(ndv_a, ndv_b) = n_a = the true join size."""
+    from datawarehouse_spark.operators.layout import join_cardinality_stats
+
+    a = _df(spark, [(k, 0) for k in fk], ["k", "v"])
+    b = _df(spark, [(k, 0) for k in range(10)], ["pk", "v"])
+    out = join_cardinality_stats(a, b, "k", "pk", n_buckets=4).collect()
+    for r in out:
+        assert r.true_rows == r.est_rows, r
+        assert r.rel_err in (0.0, None), r
+
+
+def test_join_cardinality_rel_err_lights_up_on_mismatched_skew(spark):
+    """m:n joins with OPPOSITE concentration break containment — the
+    estimate spreads a's hot key over every b key in the bucket. This
+    is the regime rel_err exists to expose (the signal that a static
+    plan needs AQE)."""
+    from datawarehouse_spark.operators.layout import join_cardinality_stats
+
+    # a: 99 rows of key 0, 1 row of key 3; b: 1 row of key 0, 99 of key 3
+    a = _df(spark, [(0, 0)] * 99 + [(3, 0)], ["k", "v"])
+    b = _df(spark, [(0, 0)] + [(3, 0)] * 99, ["k", "v"])
+    out = join_cardinality_stats(a, b, "k", "k", n_buckets=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    # true = 99·1 + 1·99 = 198; est = 100·100/2 = 5000
+    assert r.true_rows == 198, r
+    assert r.est_rows == 5000.0, r
+    assert r.rel_err > 20, r
