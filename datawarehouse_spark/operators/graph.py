@@ -141,3 +141,147 @@ def pagerank_oracle_sql(pairs_cte: str, n_iters: int = 10) -> str:
     WITH RECURSIVE {body}
     SELECT node, r AS pr FROM r{n_iters}
     """
+
+
+def triangle_stats(pairs: DataFrame, id_a: str = "doc_a",
+                   id_b: str = "doc_b") -> DataFrame:
+    """Exact triangle counting + local clustering coefficient over the
+    undirected pair graph — the density signal on a near-dup candidate
+    graph (a node inside a tight clique is a template/mirror family;
+    a high-degree node with NO triangles is a hub joining unrelated
+    docs, i.e. a boilerplate shingle artifact worth auditing).
+
+    Algorithm: degree-ordered compact-forward. Every edge is oriented
+    from its lower-(degree, id) endpoint to the higher, so each
+    triangle {a,b,c} is enumerated exactly once at its lowest-rank
+    apex: wedge (a→b, a→c) with rank(b) < rank(c), closed by the
+    oriented edge (b→c). Wedge fan-out per apex is bounded by its
+    OUT-degree, which degree-orientation caps at O(√E) (arboricity
+    bound) — the standard way triangle counting survives power-law
+    skew: the million-neighbor hub generates no wedges because all its
+    edges point INTO it. Cost: one degree agg, one self-join on the
+    apex key, one semi-join against the oriented edge set — all
+    equi-joins on ids, no row ever carries text.
+
+    Exactness: degrees, triangle counts are integers;
+    clustering = 2·T / (d·(d−1)) is a single IEEE division of exact
+    integers, bit-identical across engines (no libm, no rounding).
+
+    Returns (doc_id, degree, n_tri, clustering), one row per node
+    with degree ≥ 1.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .distinct()
+        .persist()
+    )
+    try:
+        und = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = (
+            und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            .withColumnRenamed("a", "v")
+            .persist()
+        )
+        with_deg = (
+            edges
+            .join(deg.select(F.col("v").alias("a"),
+                             F.col("d").alias("da")), "a")
+            .join(deg.select(F.col("v").alias("b"),
+                             F.col("d").alias("db")), "b")
+        )
+        low_first = (
+            F.struct(F.col("da"), F.col("a"))
+            < F.struct(F.col("db"), F.col("b"))
+        )
+        orient = with_deg.select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
+        ).persist()
+        o1, o2 = orient.alias("o1"), orient.alias("o2")
+        wedges = o1.join(
+            o2,
+            (F.col("o1.u") == F.col("o2.u"))
+            & (F.struct(F.col("o1.dw"), F.col("o1.w"))
+               < F.struct(F.col("o2.dw"), F.col("o2.w"))),
+        ).select(
+            F.col("o1.u").alias("ta"),
+            F.col("o1.w").alias("tb"),
+            F.col("o2.w").alias("tc"),
+        )
+        tri = wedges.join(
+            orient.select(F.col("u").alias("tb"), F.col("w").alias("tc")),
+            ["tb", "tc"],
+            "left_semi",
+        )
+        per_node = (
+            tri.select(F.explode(F.array("ta", "tb", "tc")).alias("v"))
+            .groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
+        )
+        out = deg.join(per_node, "v", "left").select(
+            F.col("v").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+            .alias("n_tri"),
+            F.when(
+                F.col("d") >= 2,
+                (F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0)))
+                / (F.col("d") * (F.col("d") - F.lit(1))),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        deg.unpersist()
+        orient.unpersist()
+
+
+def triangle_oracle_sql(pairs_cte: str) -> str:
+    """DuckDB oracle for :func:`triangle_stats` — the identical
+    compact-forward enumeration (same orientation, same wedge order),
+    so the per-node counts match row-for-row without any canonical-
+    form slack. ``pairs_cte`` must end in ``pairs(doc_a, doc_b)``."""
+    return f"""
+    WITH {pairs_cte},
+    e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY 1),
+    orient AS (
+      SELECT CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN e.b ELSE e.a END AS w,
+             CASE WHEN (da.d, e.a) < (db.d, e.b)
+                  THEN db.d ELSE da.d END AS dw
+      FROM e
+      JOIN deg da ON e.a = da.v
+      JOIN deg db ON e.b = db.v
+    ),
+    tri AS (
+      SELECT o1.u AS ta, o1.w AS tb, o2.w AS tc
+      FROM orient o1
+      JOIN orient o2
+        ON o1.u = o2.u AND (o1.dw, o1.w) < (o2.dw, o2.w)
+      WHERE EXISTS (
+        SELECT 1 FROM orient o3 WHERE o3.u = o1.w AND o3.w = o2.w
+      )
+    ),
+    per_node AS (
+      SELECT v, COUNT(*) AS n_tri
+      FROM (
+        SELECT ta AS v FROM tri
+        UNION ALL SELECT tb AS v FROM tri
+        UNION ALL SELECT tc AS v FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.v AS doc_id,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(per_node.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN deg.d >= 2
+                THEN (CAST(2.0 AS DOUBLE) * COALESCE(per_node.n_tri, 0))
+                     / (deg.d * (deg.d - 1))
+                ELSE CAST(0.0 AS DOUBLE) END AS clustering
+    FROM deg LEFT JOIN per_node ON deg.v = per_node.v
+    """

@@ -234,3 +234,51 @@ def join_cardinality_stats(
             ).cast("double") / F.lit(1000000.0),
         ).alias("rel_err"),
     )
+
+
+def compaction_plan(files: DataFrame, part_keys: list[str],
+                    file_col: str, size_col: str,
+                    target: int) -> DataFrame:
+    """Small-file compaction planner — the batch planning half of the
+    streaming small-file problem (SURVEY §2.1 S10: micro-batch sinks
+    produce many small files; an async job merges them). Given a file
+    inventory (one row per file with its size), assign files within
+    each partition to merge GROUPS of ~``target`` size by cumulative
+    next-fit: files are taken in a deterministic order and a new group
+    starts whenever the running total crosses the target, i.e.
+    ``group = cum_size_before_this_file DIV target``. A group can
+    overshoot by at most one file — the standard compactor contract
+    (Delta OPTIMIZE bin-packing has the same property).
+
+    Exactness: sizes are integers, the assignment is integer division
+    of an integer running sum — engine-identical by construction.
+
+    Scale shape: the inventory is METADATA (one row per file, not per
+    data row) — thousands of rows per partition even at 100 TB — so
+    the per-partition running-sum window is cheap by construction; the
+    one shuffle keys on the partition columns, never on file contents.
+    The plan output drives the actual rewrite (read group → coalesce →
+    write), which is embarrassingly parallel per group.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*part_keys)
+        .orderBy("file_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        files.select(
+            *part_keys,
+            F.col(file_col).alias("file_id"),
+            F.col(size_col).cast("bigint").alias("size"),
+        )
+        .withColumn("cum_after", F.sum("size").over(w))
+        .select(
+            *part_keys,
+            "file_id",
+            "size",
+            (F.col("cum_after") - F.col("size")).alias("cum_before"),
+            F.expr(f"(cum_after - size) DIV {int(target)}").alias("grp"),
+        )
+    )

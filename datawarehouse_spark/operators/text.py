@@ -857,6 +857,81 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def kn_lm_score(df: DataFrame, id_col: str = "doc_id",
+                text: str = "text", discount: float = 0.75) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity per document — the
+    smoothing the REAL CCNet/KenLM quality filter uses (lm_score is
+    the add-one baseline; KN is what `kenlm` ships). Absolute
+    discount d with continuation-probability backoff:
+
+        p(w2|w1) = (c12 − d)/c1 + (d·N1+(w1,·)/c1) · N1+(·,w2)/B
+
+    where N1+(w1,·) = distinct successors of w1, N1+(·,w2) = distinct
+    predecessors of w2 (the continuation count — how many contexts a
+    word completes, which is why KN demotes "Francisco": frequent but
+    only ever after "San"), and B = total distinct bigram types.
+    Trained on the scored corpus itself, every scored bigram has
+    c12 ≥ 1 > d, so the max(c12−d, 0) clamp never binds.
+
+    Exactness: all counts are integers; p is pure IEEE arithmetic
+    written in the same operation order in both engines; the one libm
+    call (log2) is rounded to the 1e-6 grid per bigram before the
+    order-independent decimal sum — lm_score's exact convention.
+
+    Scale shape: identical to lm_score (see its docstring): in-row
+    zip_with bigrams, ONE map-combined bigram count, all four
+    marginals (c1, N1+ after/before, B) as window aggregates over the
+    vocab²-bounded count table in one lineage, one scoring join.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col(text), " ")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = df.select(F.col(id_col), F.explode(bgs).alias("b")).select(
+        id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    d = F.lit(discount)
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    m = (
+        c.withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
+        .withColumn("n1a", F.count(F.lit(1)).over(W.partitionBy("w1")))
+        .withColumn("n1b", F.count(F.lit(1)).over(W.partitionBy("w2")))
+        .withColumn("b", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    model = m.select(
+        "w1", "w2",
+        F.round(
+            F.log2(
+                (F.col("c12") - d) / F.col("c1")
+                + (d * F.col("n1a") / F.col("c1"))
+                * (F.col("n1b") / F.col("b").cast("double"))
+            ),
+            6,
+        ).alias("logp"),
+    )
+    scored = bg.join(model, ["w1", "w2"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_logp"),
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.round(F.col("avg_logp"), 6).alias("kn_avg_logp"),
+            F.round(F.pow(F.lit(2.0), -F.col("avg_logp")), 6)
+            .alias("kn_ppl"),
+        )
+    )
+
+
 def domain_divergence(df: DataFrame, domain_col: str = "source",
                       text: str = "text") -> DataFrame:
     """Per-domain distribution-shift diagnostic: KL(P_domain || P_corpus)

@@ -2000,6 +2000,53 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_kn_perplexity",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, s[i] AS w1, s[i + 1] AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents) d,
+           UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+    ), c AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ), m AS (
+      SELECT w1, w2, c12,
+             SUM(c12) OVER (PARTITION BY w1) AS c1,
+             COUNT(*) OVER (PARTITION BY w1) AS n1a,
+             COUNT(*) OVER (PARTITION BY w2) AS n1b,
+             COUNT(*) OVER () AS b
+      FROM c
+    ), model AS (
+      SELECT w1, w2,
+             ROUND(log2(
+               (c12 - CAST(0.75 AS DOUBLE)) / c1
+               + (CAST(0.75 AS DOUBLE) * n1a / c1)
+                 * (n1b / CAST(b AS DOUBLE))
+             ), 6) AS logp
+      FROM m
+    ), scored AS (
+      SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS avg_logp
+      FROM bg JOIN model USING (w1, w2) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(s.avg_logp, 6) AS kn_avg_logp,
+           ROUND(POW(2.0, -s.avg_logp), 6) AS kn_ppl
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def llm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity per document (r9) —
+    the smoothing the production KenLM quality filter actually uses
+    (continuation-count backoff demotes "frequent only in one
+    context" words). Same one-count-one-lineage shape as the add-one
+    baseline; see operators/text.py::kn_lm_score."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.kn_lm_score(t["documents"])
+
+
+@query(
     "llm_domain_kl",
     oracle="""
     WITH w AS (
@@ -2264,6 +2311,25 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
     )
     return graph.pagerank(pairs, n_iters=10)
+
+
+@query(
+    "llm_graph_triangles",
+    oracle=graph.triangle_oracle_sql(_DUCK_NGRAM_CTES),
+)
+def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per node over the
+    exact near-dup pair graph — the density audit on the duplication
+    graph (cliques = template/mirror families worth one keeper;
+    high-degree zero-triangle hubs = boilerplate-shingle artifacts
+    that inflate candidate volume). Degree-ordered compact-forward
+    enumeration, EXACT cross-engine (integer counts, one IEEE division
+    for the coefficient). See operators/graph.py::triangle_stats."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+    return graph.triangle_stats(pairs)
 
 
 @query(

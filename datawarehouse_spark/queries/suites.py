@@ -50,6 +50,10 @@ SUITES: dict[str, list[Member]] = {
         ("s15_zorder_clustering", [],
          ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "z1", "z2", "zkey"]),
+        # small-file compaction planner (r9): cumulative next-fit
+        # grouping of a per-day file inventory — exact integers
+        ("s16_compaction_plan", ["dt", "file_id"],
+         ["size", "cum_before", "grp"]),
     ],
     # §2.2 predicates: filter, LIKE, IN list, date range, NULL, AND/OR/NOT
     "suite_predicates": [
@@ -160,6 +164,10 @@ SUITES: dict[str, list[Member]] = {
         # T12 (r9) — dense-grid gap fill with linear interpolation on
         # the integer hour index (the resample-before-metrics step)
         ("t12_gap_fill", ["observed"], ["user_id", "h", "v_filled"]),
+        # hypertable rollup (r9): LOCF time-weighted average per
+        # (type, day) — integer-micro weighted sums, engine-exact
+        ("t14_time_weighted_avg", ["event_type", "dt"],
+         ["n_events", "span_us", "twa"]),
     ],
     # §2.5 windows: first/last value, default frame, partition count/sum
     "suite_windows_basic": [
@@ -275,6 +283,10 @@ SUITES: dict[str, list[Member]] = {
         # corpus-trained bigram-LM perplexity (CCNet/KenLM filter shape)
         ("llm_lm_perplexity", [],
          ["doc_id", "n_bigrams", "avg_logp", "ppl"]),
+        # Kneser-Ney twin of the add-one bigram LM (r9): the
+        # production KenLM smoothing, same one-count lineage
+        ("llm_kn_perplexity", [],
+         ["doc_id", "n_bigrams", "kn_avg_logp", "kn_ppl"]),
         # perplexity-ordered curriculum phases (block-offset global rank)
         ("llm_curriculum", [],
          ["doc_id", "n_bigrams", "ppl", "n_tok", "rank", "phase"]),
@@ -482,6 +494,12 @@ SUITES: dict[str, list[Member]] = {
         # of the foreachBatch replay test in tests/test_streaming.py
         ("llm_incremental_paragraph_dedup", ["clean_text"],
          ["doc_id", "n_blocks", "n_kept"]),
+        # triangle count + clustering coefficient over the near-dup
+        # graph (r9) — density audit of the duplication clusters;
+        # degree-ordered compact-forward, exact integers + one IEEE
+        # division
+        ("llm_graph_triangles", [],
+         ["doc_id", "degree", "n_tri", "clustering"]),
     ],
     # multimodal catalog + frame sampling + Arrow feature extraction
     # (mm_feature_extraction folded in for r9 — the registry must fit

@@ -767,6 +767,50 @@ def s15_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
 
+
+@query(
+    "s16_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type AS file_id,
+             CAST(COUNT(*) AS BIGINT) AS size
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT dt, file_id, size,
+             SUM(size) OVER (PARTITION BY dt ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_after
+      FROM files
+    )
+    SELECT dt, file_id, size,
+           CAST(cum_after - size AS BIGINT) AS cum_before,
+           CAST((cum_after - size) // 500 AS BIGINT) AS grp
+    FROM c
+    """,
+)
+def s16_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (r9) — the batch half of S10's
+    streaming small-file problem: assign a per-partition file
+    inventory to ~target-sized merge groups by cumulative next-fit
+    (group = integer DIV of the running size). The inventory here is
+    derived from events as one "file" per (day, event_type) with
+    row-count size — deterministic on both engines, standing in for a
+    real sink listing. See operators/layout.py::compaction_plan for
+    the metadata-scale argument."""
+    from datawarehouse_spark.operators.layout import compaction_plan
+
+    t = load_tables(spark, sf_dir, ("events",))
+    files = (
+        t["events"]
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            F.col("event_type").alias("file_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    return compaction_plan(files, ["dt"], "file_id", "size", target=500)
+
+
 def _profile_oracle() -> str:
     num = ["o_orderkey", "o_custkey", "o_totalprice"]
     strs = ["o_orderstatus", "o_orderpriority"]
@@ -878,6 +922,57 @@ def t12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gap_fill(hourly, ["user_id"], "h", "v")
+
+
+@query(
+    "t14_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+             epoch_us(ts) AS t,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_c,
+             event_id
+      FROM events
+    ), seg AS (
+      SELECT event_type, dt, t, v_c,
+             lead(t) OVER (PARTITION BY event_type, dt
+                           ORDER BY t, event_id) AS t_next
+      FROM e
+    ), agg AS (
+      SELECT event_type, dt,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+             SUM(CAST(v_c * (t_next - t) AS DECIMAL(38,0))) AS wsum
+      FROM seg GROUP BY 1, 2
+    )
+    SELECT event_type, dt, n_events, span_us,
+           CASE WHEN span_us > 0
+                THEN (CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE))
+                     / CAST(100.0 AS DOUBLE)
+           END AS twa
+    FROM agg
+    """,
+)
+def t14_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup (r9): per (event_type, day) time-weighted
+    average of `value` under LOCF semantics — the correct "average
+    level" aggregate for irregular metric streams (plain AVG
+    over-weights bursts). Integer-micro weighted sums keep the result
+    engine-exact; see operators/temporal.py::time_weighted_avg for
+    the one-shuffle shape."""
+    from datawarehouse_spark.operators.temporal import time_weighted_avg
+
+    t = load_tables(spark, sf_dir, ("events",))
+    e = t["events"].select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+        F.unix_micros("ts").alias("t_us"),
+        "value",
+        "event_id",
+    )
+    return time_weighted_avg(
+        e, ["event_type", "dt"], "t_us", "value", "event_id"
+    )
 
 
 @query(

@@ -86,6 +86,9 @@ OPS = [
     # the vocab stays constant while the stream grows — the exact
     # regime where both claims must show sub-linear ratios)
     "llm_lm_perplexity",
+    # Kneser-Ney twin: same one-count lineage plus two more window
+    # marginals over the same vocab²-bounded table
+    "llm_kn_perplexity",
     "llm_domain_kl",
     # domain overlap claims fan-out bounded by domains² per shingle;
     # bm25 claims broadcast-only online scoring over the tf stream;
@@ -125,6 +128,9 @@ OPS = [
     # cardinality estimate claims map-combined key rollups before the
     # one ndv-sized exchange + a 16-row agg
     "w11_trailing_range_window",
+    # time-weighted average claims ONE (type, day)-keyed shuffle
+    # serving both the LOCF lead window and the map-combined final agg
+    "t14_time_weighted_avg",
     "dq_join_cardinality_estimate",
     "j16_pit_dim_join",
     # prefix-filter join claims candidate volume bounded by rare-shingle
@@ -138,6 +144,11 @@ OPS = [
     # number belongs next to prefix-filter's documented output-size
     # boundary (VERDICT r7 ask #7)
     "llm_ngram_near_dup",
+    # triangle counting claims wedge volume bounded by Σ out-deg² with
+    # out-degree capped at O(√E) by the degree orientation; replicas
+    # are mutual near-dups so the pair graph itself grows ~R² — the
+    # same documented harder-than-linear upper bound as ngram/LSH
+    "llm_graph_triangles",
     "llm_sorted_neighborhood",
     # Ed-Join claims candidate volume bounded by rare-gram prefix df²
     # plus a constant degenerate bucket; replicas are exact key dups,

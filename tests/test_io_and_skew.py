@@ -527,3 +527,28 @@ def test_table_checksum_order_invariant_and_drift_sensitive(spark):
     d = cs(drifted)
     assert d["g1"][0] != base["g1"][0] and d["g1"][1] == base["g1"][1]
     assert d["g0"] == base["g0"] and d["g2"] == base["g2"]
+
+
+def test_compaction_plan_next_fit_semantics(spark):
+    """Cumulative next-fit: groups fill to the target and may
+    overshoot by at most ONE file; group ids are dense from 0 in
+    file order within each partition; a file larger than the target
+    gets its own group boundary behaviour (it spans the division
+    point but the NEXT file starts a fresh group)."""
+    from datawarehouse_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("d1", "a", 40), ("d1", "b", 40), ("d1", "c", 40),
+        ("d1", "d", 250),  # jumbo file
+        ("d1", "e", 10),
+        ("d2", "a", 10),
+    ]
+    df = spark.createDataFrame(rows, "dt string, f string, sz long")
+    out = {(r["dt"], r["file_id"]): r["grp"]
+           for r in compaction_plan(df, ["dt"], "f", "sz", 100).collect()}
+    # d1: cum_before a=0 b=40 c=80 d=120 e=370
+    assert out[("d1", "a")] == 0 and out[("d1", "b")] == 0
+    assert out[("d1", "c")] == 0      # overshoot: 40+40+40 = 120 > 100
+    assert out[("d1", "d")] == 1      # next file starts a new group
+    assert out[("d1", "e")] == 3      # jumbo advanced the cursor past 2
+    assert out[("d2", "a")] == 0      # partitions plan independently

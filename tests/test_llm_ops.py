@@ -889,6 +889,37 @@ def test_pagerank_hub_ranks_highest_and_mass_conserves(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-9
 
 
+def test_triangle_stats_known_graph(spark):
+    """Triangle counts on a hand-checkable graph: K4 glued to a path.
+    K4 = {0,1,2,3} (4 triangles, each node in 3); node 4 hangs off
+    node 3 (degree 1, no triangles); {10,11,12} is a disjoint exact
+    triangle. Clustering: K4 nodes 3/(choose(3,2)... ) — node in K4
+    has degree 3 within K4 (node 3 has degree 4 incl. the tail)."""
+    from datawarehouse_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 4)] + [(10, 11), (10, 12), (11, 12)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r["doc_id"]: r for r in triangle_stats(pairs).collect()}
+    assert len(out) == 8
+    # K4: every node participates in the 3 triangles through it
+    for v in (0, 1, 2):
+        assert out[v]["degree"] == 3 and out[v]["n_tri"] == 3
+        assert out[v]["clustering"] == 1.0
+    # node 3: degree 4 (K4 + tail), still 3 triangles -> 6/12 = 0.5
+    assert out[3]["degree"] == 4 and out[3]["n_tri"] == 3
+    assert out[3]["clustering"] == 0.5
+    # the tail leaf: no triangles, degree 1 -> coefficient pinned 0.0
+    assert out[4]["degree"] == 1 and out[4]["n_tri"] == 0
+    assert out[4]["clustering"] == 0.0
+    # disjoint triangle: one triangle each, coefficient 1
+    for v in (10, 11, 12):
+        assert out[v]["degree"] == 2 and out[v]["n_tri"] == 1
+        assert out[v]["clustering"] == 1.0
+    # global triangle count: sum(n_tri)/3 = 4 + 1
+    assert sum(r["n_tri"] for r in out.values()) == 15
+
+
 def test_pmi_collocations_finds_glued_pair(spark):
     """PMI: a pair that ALWAYS co-occurs ("san francisco") outranks
     pairs of independent frequent words; the min-count floor drops
@@ -1801,3 +1832,31 @@ def test_edit_distance_pairs_typos_and_losslessness(spark):
     assert (3, 1) not in got  # normalized ordering: doc_a < doc_b
     assert any(d > 0 for d in got.values())  # typo pairs recovered
     assert (5, 6) in got  # degenerate-bucket pair survived
+
+
+def test_kn_lm_score_formula_hand_computed(spark):
+    """Pin interpolated Kneser-Ney on a 2-doc corpus small enough to
+    compute by hand: counts (a,b)=2, (b,c)=1; contexts c1(a)=2,
+    c1(b)=1; continuation N1+(.,b)=1, N1+(.,c)=1; B=2 bigram types.
+    p(b|a) = 1.25/2 + (0.75*1/2)*(1/2) = 0.8125
+    p(c|b) = 0.25/1 + (0.75*1/1)*(1/2) = 0.625
+    Also: the <2-token doc emits n_bigrams=0 with NULL scores."""
+    import math
+
+    from datawarehouse_spark.operators.text import kn_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in kn_lm_score(docs).collect()}
+    lp_ab = round(math.log2(0.8125), 6)
+    lp_bc = round(math.log2(0.625), 6)
+    avg1 = round((lp_ab + lp_bc) / 2, 6)
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["kn_avg_logp"] == avg1
+    assert out[1]["kn_ppl"] == round(2.0 ** -((lp_ab + lp_bc) / 2), 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["kn_avg_logp"] == lp_ab
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["kn_avg_logp"] is None and out[3]["kn_ppl"] is None

@@ -197,3 +197,30 @@ def test_mad_outlier_flags_spike_that_zscore_masking_hides(spark):
     assert not out[("pv", 0)].is_outlier
     c = out[("click", 3)]
     assert c.mad_c == 0.0 and c.rz is None and not c.is_outlier
+
+
+def test_time_weighted_avg_locf_semantics(spark):
+    """TWA on a hand-computed series: value 10.00 for 3 us, then
+    1.00 for 1 us -> (1000*3 + 100*1)/4/100 = 7.75 — a plain AVG
+    would say 5.5 under the same samples (burst over-weighting).
+    Single-sample groups and all-tied timestamps emit NULL (zero
+    span); timestamp ties contribute zero weight regardless of
+    tiebreak order."""
+    from datawarehouse_spark.operators.temporal import time_weighted_avg
+
+    rows = [
+        # key "a": t=0 v=10.00, t=3 v=1.00, t=4 v=99.0 (last, 0-weight)
+        ("a", 0, 10.00, 1), ("a", 3, 1.00, 2), ("a", 4, 99.0, 3),
+        # key "b": one sample -> NULL twa
+        ("b", 7, 5.0, 4),
+        # key "c": two samples at the SAME t -> span 0 -> NULL
+        ("c", 9, 1.0, 5), ("c", 9, 2.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, value double, id long")
+    out = {r["k"]: r for r in
+           time_weighted_avg(df, ["k"], "t", "value", "id").collect()}
+    a = out["a"]
+    assert a["n_events"] == 3 and a["span_us"] == 4
+    assert a["twa"] == (1000 * 3 + 100 * 1) / 4 / 100.0  # 7.75
+    assert out["b"]["twa"] is None and out["b"]["span_us"] == 0
+    assert out["c"]["twa"] is None and out["c"]["n_events"] == 2
