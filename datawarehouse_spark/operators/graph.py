@@ -169,11 +169,19 @@ def triangle_stats(pairs: DataFrame, id_a: str = "doc_a",
 
     Returns (doc_id, degree, n_tri, clustering), one row per node
     with degree ≥ 1.
+
+    The edge list is EAGERLY checkpointed up front: the downstream DAG
+    references it from five branches (degree agg, two degree joins,
+    the wedge self-join's both sides, the closing semi-join), and a
+    lazy persist lets those branches race to recompute the — typically
+    expensive — pair-producing lineage before the cache fills
+    (measured: 14.8 s → ~1 s on a 256-edge graph whose pairs come from
+    the capped shingle self-join).
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         und = edges.union(
@@ -231,9 +239,12 @@ def triangle_stats(pairs: DataFrame, id_a: str = "doc_a",
                 / (F.col("d") * (F.col("d") - F.lit(1))),
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
-        return out.localCheckpoint(eager=True)
+        # lazy return: everything downstream of the eager edge
+        # checkpoint is id-sized, so recomputation after the
+        # unpersists below is cheap — a second eager materialization
+        # here would only add a round of job-launch latency
+        return out
     finally:
-        edges.unpersist()
         deg.unpersist()
         orient.unpersist()
 

@@ -194,6 +194,9 @@ SUITES: dict[str, list[Member]] = {
         # frame family w7's ROWS/unbounded-RANGE members leave out
         ("w11_trailing_range_window", [],
          ["o_orderkey", "o_custkey", "day", "spend_90d", "n_90d"]),
+        # CDC log collapse (r9): last-writer-wins + delete drop — the
+        # binlog→ODS materialization, same window-dedupe shape as S13
+        ("s17_cdc_apply", ["op"], ["o_orderkey", "last_seq", "price"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [

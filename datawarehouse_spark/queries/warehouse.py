@@ -811,6 +811,69 @@ def s16_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(files, ["dt"], "file_id", "size", target=500)
 
 
+@query(
+    "s17_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 10
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE)
+      FROM orders WHERE o_orderkey % 5 = 0
+    ), ranked AS (
+      SELECT k, seq, op, price,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT k AS o_orderkey, CAST(seq AS BIGINT) AS last_seq, op, price
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def s17_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log → final table state (r9): last-writer-wins collapse of
+    a binlog-style change stream with deletes — the ODS
+    materialization step of the reference's real-time warehouse
+    (docs/实时数仓.md:86-97). The change log is synthesized from
+    orders deterministically (the pii_redact convention): seq 1
+    inserts every order, seq 2 updates every 3rd key's price, seq 3
+    deletes every 5th key. See sources/snapshot.py::cdc_apply."""
+    from datawarehouse_spark.sources.snapshot import cdc_apply
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    log = (
+        o.select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(1).alias("seq"), F.lit("U").alias("op"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .union(
+            o.filter(F.col("o_orderkey") % 3 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(2).alias("seq"), F.lit("U").alias("op"),
+                (F.col("o_totalprice") + 10).alias("price"),
+            )
+        )
+        .union(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit(3).alias("seq"), F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+    )
+    return cdc_apply(log, "k", "seq", "op").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("seq").cast("bigint").alias("last_seq"),
+        "op",
+        "price",
+    )
+
+
 def _profile_oracle() -> str:
     num = ["o_orderkey", "o_custkey", "o_totalprice"]
     strs = ["o_orderstatus", "o_orderpriority"]

@@ -316,3 +316,34 @@ def from_delta(spark: SparkSession, delta_path: str, path: str,
     df = spark.read.format("delta").load(delta_path)
     return SnapshotTable.create(spark, df, path,
                                 partition_col=partition_col)
+
+
+def cdc_apply(changes: DataFrame, key: str, seq_col: str,
+              op_col: str, delete_op: str = "D") -> DataFrame:
+    """Collapse a change-data-capture log to final table state —
+    last-writer-wins per key by the log sequence, with deletes
+    dropping the key (the binlog→warehouse materialization the
+    reference's real-time ODS layer performs on Kafka binlog topics,
+    docs/实时数仓.md:86-97; Debezium/Delta CDF apply semantics).
+
+    One row per surviving key: the highest-`seq_col` change wins
+    (`row_number` desc, ties broken by the caller providing a unique
+    sequence — binlogs are per-key ordered, SURVEY §2.9 T2), then
+    rows whose winning op is ``delete_op`` are dropped.
+
+    Scale shape: ONE shuffle on the key serves the whole collapse —
+    the same window-dedupe shape as S13 keep-min. In production the
+    collapsed batch feeds SnapshotTable.upsert inside foreachBatch
+    (tested composition: tests/test_streaming.py snapshot-registry
+    restart); this operator is the deterministic batch core.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(key).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("_rn")
+    )

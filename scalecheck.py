@@ -131,6 +131,12 @@ OPS = [
     # time-weighted average claims ONE (type, day)-keyed shuffle
     # serving both the LOCF lead window and the map-combined final agg
     "t14_time_weighted_avg",
+    # compaction planner claims metadata-scale cost (one row per
+    # file); replicas multiply the inventory 8x through the same
+    # per-day window
+    "s16_compaction_plan",
+    # CDC collapse claims the S13 window-dedupe shape: one key shuffle
+    "s17_cdc_apply",
     "dq_join_cardinality_estimate",
     "j16_pit_dim_join",
     # prefix-filter join claims candidate volume bounded by rare-shingle

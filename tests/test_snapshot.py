@@ -322,3 +322,22 @@ def test_scd2_on_snapshot_store_version_pinned_join_parity(spark, tmp_path):
     got = {tuple(r) for r in cur.collect()}
     want = {tuple(r) for r in q.collect()}
     assert got == want
+
+
+def test_cdc_apply_last_writer_wins_and_delete(spark):
+    """CDC collapse: highest seq wins per key; a key whose LAST op is
+    delete disappears; a key deleted mid-log then re-inserted
+    SURVIVES with the re-inserted value (resurrection is legal in
+    binlog order — only the final op matters)."""
+    from datawarehouse_spark.sources.snapshot import cdc_apply
+
+    log = [
+        (1, 1, "U", 10.0), (1, 2, "U", 20.0),            # update wins
+        (2, 1, "U", 5.0), (2, 2, "D", None),             # deleted
+        (3, 1, "U", 1.0), (3, 2, "D", None), (3, 3, "U", 7.0),  # resurrected
+    ]
+    df = spark.createDataFrame(log, "k long, seq long, op string, v double")
+    out = {r["k"]: r for r in cdc_apply(df, "k", "seq", "op").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["v"] == 20.0 and out[1]["seq"] == 2
+    assert out[3]["v"] == 7.0 and out[3]["seq"] == 3
