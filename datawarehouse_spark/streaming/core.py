@@ -198,6 +198,32 @@ def windowed_summary(df: DataFrame, window: str = "1 hour",
     )
 
 
+def session_summary(df: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """T5 — per-user session windows (inactivity-gap) over event time,
+    the ONE transform shared by batch and stream (T9 lambda parity;
+    the batch driver entry t5_session_window_batch runs the same
+    ``session_window`` operator without the watermark). Streaming
+    session windows REQUIRE a watermark: sessions merge as events
+    arrive and only finalize once the watermark passes the gap, so
+    the output mode must be append/update.
+
+    Scale shape: one shuffle on (user, session) with Spark's native
+    session merge — state per OPEN session only; the watermark bounds
+    state by active users × gap, not history.
+    """
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T5 — stateful dedup with bounded state (reference retains ~3 days
     of state, docs/实时数仓.md:11-13; watermark is the TTL)."""

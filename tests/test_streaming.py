@@ -750,3 +750,33 @@ def test_streaming_paragraph_dedup_snapshot_registry_restart(spark, tmpdir):
     assert {r.s for r in reg.read().collect()} == {
         r.s for r in dedup.block_registry(docs, block_words=8).collect()
     }
+
+
+def test_session_window_stream_equals_batch(spark):
+    """T5 proper (the session twin of the tumbling T3 test): the SAME
+    session_window transform over readStream and read produces
+    identical finalized sessions after full replay. Streaming session
+    windows require a watermark and append mode (sessions merge until
+    the watermark passes the inactivity gap), so the comparison drops
+    any session the stream legitimately withholds at end-of-input:
+    those starting after max_ts - gap - watermark. Everything the
+    stream DID emit must match the batch result row-for-row."""
+    import pyspark.sql.functions as F
+
+    batch_src = core.read_events_batch(spark, SF_SMOKE)
+    got = core.run_stream_to_memory(
+        core.session_summary(core.read_events_stream(spark, SF_SMOKE)),
+        "session_sum",
+        output_mode="append",
+    )
+    batch = core.session_summary(batch_src)
+    hi = batch_src.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    import datetime
+    cutoff = hi - datetime.timedelta(minutes=40)  # gap 30m + wm 10m
+    batch_final = batch.filter(F.col("session_start") < F.lit(cutoff))
+    diff = core.differential_validate(
+        batch_final, got.filter(F.col("session_start") < F.lit(cutoff)),
+        keys=["user_id", "session_start"],
+    )
+    assert diff.count() == 0
+    assert got.count() > 0
