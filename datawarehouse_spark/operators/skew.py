@@ -196,3 +196,40 @@ def column_profile(df: DataFrame, numeric: list[str],
         ))
     return wide.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
 
+
+
+def count_distinct_split(df: DataFrame, group_cols: list[str],
+                         distinct_cols: list[str]) -> DataFrame:
+    """Per-distinct split rewrite of a multi-`count(distinct)`
+    aggregation — the 100 TB fallback SURVEY §7.3 risk 3 reserves for
+    when Spark's single `expand`-based plan (which replicates every
+    input row once PER distinct aggregate before the shuffle) becomes
+    the bottleneck: N distinct aggregates over a T-row fact shuffle
+    N·T expanded rows in one job, where this rewrite runs N
+    independent two-level aggregations (dedupe on (keys, col), count)
+    and joins the N key-sized results — total shuffle Σ|distinct
+    pairs| ≤ N·T with each job's skew/spill isolated, at the cost of
+    N scans (cheap on columnar storage: each scan prunes to
+    keys + one column).
+
+    Equality with the expand plan is property-tested
+    (tests/test_properties.py); the measured crossover is recorded in
+    SCALE.md — on the fixture blow-up the expand form stays ahead
+    until per-row width × N dominates, exactly the regime the
+    reference's count-distinct-extraction rewrite (A14) targets.
+    """
+    out = None
+    for c in distinct_cols:
+        part = (
+            df.select(*group_cols, c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias(f"nd_{c}"))
+        )
+        out = part if out is None else out.join(part, group_cols, "full")
+    fill = [
+        F.coalesce(F.col(f"nd_{c}"), F.lit(0)).alias(f"nd_{c}")
+        for c in distinct_cols
+    ]
+    return out.select(*group_cols, *fill)

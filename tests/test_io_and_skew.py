@@ -590,3 +590,58 @@ def test_dynamic_partition_pruning_fires_on_dim_filter(spark, tmp_path):
     rows = {r["n_name"]: r["n"] for r in joined.collect()}
     assert set(rows) == {"NATION_3", "NATION_7"}
     assert all(v > 0 for v in rows.values())
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
+    """Runtime bloom-filter join pruning — DPP's sibling for
+    NON-partition columns: Spark injects a bloom filter built from the
+    filtered dim side and applies it map-side on the fact scan, so
+    most probe rows die before the shuffle. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~selectivity fraction that can possibly join. The size
+    thresholds default to cluster scale (10 GB probe side), so the
+    test lowers them to fixture scale; the assertion is the mechanism
+    (BloomFilterMightContain on the probe scan) plus result equality
+    with the filter disabled."""
+    import pyspark.sql.functions as F
+
+    t = load_tables(spark, SF_ORACLE, ("lineitem", "part"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the creation-side bound compares the OPTIMIZER'S size
+        # estimate (which over-states small parquet scans), not file
+        # bytes — raise it so the fixture-scale dim qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        dim = t["part"].filter(F.col("p_size") == 1).select("p_partkey")
+        q = (
+            t["lineitem"].join(dim, F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+                 .cast("double").alias("qty"))
+        )
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), (
+            "expected an injected runtime bloom filter on the probe side"
+        )
+        assert "bloom_filter_agg" in plan.lower(), (
+            "expected the filter built from the filtered dim side"
+        )
+        got = q.collect()[0]
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+                       "false")
+        want = q.collect()[0]
+        assert got["n"] == want["n"] and got["qty"] == want["qty"]
+        assert got["n"] > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

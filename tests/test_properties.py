@@ -571,3 +571,51 @@ def test_join_cardinality_rel_err_lights_up_on_mismatched_skew(spark):
     assert r.true_rows == 198, r
     assert r.est_rows == 5000.0, r
     assert r.rel_err > 20, r
+
+
+def test_count_distinct_split_equals_expand_plan(spark):
+    """SURVEY §7.3 risk 3: the per-distinct split rewrite must equal
+    Spark's expand-based multi-count-distinct exactly, including a
+    group key that never reaches one of the distinct columns (NULL
+    handling: count(distinct) skips NULLs; the split's full-outer
+    join + coalesce(0) must reproduce that, not drop the group)."""
+    from datawarehouse_spark.operators.skew import count_distinct_split
+
+    rows = [
+        ("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"),
+        ("b", 3, None), ("b", 3, None),       # b has 0 distinct v
+        ("c", None, "z"),                     # c has 0 distinct u
+    ]
+    df = spark.createDataFrame(rows, "k string, u int, v string")
+    expand = {
+        r["k"]: (r["ndu"], r["ndv"])
+        for r in df.groupBy("k").agg(
+            F.countDistinct("u").alias("ndu"),
+            F.countDistinct("v").alias("ndv"),
+        ).collect()
+    }
+    split = {
+        r["k"]: (r["nd_u"], r["nd_v"])
+        for r in count_distinct_split(df, ["k"], ["u", "v"]).collect()
+    }
+    assert expand == split == {"a": (2, 2), "b": (1, 0), "c": (0, 1)}
+
+    # and on a real fixture slice with multiple group keys
+    from datawarehouse_spark.catalog import load_tables
+    from tests.conftest import SF_ORACLE
+
+    ev = load_tables(spark, SF_ORACLE, ("events",))["events"]
+    want = {
+        r["event_type"]: (r["ndu"], r["nde"])
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("ndu"),
+            F.countDistinct("event_id").alias("nde"),
+        ).collect()
+    }
+    got = {
+        r["event_type"]: (r["nd_user_id"], r["nd_event_id"])
+        for r in count_distinct_split(
+            ev, ["event_type"], ["user_id", "event_id"]
+        ).collect()
+    }
+    assert want == got
