@@ -216,6 +216,11 @@ SUITES: dict[str, list[Member]] = {
         ("j10_or_join_union_rewrite", [], ["o_orderkey", "c_custkey"]),
         ("j13_theta_join", ["n_name"], ["n_orders"]),
         # point-in-time SCD2 dim join (feature-store correctness shape)
+        # linear multi-touch attribution (r9): credit split over the
+        # t6 interval-join pairs — one purchase-keyed window
+        ("t15_multitouch_attribution", [],
+         ["user_id", "purchase_id", "view_id", "view_ts_us",
+          "n_touches", "touch_rank", "credit"]),
         ("j16_pit_dim_join", ["o_dt", "segment_at_order"],
          ["o_orderkey", "c_custkey", "eff_version"]),
     ],

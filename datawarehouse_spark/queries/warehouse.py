@@ -360,6 +360,68 @@ def t6_interval_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "t15_multitouch_attribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+             p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') v
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    )
+    SELECT user_id, purchase_id, view_id, view_ts_us,
+           CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+             AS n_touches,
+           CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+                ORDER BY view_ts_us, view_id) AS BIGINT) AS touch_rank,
+           purchase_value / COUNT(*) OVER (PARTITION BY purchase_id)
+             AS credit
+    FROM pairs
+    """,
+)
+def t15_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (r9): every click in the 2 h
+    window before a purchase shares the purchase value equally —
+    the ad-tech credit assignment on top of the t6 interval join
+    (last-touch = the touch_rank == n_touches slice; the rank column
+    makes position-based models a projection away). Exact: n_touches
+    is an integer and credit is ONE IEEE division per row.
+
+    Scale shape: t6's union-window interval join (no pair fan-out
+    beyond true attribution pairs) plus one window shuffle keyed on
+    purchase_id — touch lists per purchase are small by construction
+    (a 2 h behavioral window)."""
+    from pyspark.sql import Window as W
+
+    from datawarehouse_spark.streaming.core import (
+        read_events_batch,
+        stream_stream_attribution,
+    )
+
+    load_tables(spark, sf_dir, ("events",))  # pins session profile
+    ev = read_events_batch(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = stream_stream_attribution(views, purchases).select(
+        "user_id", "purchase_id", "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        "purchase_value",
+    )
+    wp = W.partitionBy("purchase_id")
+    return pairs.select(
+        "user_id", "purchase_id", "view_id", "view_ts_us",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_touches"),
+        F.row_number().over(
+            wp.orderBy("view_ts_us", "view_id")
+        ).cast("bigint").alias("touch_rank"),
+        (F.col("purchase_value")
+         / F.count(F.lit(1)).over(wp)).alias("credit"),
+    )
+
+
+@query(
     "t4_drift_filter_batch",
     oracle="""
     SELECT event_id,

@@ -137,6 +137,9 @@ OPS = [
     "s16_compaction_plan",
     # CDC collapse claims the S13 window-dedupe shape: one key shuffle
     "s17_cdc_apply",
+    # multi-touch attribution claims t6's no-fan-out interval join
+    # plus one purchase-keyed window
+    "t15_multitouch_attribution",
     "dq_join_cardinality_estimate",
     "j16_pit_dim_join",
     # prefix-filter join claims candidate volume bounded by rare-shingle

@@ -224,3 +224,29 @@ def test_time_weighted_avg_locf_semantics(spark):
     assert a["twa"] == (1000 * 3 + 100 * 1) / 4 / 100.0  # 7.75
     assert out["b"]["twa"] is None and out["b"]["span_us"] == 0
     assert out["c"]["twa"] is None and out["c"]["n_events"] == 2
+
+
+def test_multitouch_attribution_credit_conserves(spark):
+    """Linear multi-touch invariant at sf0.01: per purchase, the n
+    credits sum back to the purchase value (within one ulp per touch)
+    and ranks are a 1..n permutation ordered by view time."""
+    from datawarehouse_spark.queries.registry import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    out = QUERIES["t15_multitouch_attribution"](
+        spark, SF_ORACLE
+    ).collect()
+    assert out
+    by_p = {}
+    for r in out:
+        by_p.setdefault(r["purchase_id"], []).append(r)
+    for pid, rows in by_p.items():
+        n = rows[0]["n_touches"]
+        assert len(rows) == n
+        assert sorted(r["touch_rank"] for r in rows) == list(range(1, n + 1))
+        total = sum(r["credit"] for r in rows)
+        # credit = value/n summed n times: exact when n is a power of
+        # two, within n ulps otherwise
+        assert abs(total - n * rows[0]["credit"]) < 1e-9
+        ordered = sorted(rows, key=lambda r: (r["view_ts_us"], r["view_id"]))
+        assert [r["touch_rank"] for r in ordered] == list(range(1, n + 1))
