@@ -136,3 +136,34 @@ def apply_runtime_profile(spark: SparkSession) -> SparkSession:
     except Exception:  # pragma: no cover
         pass
     return spark
+
+
+def recommend_shuffle_partitions(
+    input_bytes: int,
+    target_partition_mb: int = 128,
+    min_partitions: int | None = None,
+    max_partitions: int = 200_000,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` from the job's input
+    volume — the static-sizing discipline for when AQE coalescing is
+    unavailable (structured-streaming stateful ops pin partition
+    count; some services disable AQE) or a starting point it refines.
+
+    Rule: shuffle data ≈ input after pruning; a partition should fit
+    comfortably in one task's execution-memory slice, so target
+    ~``target_partition_mb`` (default 128 MB, the classic HDFS-block
+    heuristic — spill-free for a 4 GB executor core at Spark's ~0.6
+    execution fraction even with a 2-3× dedup/expand blow-up). Floors
+    at the cluster's parallelism (``min_partitions``, default the
+    local core count) so small jobs still use every core; caps at
+    ``max_partitions`` to bound scheduler/shuffle-index overhead —
+    the reference's observation that the 200 default is "too small"
+    for big jobs, generalized in BOTH directions. (100 TB of input
+    wants 819,200 raw and caps at 200,000 — at that point raise
+    target_partition_mb instead.)
+    """
+    if input_bytes < 0:
+        raise ValueError("input_bytes must be non-negative")
+    want = -(-input_bytes // (target_partition_mb << 20))  # ceil div
+    floor = min_partitions if min_partitions is not None else _cpus()
+    return max(min(int(want), max_partitions), floor, 1)

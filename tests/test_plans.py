@@ -529,3 +529,22 @@ def test_join_cardinality_estimate_never_expands_join(spark):
     smj = plan.count("SortMergeJoin")
     bhj = plan.count("BroadcastHashJoin")
     assert smj + bhj == 1, f"expected exactly the rollup join: {plan}"
+
+
+def test_recommend_shuffle_partitions_regimes():
+    """The static partition-sizing rule: core-count floor for small
+    jobs, ~128 MB per partition in the linear regime, hard cap at the
+    scheduler-overhead bound (raise target size past it, not count)."""
+    from datawarehouse_spark.session import _cpus, recommend_shuffle_partitions
+
+    floor = _cpus()
+    assert recommend_shuffle_partitions(0) == max(floor, 1)
+    assert recommend_shuffle_partitions(10 << 30) == max(80, floor)
+    assert recommend_shuffle_partitions(1 << 40) == 8192
+    assert recommend_shuffle_partitions(100 << 40) == 200_000
+    assert recommend_shuffle_partitions(100 << 40,
+                                        target_partition_mb=1024) == 102_400
+    assert recommend_shuffle_partitions(5 << 30, min_partitions=100) == 100
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        recommend_shuffle_partitions(-1)
