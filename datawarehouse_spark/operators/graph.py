@@ -143,6 +143,129 @@ def pagerank_oracle_sql(pairs_cte: str, n_iters: int = 10) -> str:
     """
 
 
+def hierarchy_stats(nodes: DataFrame, key: str = "k", parent: str = "p",
+                    value: str = "val") -> DataFrame:
+    """Recursive hierarchy traversal (the ``WITH RECURSIVE`` query
+    class Spark SQL lacks) as a path-doubling transitive closure.
+
+    ``nodes`` is a forest: one row per node with a ``parent`` key that
+    is NULL on roots. Returns one row per node with its ``depth``
+    (root = 0), ``root_key``, proper-descendant count ``n_desc`` and
+    inclusive ``subtree_bal`` (self + all descendants, the BOM/org-
+    chart rollup), i.e. everything a recursive CTE would compute in a
+    warehouse hierarchy query.
+
+    Algorithm — repeated squaring, not per-level iteration: the
+    ancestor-pair set P starts as the parent edges (distance 1) and
+    each round unions P with P⋈P (pairs of distance ≤ 2^i join pairs
+    of distance ≤ 2^i → ≤ 2^{i+1}), so a depth-d hierarchy closes in
+    ⌈log2 d⌉ shuffle rounds instead of d chained joins — the property
+    that makes the operator survive deep chains at scale (a 10^6-deep
+    chain is 20 rounds). Convergence is a count() fixpoint (one
+    driver-side scalar per round), and every round is eagerly
+    localCheckpoint-ed so the lineage stays flat. The materialized
+    closure is O(N·depth) rows of two BIGINTs — the standard
+    space/time trade for bounded-depth warehouse hierarchies; all
+    downstream stats are map-combined aggregations over it.
+
+    Exactness: depth / root_key / n_desc are integers; subtree_bal is
+    a sum of 2-decimal money rounded at 2 (the repo's exact-decimal
+    convention — the true total has 2 decimals, so float reduction
+    order cannot move the rounded value).
+    """
+    base = nodes.select(
+        F.col(key).alias("k"), F.col(parent).alias("p"),
+        F.col(value).alias("val"),
+    ).localCheckpoint(eager=True)
+    closure = base.where(F.col("p").isNotNull()).select(
+        F.col("k").alias("dk"), F.col("p").alias("ak")
+    ).localCheckpoint(eager=True)
+    n_prev, n_cur = -1, closure.count()
+    while n_cur != n_prev:
+        doubled = (
+            closure.alias("x")
+            .join(closure.alias("y"), F.col("x.ak") == F.col("y.dk"))
+            .select(F.col("x.dk").alias("dk"), F.col("y.ak").alias("ak"))
+        )
+        closure = (
+            closure.union(doubled).distinct().localCheckpoint(eager=True)
+        )
+        n_prev, n_cur = n_cur, closure.count()
+    depth = closure.groupBy("dk").agg(F.count(F.lit(1)).alias("depth"))
+    roots = base.where(F.col("p").isNull()).select(F.col("k").alias("rk"))
+    root_of = closure.join(
+        roots, F.col("ak") == F.col("rk")
+    ).select("dk", F.col("ak").alias("root_key"))
+    n_desc = closure.groupBy("ak").agg(F.count(F.lit(1)).alias("n_desc"))
+    desc_bal = (
+        closure.join(
+            base.select(F.col("k").alias("dk"), F.col("val").alias("dval")),
+            "dk",
+        )
+        .groupBy("ak").agg(F.sum("dval").alias("desc_bal"))
+    )
+    return (
+        base
+        .join(depth, base["k"] == depth["dk"], "left").drop("dk")
+        .join(root_of, base["k"] == root_of["dk"], "left").drop("dk")
+        .join(n_desc, base["k"] == n_desc["ak"], "left").drop("ak")
+        .join(desc_bal, base["k"] == desc_bal["ak"], "left").drop("ak")
+        .select(
+            F.col("k").alias("node_key"),
+            F.coalesce(F.col("depth"), F.lit(0)).cast("bigint")
+            .alias("depth"),
+            F.coalesce(F.col("root_key"), F.col("k")).cast("bigint")
+            .alias("root_key"),
+            F.coalesce(F.col("n_desc"), F.lit(0)).cast("bigint")
+            .alias("n_desc"),
+            F.round(
+                F.col("val") + F.coalesce(F.col("desc_bal"), F.lit(0.0)), 2
+            ).alias("subtree_bal"),
+        )
+    )
+
+
+def hierarchy_oracle_sql(nodes_cte: str) -> str:
+    """DuckDB oracle for :func:`hierarchy_stats` — a genuine
+    ``WITH RECURSIVE`` ancestor closure (the SQL form the Spark
+    operator re-expresses), followed by the same four rollups.
+    ``nodes_cte`` must be a CTE body ending in ``nodes(k, p, val)``
+    with ``p`` NULL on roots. Parent keys are unique, so the
+    recursive UNION ALL enumerates each (node, ancestor) pair exactly
+    once — no cycle or duplicate handling is needed."""
+    return f"""
+    WITH RECURSIVE {nodes_cte},
+    closure AS (
+      SELECT k AS dk, p AS ak FROM nodes WHERE p IS NOT NULL
+      UNION ALL
+      SELECT c.dk, n.p AS ak
+      FROM closure c JOIN nodes n ON n.k = c.ak
+      WHERE n.p IS NOT NULL
+    ),
+    depth AS (SELECT dk, COUNT(*) AS depth FROM closure GROUP BY 1),
+    root_of AS (
+      SELECT c.dk, c.ak AS root_key
+      FROM closure c JOIN nodes r ON r.k = c.ak AND r.p IS NULL
+    ),
+    n_desc AS (SELECT ak, COUNT(*) AS n_desc FROM closure GROUP BY 1),
+    desc_bal AS (
+      SELECT c.ak, SUM(n.val) AS desc_bal
+      FROM closure c JOIN nodes n ON n.k = c.dk GROUP BY 1
+    )
+    SELECT nodes.k AS node_key,
+           CAST(COALESCE(depth.depth, 0) AS BIGINT) AS depth,
+           CAST(COALESCE(root_of.root_key, nodes.k) AS BIGINT) AS root_key,
+           CAST(COALESCE(n_desc.n_desc, 0) AS BIGINT) AS n_desc,
+           ROUND(nodes.val + COALESCE(desc_bal.desc_bal, 0), 2)
+             AS subtree_bal
+    FROM nodes
+    LEFT JOIN depth ON depth.dk = nodes.k
+    LEFT JOIN root_of ON root_of.dk = nodes.k
+    LEFT JOIN n_desc ON n_desc.ak = nodes.k
+    LEFT JOIN desc_bal ON desc_bal.ak = nodes.k
+    """
+
+
 def triangle_stats(pairs: DataFrame, id_a: str = "doc_a",
                    id_b: str = "doc_b") -> DataFrame:
     """Exact triangle counting + local clustering coefficient over the

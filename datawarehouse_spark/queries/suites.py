@@ -70,6 +70,10 @@ SUITES: dict[str, list[Member]] = {
         ("p10_not_exists_anti", ["c_mktsegment"], ["c_custkey"]),
         ("p10_not_in_subquery", [], ["o_orderkey", "o_custkey"]),
         ("p13_scalar_subquery_anti", [], ["c_custkey", "c_acctbal"]),
+        # P14 (r9): WITH RECURSIVE hierarchy — the oracle is a genuine
+        # recursive CTE; the Spark side is a path-doubling closure
+        ("p14_recursive_hierarchy", [],
+         ["node_key", "depth", "root_key", "n_desc", "subtree_bal"]),
     ],
     # §2.4 basic aggregates: min/max, avg+having, DISTINCT, top-N,
     # exact percentiles (a17/a20 folded in to free registry slots —

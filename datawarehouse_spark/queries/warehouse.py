@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
+from datawarehouse_spark.operators import graph
 from datawarehouse_spark.queries.registry import query
 from datawarehouse_spark.sources import io as dwio
 
@@ -1394,3 +1395,38 @@ def dq_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_rows",
         "rel_err",
     )
+
+
+# Synthetic supplier forest for the recursive-hierarchy op: keys 0..2
+# are roots (0 a singleton), every other key's parent is k div 2 —
+# deterministic from the fixture, depth ≈ log2(N).
+_SUPPLIER_TREE_CTE = """nodes AS (
+      SELECT s_suppkey AS k,
+             CASE WHEN s_suppkey <= 2 THEN NULL
+                  ELSE s_suppkey // 2 END AS p,
+             s_acctbal AS val
+      FROM supplier
+    )"""
+
+
+@query(
+    "p14_recursive_hierarchy",
+    oracle=graph.hierarchy_oracle_sql(_SUPPLIER_TREE_CTE),
+)
+def p14_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 — WITH RECURSIVE hierarchy traversal, the recursive-query
+    class warehouse SQL dialects ship (org charts, BOM explosions,
+    account trees) and Spark SQL lacks natively. The oracle IS a
+    recursive CTE; the Spark side re-expresses it as a path-doubling
+    transitive closure (O(log depth) shuffle rounds — see
+    operators/graph.py::hierarchy_stats for the scale argument).
+    Emits per node: depth, root, descendant count and the inclusive
+    subtree balance rollup."""
+    t = load_tables(spark, sf_dir, ("supplier",))
+    nodes = t["supplier"].select(
+        F.col("s_suppkey").alias("k"),
+        F.when(F.col("s_suppkey") <= 2, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("s_suppkey div 2")).alias("p"),
+        F.col("s_acctbal").alias("val"),
+    )
+    return graph.hierarchy_stats(nodes)

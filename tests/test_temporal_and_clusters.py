@@ -250,3 +250,40 @@ def test_multitouch_attribution_credit_conserves(spark):
         assert abs(total - n * rows[0]["credit"]) < 1e-9
         ordered = sorted(rows, key=lambda r: (r["view_ts_us"], r["view_id"]))
         assert [r["touch_rank"] for r in ordered] == list(range(1, n + 1))
+
+
+def test_hierarchy_stats_forest_semantics(spark):
+    """Hand-built 2-tree forest: a 4-deep chain under root 1 plus a
+    branching tree under root 6 and a singleton root 9 — pins depth,
+    root assignment, descendant counts and the inclusive subtree
+    rollup (incl. a chain deeper than one doubling round)."""
+    from datawarehouse_spark.operators.graph import hierarchy_stats
+
+    #      1          6        9
+    #      2        7   8
+    #      3
+    #      4
+    #      5
+    rows = [
+        (1, None, 1.00), (2, 1, 2.00), (3, 2, 4.00), (4, 3, 8.00),
+        (5, 4, 16.00),
+        (6, None, 1.50), (7, 6, 2.50), (8, 6, 3.50),
+        (9, None, 0.25),
+    ]
+    nodes = spark.createDataFrame(rows, "k long, p long, val double")
+    got = {
+        r["node_key"]: (r["depth"], r["root_key"], r["n_desc"],
+                        r["subtree_bal"])
+        for r in hierarchy_stats(nodes).collect()
+    }
+    assert got == {
+        1: (0, 1, 4, 31.00),
+        2: (1, 1, 3, 30.00),
+        3: (2, 1, 2, 28.00),
+        4: (3, 1, 1, 24.00),
+        5: (4, 1, 0, 16.00),
+        6: (0, 6, 2, 7.50),
+        7: (1, 6, 0, 2.50),
+        8: (1, 6, 0, 3.50),
+        9: (0, 9, 0, 0.25),
+    }
