@@ -126,6 +126,9 @@ SUITES: dict[str, list[Member]] = {
         # equi-height histogram (r9): distributed-global-rank bucket
         # boundaries vs the oracle's single ROW_NUMBER
         ("dq_equiheight_histogram", [], ["bucket", "n_rows", "lo", "hi"]),
+        # mergeable-bitmap exact distinct (r9): the groupBitmap rollup
+        # algebra — A18's HLL shape with zero error
+        ("a24_bitmap_distinct", ["event_type"], ["n_words", "uv"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [
@@ -201,6 +204,11 @@ SUITES: dict[str, list[Member]] = {
         # CDC log collapse (r9): last-writer-wins + delete drop — the
         # binlog→ODS materialization, same window-dedupe shape as S13
         ("s17_cdc_apply", ["op"], ["o_orderkey", "last_seq", "price"]),
+        # MATCH_RECOGNIZE-class row-pattern matching (r9): ordered
+        # per-user event string + leftmost-greedy regex funnel
+        ("w12_match_recognize", [],
+         ["user_id", "n_events", "matched_len", "n_matches",
+          "max_view_run"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [

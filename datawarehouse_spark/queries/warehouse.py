@@ -1430,3 +1430,123 @@ def p14_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("val"),
     )
     return graph.hierarchy_stats(nodes)
+
+
+@query(
+    "a24_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+      SELECT event_type,
+             user_id // 62 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bm
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(bit_count(bm)) AS BIGINT) AS uv
+    FROM words GROUP BY 1
+    """,
+)
+def a24_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24 — exact distinct counting via mergeable bitmap words (the
+    ClickHouse groupBitmap / Doris BITMAP_UNION technique): each user
+    id maps to bit (id % 62) of word (id div 62), words OR-merge
+    map-side, and UV = Σ popcount. Unlike COUNT(DISTINCT) the partial
+    state is mergeable across partitions, days and streaming epochs —
+    the exact complement of A18's HLL (same rollup algebra, no error).
+    62-bit words sidestep the signed shift-63 overflow in both
+    engines. Scale: a 10^9-user space is 16M words per group — a
+    map-combined (type, word) agg, never a per-user shuffle row per
+    duplicate event."""
+    t = load_tables(spark, sf_dir, ("events",))
+    words = (
+        t["events"].select(
+            "event_type",
+            F.expr("user_id div 62").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(m)").alias("bm"))
+    )
+    return words.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.expr("bit_count(bm)")).cast("bigint").alias("uv"),
+    )
+
+
+@query(
+    "w12_match_recognize",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(length(seq) - length(regexp_replace(seq, 'v+p', '', 'g'))
+                AS BIGINT) AS matched_len,
+           CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS n_matches,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(seq, 'v+'), x -> length(x))), 0)
+                AS BIGINT) AS max_view_run
+    FROM seqs
+    """,
+)
+def w12_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 — MATCH_RECOGNIZE-class sequence pattern matching (the
+    Flink/Trino/Snowflake row-pattern feature): per user, order the
+    event stream by (time, id), reduce each event to its type initial
+    and match the funnel pattern `v+p` (one-or-more views closed by a
+    purchase) with leftmost-greedy semantics — identical in Java and
+    RE2 regex engines for this pattern class. Emits per user the
+    sequence length, total matched span, non-overlapping match count
+    and the longest uninterrupted view run.
+
+    Scale shape: ONE shuffle on user_id builds the ordered initial
+    string (sessions are bounded, so per-user state is small); the
+    regex pass is then a map-side projection — no self-join, no
+    window re-scan per pattern element."""
+    t = load_tables(spark, sf_dir, ("events",))
+    seqs = (
+        t["events"]
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["i"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        (
+            F.length("seq")
+            - F.length(F.regexp_replace("seq", "v+p", ""))
+        ).cast("bigint").alias("matched_len"),
+        F.size(F.expr("regexp_extract_all(seq, 'v+p', 0)"))
+        .cast("bigint").alias("n_matches"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.expr("regexp_extract_all(seq, 'v+', 0)"),
+                    lambda x: F.length(x),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("max_view_run"),
+    )
