@@ -619,3 +619,75 @@ def test_count_distinct_split_equals_expand_plan(spark):
         ).collect()
     }
     assert want == got
+
+
+# --- recursive hierarchy: path-doubling closure ≡ recursive CTE -----
+
+# forests encoded as (parent_choice, cents) per node i: parent is
+# parent_choice % i for i ≥ 1 (acyclic by construction), NULL when
+# the draw is negative — mixes deep chains, wide stars and multi-root
+# forests
+FOREST = st.lists(
+    st.tuples(st.integers(min_value=-3, max_value=1000),
+              st.integers(min_value=-9999, max_value=9999)),
+    min_size=1, max_size=24,
+)
+
+_HIER_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+
+
+@given(forest=FOREST)
+@_HIER_SETTINGS
+def test_hierarchy_doubling_matches_recursive_cte(spark, duck, forest):
+    """hierarchy_stats (O(log d) path doubling) must equal the genuine
+    WITH RECURSIVE closure on arbitrary forests — chains, stars,
+    multi-root mixes, single nodes."""
+    from datawarehouse_spark.operators.graph import (
+        hierarchy_oracle_sql, hierarchy_stats,
+    )
+
+    rows = []
+    for i, (pc, cents) in enumerate(forest):
+        parent = None if (i == 0 or pc < 0) else pc % i
+        rows.append((i, parent, cents / 100.0))
+    nodes = spark.createDataFrame(rows, "k long, p long, val double")
+    got = sorted(tuple(r) for r in hierarchy_stats(nodes).collect())
+
+    vals = ", ".join(
+        f"({k}, {'NULL' if p is None else p}, {v!r})" for k, p, v in rows
+    )
+    cte = (
+        "nodes AS (SELECT CAST(k AS BIGINT) AS k, CAST(p AS BIGINT) AS p,"
+        " CAST(val AS DOUBLE) AS val"
+        f" FROM (VALUES {vals}) AS t(k, p, val))"
+    )
+    want = sorted(tuple(r) for r in
+                  duck.execute(hierarchy_oracle_sql(cte)).fetchall())
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=500),
+                    min_size=0, max_size=60))
+@_SETTINGS
+def test_bitmap_distinct_equals_count_distinct(spark, ids):
+    """The 62-bit bitmap-word rollup (a24) is EXACT: Σ popcount over
+    OR-merged words equals COUNT(DISTINCT) on arbitrary non-negative
+    id multisets (incl. ids sharing a word, word boundaries, empty)."""
+    df = spark.createDataFrame([(i,) for i in ids], "user_id long")
+    words = (
+        df.select(
+            F.expr("user_id div 62").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bm"))
+    )
+    uv = words.agg(F.sum(F.expr("bit_count(bm)"))).first()[0] or 0
+    assert uv == len(set(ids))
