@@ -231,6 +231,14 @@ OPS = [
     # codebook-sized re-mean sync on top of the IVF claim; the ADC
     # rollup is candidates×m rows (candidates = probed fraction)
     "llm_ann_ivfpq_grid",
+    # bitmap exact-distinct claims a map-combined (type, word) agg —
+    # replicas widen the user-id space, so the word table grows
+    # linearly while the duplicate events per word combine map-side
+    "a24_bitmap_distinct",
+    # MATCH_RECOGNIZE claims ONE user_id shuffle + map-side regex —
+    # replicas add users (more partitions), never longer sequences,
+    # so no per-user state growth and no window rescan
+    "w12_match_recognize",
 ]
 
 
