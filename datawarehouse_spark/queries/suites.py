@@ -129,6 +129,9 @@ SUITES: dict[str, list[Member]] = {
         # mergeable-bitmap exact distinct (r9): the groupBitmap rollup
         # algebra — A18's HLL shape with zero error
         ("a24_bitmap_distinct", ["event_type"], ["n_words", "uv"]),
+        # trailing-8 EWMA smoother (r9): binary-fraction weights make
+        # the monitoring series engine-exact with no rounding
+        ("t16_ewma_smoothing", ["event_type", "dt"], ["c", "ewma"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [
@@ -209,6 +212,11 @@ SUITES: dict[str, list[Member]] = {
         ("w12_match_recognize", [],
          ["user_id", "n_events", "matched_len", "n_matches",
           "max_view_run"]),
+        # windowed COUNT(DISTINCT) rewrite (r9): Spark rejects the
+        # native form; size(collect_set) over the frame vs DuckDB's
+        # genuine windowed DISTINCT — a rewrite-equivalence pair
+        ("w13_windowed_count_distinct", [],
+         ["event_id", "user_id", "n_types_so_far"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
@@ -1549,4 +1549,75 @@ def w12_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0),
         ).cast("bigint").alias("max_view_run"),
+    )
+
+
+# EWMA weights 1/2^{j+1}, j=0..7 — exact binary fractions, so every
+# product and the num/den sums are exactly representable and the one
+# IEEE division is bit-identical across engines. Computed once in
+# Python and injected verbatim into both sides.
+_EWMA_W = [0.5 ** (j + 1) for j in range(8)]
+
+_EWMA_ORACLE_NUM = " + ".join(
+    f"COALESCE(lag(c, {j}) OVER w, 0) * {w!r}" if j else f"c * {w!r}"
+    for j, w in enumerate(_EWMA_W)
+)
+_EWMA_ORACLE_DEN = " + ".join(
+    f"(CASE WHEN lag(c, {j}) OVER w IS NULL THEN 0 ELSE {w!r} END)"
+    if j else f"{w!r}"
+    for j, w in enumerate(_EWMA_W)
+)
+
+
+@query(
+    "t16_ewma_smoothing",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, dt, CAST(c AS BIGINT) AS c,
+           ({_EWMA_ORACLE_NUM}) / ({_EWMA_ORACLE_DEN}) AS ewma
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY dt)
+    """,
+)
+def t16_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 — exponentially-weighted moving average over the daily
+    volume series (the classic monitoring smoother next to t11's
+    z-score and t13's MAD): trailing-8-observation EWMA with
+    alpha = 1/2, weights renormalized over the observations actually
+    present at the series head. Row-lag semantics (the standard EWMA
+    over the observation sequence).
+
+    Exactness: counts are integers and the weights are binary
+    fractions 1/2^j, so numerator and denominator are exactly
+    representable doubles and the single IEEE division matches
+    bit-for-bit — no rounding step needed. Scale shape: the series is
+    a types×days rollup of ONE map-combined fact scan; the window
+    shuffles the rollup only, and the 8 lags evaluate in one Window
+    operator over one Exchange."""
+    t = load_tables(spark, sf_dir, ("events",))
+    d = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("event_type").orderBy("dt")
+    num = sum(
+        (F.coalesce(F.lag("c", j).over(w), F.lit(0)) if j else F.col("c"))
+        * F.lit(wt)
+        for j, wt in enumerate(_EWMA_W)
+    )
+    den = sum(
+        (
+            F.when(F.lag("c", j).over(w).isNull(), F.lit(0.0))
+            .otherwise(F.lit(wt))
+            if j else F.lit(wt)
+        )
+        for j, wt in enumerate(_EWMA_W)
+    )
+    return d.select(
+        "event_type", "dt", F.col("c").cast("bigint").alias("c"),
+        (num / den).alias("ewma"),
     )

@@ -442,3 +442,43 @@ def w11_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dec").over(w).cast("double").alias("spend_90d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_90d"),
     )
+
+
+@query(
+    "w13_windowed_count_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(DISTINCT event_type) OVER
+                  (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_types_so_far
+    FROM events
+    """,
+)
+def w13_windowed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 — running COUNT(DISTINCT) over a window, a form Spark SQL
+    rejects outright (`DISTINCT_WINDOW_FUNCTION_UNSUPPORTED`): the
+    warehouse rewrite is size(collect_set(...)) over the same frame,
+    which this query runs while the oracle runs the NATIVE windowed
+    DISTINCT (DuckDB supports it) — a genuine rewrite-equivalence
+    pair in the reference's A13/A14 spirit. Per-user cumulative
+    distinct event types, (time, id)-ordered.
+
+    Scale shape: ONE Exchange on user_id serves the window; the
+    collect_set state is bounded by the type-domain cardinality (5
+    here; small by construction wherever this rewrite is sane — for
+    high-cardinality columns the dense_rank/max two-window rewrite or
+    a18's HLL is the right tool instead)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("bigint").alias("n_types_so_far"),
+    )
