@@ -873,3 +873,47 @@ def a20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
         )
     )
+
+
+@query(
+    "f14_higher_order_arrays",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS a
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(a) AS BIGINT) AS n_tok,
+           CAST(len(list_filter(a, x -> length(x) >= 6)) AS BIGINT)
+             AS n_long,
+           CAST(list_aggregate(list_transform(a, x -> length(x)), 'sum')
+                AS BIGINT) AS total_len,
+           CAST(list_aggregate(list_transform(a, x -> length(x)), 'max')
+                AS BIGINT) AS max_len,
+           list_filter(a, x -> length(x) >= 6)[1] AS first_long
+    FROM toks
+    """,
+)
+def f14_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — higher-order array functions (transform / filter /
+    aggregate / element_at), the modern Spark SQL surface that keeps
+    per-row collection processing inside whole-stage codegen instead
+    of falling back to a Python UDF. Token-level per-document stats
+    computed entirely on the array; DuckDB's list_* functions are the
+    oracle twins. All counts/lengths are exact integers; first_long
+    is an exact string key (NULL when no token qualifies — both
+    engines' out-of-range element access returns NULL)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    a = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    lens = F.transform(a, lambda x: F.length(x))
+    longs = F.filter(a, lambda x: F.length(x) >= 6)
+    return t["documents"].select(
+        "doc_id",
+        F.size(a).cast("bigint").alias("n_tok"),
+        F.size(longs).cast("bigint").alias("n_long"),
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total_len"),
+        F.array_max(lens).cast("bigint").alias("max_len"),
+        F.element_at(longs, 1).alias("first_long"),
+    )

@@ -151,6 +151,10 @@ SUITES: dict[str, list[Member]] = {
          ["u_brand", "name10", "type_us", "rev_brand", "size_pad",
           "first_word", "type5", "brand2"],
          ["p_partkey", "name_len", "first_a"]),
+        # higher-order array functions (r9): transform/filter/
+        # aggregate/element_at entirely in codegen vs DuckDB list_*
+        ("f14_higher_order_arrays", ["first_long"],
+         ["doc_id", "n_tok", "n_long", "total_len", "max_len"]),
     ],
     # §2.8 math + DECODE/COALESCE/CASE
     "suite_math_decode": [
