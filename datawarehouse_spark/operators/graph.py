@@ -144,7 +144,8 @@ def pagerank_oracle_sql(pairs_cte: str, n_iters: int = 10) -> str:
 
 
 def hierarchy_stats(nodes: DataFrame, key: str = "k", parent: str = "p",
-                    value: str = "val") -> DataFrame:
+                    value: str = "val",
+                    max_depth: int | None = None) -> DataFrame:
     """Recursive hierarchy traversal (the ``WITH RECURSIVE`` query
     class Spark SQL lacks) as a path-doubling transitive closure.
 
@@ -161,8 +162,13 @@ def hierarchy_stats(nodes: DataFrame, key: str = "k", parent: str = "p",
     of distance ≤ 2^i → ≤ 2^{i+1}), so a depth-d hierarchy closes in
     ⌈log2 d⌉ shuffle rounds instead of d chained joins — the property
     that makes the operator survive deep chains at scale (a 10^6-deep
-    chain is 20 rounds). Convergence is a count() fixpoint (one
-    driver-side scalar per round), and every round is eagerly
+    chain is 20 rounds). With ``max_depth`` given the loop runs the
+    fixed ⌈log2(max_depth)⌉ rounds with NO per-round convergence
+    scalar (the PageRank fixed-iteration shape — halves the job count
+    on shallow hierarchies), then VERIFIES the bound with one
+    anti-join probe and raises ValueError if the closure would still
+    grow; with ``max_depth=None`` convergence is a count() fixpoint
+    (one driver-side scalar per round). Every round is eagerly
     localCheckpoint-ed so the lineage stays flat. The materialized
     closure is O(N·depth) rows of two BIGINTs — the standard
     space/time trade for bounded-depth warehouse hierarchies; all
@@ -180,17 +186,39 @@ def hierarchy_stats(nodes: DataFrame, key: str = "k", parent: str = "p",
     closure = base.where(F.col("p").isNotNull()).select(
         F.col("k").alias("dk"), F.col("p").alias("ak")
     ).localCheckpoint(eager=True)
-    n_prev, n_cur = -1, closure.count()
-    while n_cur != n_prev:
-        doubled = (
-            closure.alias("x")
-            .join(closure.alias("y"), F.col("x.ak") == F.col("y.dk"))
+
+    def _double(c: DataFrame) -> DataFrame:
+        return (
+            c.alias("x")
+            .join(c.alias("y"), F.col("x.ak") == F.col("y.dk"))
             .select(F.col("x.dk").alias("dk"), F.col("y.ak").alias("ak"))
         )
-        closure = (
-            closure.union(doubled).distinct().localCheckpoint(eager=True)
+
+    if max_depth is not None:
+        rounds = max(1, (max(1, max_depth - 1)).bit_length())
+        for _ in range(rounds):
+            closure = (
+                closure.union(_double(closure)).distinct()
+                .localCheckpoint(eager=True)
+            )
+        grew = (
+            _double(closure)
+            .join(closure, ["dk", "ak"], "left_anti")
+            .limit(1).count()
         )
-        n_prev, n_cur = n_cur, closure.count()
+        if grew:
+            raise ValueError(
+                f"hierarchy deeper than max_depth={max_depth}: the "
+                "closure still grows after the bound's rounds"
+            )
+    else:
+        n_prev, n_cur = -1, closure.count()
+        while n_cur != n_prev:
+            closure = (
+                closure.union(_double(closure)).distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_prev, n_cur = n_cur, closure.count()
     depth = closure.groupBy("dk").agg(F.count(F.lit(1)).alias("depth"))
     roots = base.where(F.col("p").isNull()).select(F.col("k").alias("rk"))
     root_of = closure.join(

@@ -1429,7 +1429,12 @@ def p14_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("s_suppkey div 2")).alias("p"),
         F.col("s_acctbal").alias("val"),
     )
-    return graph.hierarchy_stats(nodes)
+    # the div-2 tree's depth is bounded by bit_length(max key): pass
+    # it so the closure runs the fixed PageRank-style round count
+    # (verified by the operator's anti-join probe) instead of paying
+    # a convergence scalar per round
+    max_k = int(nodes.agg(F.max("k")).first()[0] or 1)
+    return graph.hierarchy_stats(nodes, max_depth=max(1, max_k.bit_length()))
 
 
 @query(

@@ -287,3 +287,21 @@ def test_hierarchy_stats_forest_semantics(spark):
         8: (1, 6, 0, 3.50),
         9: (0, 9, 0, 0.25),
     }
+
+
+def test_hierarchy_bounded_rounds_equal_fixpoint_and_raise(spark):
+    """max_depth fixed-round mode must equal the fixpoint mode, and a
+    violated bound must raise (never silently truncate the closure)."""
+    from datawarehouse_spark.operators.graph import hierarchy_stats
+
+    rows = [(i, None if i == 0 else i - 1, 1.0) for i in range(7)]  # chain
+    nodes = spark.createDataFrame(rows, "k long, p long, val double")
+    fix = sorted(tuple(r) for r in hierarchy_stats(nodes).collect())
+    bnd = sorted(
+        tuple(r) for r in hierarchy_stats(nodes, max_depth=6).collect()
+    )
+    assert fix == bnd
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_depth"):
+        hierarchy_stats(nodes, max_depth=2).collect()
