@@ -402,3 +402,37 @@ def test_rollup_empty_input_divergence_pinned(spark, duck, orders_view):
          "WHERE o_orderkey < 0 GROUP BY ROLLUP(o_orderstatus)")
     assert spark.sql(q).collect() == []
     assert duck.execute(q).fetchall() == [(None, 0)]
+
+
+# --- row-pattern regex portability (w12's engine-agreement claim) ---
+
+# patterns from the portable class w12 relies on: literals, +, ?,
+# bounded repetition, character classes — leftmost-greedy semantics
+# are identical in Java regex and RE2 for this class (no backrefs, no
+# lookaround)
+_PATTERNS = ["v+p", "v+", "vp", "v{2,}p?", "[vp]+", "c?v+p", "p[vc]*p"]
+
+
+@st.composite
+def regex_query(draw) -> str:
+    alphabet = "vpcse"
+    strings = draw(st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=12),
+        min_size=1, max_size=6,
+    ))
+    pat = draw(st.sampled_from(_PATTERNS))
+    vals = ", ".join(f"('{s}')" for s in strings)
+    return (
+        f"SELECT s, regexp_extract_all(s, '{pat}', 0) AS m "
+        f"FROM (VALUES {vals}) AS t(s)"
+    )
+
+
+@given(sql=regex_query())
+@_SETTINGS
+def test_fuzz_regex_extraction_matches_duckdb(spark, duck, sql):
+    """regexp_extract_all over the portable pattern class (the
+    primitive under w12_match_recognize) returns identical match
+    lists in Spark (Java regex) and DuckDB (RE2) — pinning the
+    docstring's engine-agreement claim mechanically."""
+    _assert_engines_agree(spark, duck, sql)
