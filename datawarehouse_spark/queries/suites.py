@@ -188,6 +188,10 @@ SUITES: dict[str, list[Member]] = {
         ("w1_first_last_value", ["first_event", "last_event"], ["user_id"]),
         ("w2_last_value_default_frame", ["lv"], ["event_id", "user_id"]),
         ("w3_w4_partition_count_sum", ["dt"], ["user_id", "day_pv", "day_value"]),
+        # IGNORE NULLS forward fill (r9): LOCF as a window primitive —
+        # Spark's last(ignorenulls) vs SQL's IGNORE NULLS
+        ("w14_locf_ignore_nulls", ["event_type"],
+         ["event_id", "user_id", "filled"]),
     ],
     # §2.5 windows: window≡groupby pair, ranking, lag/lead, explicit
     # frames, ROWID-style dedupe (S13)

@@ -482,3 +482,42 @@ def w13_windowed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("event_type").over(w))
         .cast("bigint").alias("n_types_so_far"),
     )
+
+
+@query(
+    "w14_locf_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type <> 'view' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM events
+    """,
+)
+def w14_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 — IGNORE NULLS forward fill (LOCF), the window-native form
+    of sensor/metric gap carrying (t12_gap_fill interpolates a dense
+    grid; this carries the last observation in place, the hypertable
+    `locf()` primitive). 'view' events play the unobserved rows; the
+    fill is the most recent non-view value in (time, id) order, NULL
+    until a user's first observation. Spark spells it
+    last(col, ignorenulls=True); the oracle uses SQL's
+    IGNORE NULLS — same frame, same total order, engine-exact (the
+    carried value is bit-identical, no arithmetic happens).
+
+    Scale shape: ONE Exchange on user_id, one Window operator, output
+    rows = input rows — linear is the floor."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    obs = F.when(F.col("event_type") != "view", F.col("value"))
+    return t["events"].select(
+        "event_id", "user_id", "event_type",
+        F.last(obs, ignorenulls=True).over(w).alias("filled"),
+    )
