@@ -1460,9 +1460,13 @@ def a24_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is mergeable across partitions, days and streaming epochs —
     the exact complement of A18's HLL (same rollup algebra, no error).
     62-bit words sidestep the signed shift-63 overflow in both
-    engines. Scale: a 10^9-user space is 16M words per group — a
-    map-combined (type, word) agg, never a per-user shuffle row per
-    duplicate event."""
+    engines. Domain: ids are assumed NON-NEGATIVE (the fixture's —
+    and any surrogate key's — domain); a negative id would land in
+    different words across engines (Spark DIV truncates toward zero,
+    DuckDB // floors), so a general-domain variant would first remap
+    via `id - min_id`. Scale: a 10^9-user space is 16M words per
+    group — a map-combined (type, word) agg, never a per-user shuffle
+    row per duplicate event."""
     t = load_tables(spark, sf_dir, ("events",))
     words = (
         t["events"].select(
