@@ -780,3 +780,56 @@ def test_session_window_stream_equals_batch(spark):
     )
     assert diff.count() == 0
     assert got.count() > 0
+
+
+def test_late_rows_dropped_at_watermark_and_accounted(spark, tmpdir):
+    """T4/T3 late-data contract, OBSERVED not assumed: a second
+    micro-batch delivering an event older than the advanced watermark
+    contributes nothing to the windowed aggregate, and the engine's
+    own accounting (stateOperators.numRowsDroppedByWatermark) records
+    the drop — the observability a production pipeline alarms on."""
+    import os
+    import time
+
+    src = os.path.join(tmpdir, "src")
+    on_time = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "click"), ("2024-01-01 12:00:00", "click")],
+        "ts_s string, event_type string",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type")
+    on_time.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "pv")
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("late_drop")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to 12:00
+        late = spark.createDataFrame(
+            [("2024-01-01 10:05:00", "click")],
+            "ts_s string, event_type string",
+        ).select(F.to_timestamp("ts_s").alias("ts"), "event_type")
+        time.sleep(1.1)  # distinct mtime for the file-source log
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 2: the 10:05 row is late
+        rows = {(r["ws"].hour, r["pv"])
+                for r in spark.table("late_drop").collect()}
+        # batch 1 emitted hour-10 and hour-12 with pv=1; the late 10:05
+        # row was dropped, so NO updated hour-10 row with pv=2 exists
+        assert (10, 1) in rows and (12, 1) in rows, rows
+        assert (10, 2) not in rows, rows
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        assert dropped >= 1, [p["stateOperators"] for p in q.recentProgress]
+    finally:
+        q.stop()
