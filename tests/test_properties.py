@@ -691,3 +691,33 @@ def test_bitmap_distinct_equals_count_distinct(spark, ids):
     )
     uv = words.agg(F.sum(F.expr("bit_count(bm)"))).first()[0] or 0
     assert uv == len(set(ids))
+
+
+def test_hll_sketch_union_estimate_differs_from_direct(spark):
+    """Pinned OPERATIONAL GOTCHA (r9): Spark 4's Datasketches HLL is
+    mergeable (the rollup algebra a18/a24 rely on), but the estimate
+    from UNIONING per-group sketches is NOT bit-identical to sketching
+    the whole input directly — the union gadget's internal state
+    differs from the directly-built sketch. Both stay inside the
+    documented relative-error envelope; pipelines materializing
+    per-partition sketches (the 100 TB pattern) must therefore expect
+    rollup estimates to differ slightly from a direct pass, and
+    exact-consistency requirements belong to a24's bitmap words, not
+    HLL. (a18 covers the error bound vs exact; this pins the
+    merge-vs-direct non-identity that surprises people.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 1500).alias("uid"), (F.col("id") % 7).alias("g")
+    )
+    merged = (
+        df.groupBy("g").agg(F.hll_sketch_agg("uid").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("e")
+    ).first()["e"]
+    assert merged != direct  # the pinned non-identity
+    assert abs(merged - 1500) / 1500 < 0.02
+    assert abs(direct - 1500) / 1500 < 0.02
