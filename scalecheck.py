@@ -239,6 +239,17 @@ OPS = [
     # replicas add users (more partitions), never longer sequences,
     # so no per-user state growth and no window rescan
     "w12_match_recognize",
+    # windowed count-distinct rewrite claims one user_id Exchange with
+    # per-row state bounded by the type domain (5); LOCF ignore-nulls
+    # claims the same single Exchange + linear frame walk
+    "w13_windowed_count_distinct",
+    "w14_locf_ignore_nulls",
+    # EWMA claims a types×days rollup of one map-combined fact scan;
+    # the 8 lags run in one Window operator over the rollup only
+    "t16_ewma_smoothing",
+    # higher-order array functions claim a pure codegen projection —
+    # zero shuffles, the scan is the whole cost
+    "f14_higher_order_arrays",
 ]
 
 
