@@ -33,8 +33,12 @@ STR_DOMAINS = {
 LIKE_PATS = ["F%", "O%", "P%", "1%", "2%", "3%", "4%", "5%",
              "%URGENT", "%LOW", "%H%"]
 
+# SPARK_GRAFT_FUZZ_EXAMPLES raises the per-family example budget for
+# one-off deep hunts (CI keeps the fast default)
+import os as _os
+
 _SETTINGS = settings(
-    max_examples=20,
+    max_examples=int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "20")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
