@@ -1421,7 +1421,8 @@ def p14_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure (O(log depth) shuffle rounds — see
     operators/graph.py::hierarchy_stats for the scale argument).
     Emits per node: depth, root, descendant count and the inclusive
-    subtree balance rollup."""
+    subtree balance rollup. (Standard-SQL capability bar:
+    docs/olap.md:97.)"""
     t = load_tables(spark, sf_dir, ("supplier",))
     nodes = t["supplier"].select(
         F.col("s_suppkey").alias("k"),
@@ -1459,6 +1460,9 @@ def a24_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, and UV = Σ popcount. Unlike COUNT(DISTINCT) the partial
     state is mergeable across partitions, days and streaming epochs —
     the exact complement of A18's HLL (same rollup algebra, no error).
+    Answers the exact-distinct capability gap the reference flags in
+    its engine comparison (docs/olap.md:46: Druid “不能精准去重”) —
+    A18 cites the same line for the approximate side.
     62-bit words sidestep the signed shift-63 overflow in both
     engines. Domain: ids are assumed NON-NEGATIVE (the fixture's —
     and any surrogate key's — domain); a negative id would land in
@@ -1514,6 +1518,9 @@ def w12_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2 regex engines for this pattern class. Emits per user the
     sequence length, total matched span, non-overlapping match count
     and the longest uninterrupted view run.
+
+    Part of the window/standard-SQL capability bar the reference sets
+    for an MPP-class engine (docs/olap.md:82,97).
 
     Scale shape: ONE shuffle on user_id builds the ordered initial
     string (sessions are bounded, so per-user state is small); the

@@ -462,7 +462,8 @@ def w13_windowed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse rewrite is size(collect_set(...)) over the same frame,
     which this query runs while the oracle runs the NATIVE windowed
     DISTINCT (DuckDB supports it) — a genuine rewrite-equivalence
-    pair in the reference's A13/A14 spirit. Per-user cumulative
+    pair in the reference's A13/A14 spirit (window capability bar:
+    docs/olap.md:82,97). Per-user cumulative
     distinct event types, (time, id)-ordered.
 
     Scale shape: ONE Exchange on user_id serves the window; the
@@ -507,6 +508,8 @@ def w14_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     last(col, ignorenulls=True); the oracle uses SQL's
     IGNORE NULLS — same frame, same total order, engine-exact (the
     carried value is bit-identical, no arithmetic happens).
+
+    Window capability bar: docs/olap.md:82,97.
 
     Scale shape: ONE Exchange on user_id, one Window operator, output
     rows = input rows — linear is the floor."""
