@@ -30,10 +30,15 @@ def high_value_user_rule(purchases: pd.Series, purchase_amt: pd.Series,
 def propensity_score(purchases: pd.Series, purchase_amt: pd.Series,
                      pv: pd.Series) -> pd.Series:
     """Mining-class tag (docs/画像简介.md:20-23): model inference as a
-    column. Stand-in linear scorer with exact float arithmetic (a real
-    model swaps in here via the same Arrow batch path)."""
+    column. Stand-in linear scorer (a real model swaps in here via the
+    same Arrow batch path). The score is rounded to 6 decimals: the
+    true value has ≤5 (2-dec money × 0.001), so rounding absorbs the
+    float-vs-decimal evaluation gap between engines — found by the
+    r9 sf0.1 parity sweep, where purchase_amt sums large enough to
+    cross the repr boundary (0.89987 vs 0.8998700000000001) that the
+    sf0.01 gate never reached."""
     raw = purchases * 0.1 + purchase_amt * 0.001 + pv * 0.002
-    return raw.clip(lower=0.0, upper=1.0)
+    return raw.clip(lower=0.0, upper=1.0).round(6)
 
 
 def register_udfs(spark: SparkSession) -> None:

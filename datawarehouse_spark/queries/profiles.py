@@ -49,8 +49,9 @@ def x4_rule_tag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x4_mining_tag_scores",
     oracle=f"""
     SELECT user_id,
-           least(1.0, greatest(0.0,
-             purchases * 0.1 + purchase_amt * 0.001 + pv * 0.002)) AS score
+           ROUND(least(1.0, greatest(0.0,
+             purchases * 0.1 + purchase_amt * 0.001 + pv * 0.002)), 6)
+             AS score
     FROM ({_PROFILE_SQL})
     """,
 )
