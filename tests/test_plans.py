@@ -548,3 +548,29 @@ def test_recommend_shuffle_partitions_regimes():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         recommend_shuffle_partitions(-1)
+
+
+def test_r9_new_ops_exchange_budgets(spark):
+    """Pins the PLANS.md shuffle claims of the round-9 additions:
+    f14 is a pure projection (zero Exchange); w13/w14 run ONE
+    user_id Exchange; t16 and a24 stay within two Exchanges (rollup +
+    regroup / window); none of them evaluates Python in the plan."""
+    import re
+
+    budgets = {
+        "f14_higher_order_arrays": 0,
+        "w13_windowed_count_distinct": 1,
+        "w14_locf_ignore_nulls": 1,
+        "t16_ewma_smoothing": 2,
+        "a24_bitmap_distinct": 2,
+        "w12_match_recognize": 1,
+    }
+    for name, budget in budgets.items():
+        plan = (
+            QUERIES[name](spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan}"
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
