@@ -132,6 +132,10 @@ SUITES: dict[str, list[Member]] = {
         # trailing-8 EWMA smoother (r9): binary-fraction weights make
         # the monitoring series engine-exact with no rounding
         ("t16_ewma_smoothing", ["event_type", "dt"], ["c", "ewma"]),
+        # CUSUM change-point monitor (r9): sequential recursion in
+        # scaled-integer space; the oracle is a recursive CTE
+        ("t18_cusum_changepoint", ["event_type", "dt", "is_alarm"],
+         ["c", "cusum_n"]),
     ],
     # §2.7 set operations
     "suite_set_ops": [

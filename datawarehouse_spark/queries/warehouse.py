@@ -1637,3 +1637,89 @@ def t16_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "dt", F.col("c").cast("bigint").alias("c"),
         (num / den).alias("ewma"),
     )
+
+
+#: CUSUM slack and alarm threshold (per-unit; both scale by n in the
+#: integer formulation) — injected verbatim into both engines.
+_CUSUM_K = 5
+_CUSUM_H = 20
+
+
+@query(
+    "t18_cusum_changepoint",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS total
+      FROM d GROUP BY 1
+    ),
+    o AS (
+      SELECT d.event_type, d.dt, d.c, tot.n, tot.total,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type
+                                ORDER BY d.dt) AS rn
+      FROM d JOIN tot ON tot.event_type = d.event_type
+    ),
+    rec AS (
+      SELECT event_type, dt, c, n, total, rn,
+             GREATEST(0, n * c - total - n * {_CUSUM_K}) AS s
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.dt, o.c, o.n, o.total, o.rn,
+             GREATEST(0, rec.s + o.n * o.c - o.total - o.n * {_CUSUM_K})
+      FROM rec JOIN o
+        ON o.event_type = rec.event_type AND o.rn = rec.rn + 1
+    )
+    SELECT event_type, dt, CAST(c AS BIGINT) AS c,
+           CAST(s AS BIGINT) AS cusum_n,
+           s > n * {_CUSUM_H} AS is_alarm
+    FROM rec
+    """,
+)
+def t18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 — CUSUM change-point detection over the daily volume
+    series, the SEQUENTIAL-recursion analytics class (S[t] depends on
+    S[t-1] with a clamp, so no window frame can express it — the
+    oracle is a genuine recursive CTE, p14's closure sibling for time
+    series). The classic upward-shift monitor next to t11's pointwise
+    z-score and t13's MAD: a sustained small drift accumulates into an
+    alarm that per-day tests never see.
+
+    INTEGER-exact: the recursion runs scaled by n (per-type day
+    count) — S'[t] = max(0, S'[t-1] + n·c[t] − total − n·K) — so mean
+    subtraction needs no division and both engines do pure BIGINT
+    arithmetic; the alarm compares against n·H (K=5, H=20).
+
+    Scale shape: the fact table reduces to a types×days rollup in one
+    map-combined scan; the recursion runs per-type over that rollup
+    via one Arrow applyInPandas (series are days-sized — the state
+    that CANNOT be a window is tiny by construction; at 100 TB the
+    rollup is still types×days). Output = the full annotated series.
+    """
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("events",))
+    d = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("dt").reset_index(drop=True)
+        n = len(pdf)
+        total = int(pdf["c"].sum())
+        s, out = 0, []
+        for c in pdf["c"].astype("int64"):
+            s = max(0, s + n * int(c) - total - n * _CUSUM_K)
+            out.append(s)
+        pdf["cusum_n"] = pd.Series(out, dtype="int64")
+        pdf["is_alarm"] = pdf["cusum_n"] > n * _CUSUM_H
+        return pdf
+
+    return d.groupBy("event_type").applyInPandas(
+        cusum, "event_type string, dt date, c long, cusum_n long, "
+               "is_alarm boolean"
+    )

