@@ -275,6 +275,13 @@ SUITES: dict[str, list[Member]] = {
         ("dq_join_cardinality_estimate", [],
          ["bucket", "n_o", "n_c", "ndv_o", "ndv_c",
           "est_rows", "true_rows", "rel_err"]),
+        # the layered ODS→DWD→DWS→ADS pipeline end to end (r9): DWS is
+        # a REAL engine.materialize parquet round-trip; the oracle runs
+        # the same logic as one SQL chain — layer decomposition proven
+        # semantics-preserving (placed here for suite balance: this
+        # suite is the profile/report family and has bench headroom)
+        ("dw1_layered_pipeline", ["event_type"],
+         ["pv", "sum_daily_uv", "rev", "rev_share"]),
     ],
     # TPC-H workload suite (SURVEY §6's "TPC-H-class" claim made
     # runnable; Q1/Q18/Q22 live on as a1/a19/p13 → all 22 queries
