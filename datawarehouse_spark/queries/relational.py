@@ -917,3 +917,54 @@ def f14_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(lens).cast("bigint").alias("max_len"),
         F.element_at(longs, 1).alias("first_long"),
     )
+
+
+@query(
+    "u5_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def u5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 — EXCEPT ALL, the bag-semantics difference U4's set form
+    leaves out: each left multiplicity is reduced by the right
+    multiplicity, so a customer with 5 orders of which 2 are urgent
+    keeps 3 rows (U4 would drop the key entirely). Spark plans it as
+    a single aggregate-based multiplicity join — no row explosion."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    urgent = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return (
+        t["orders"].select(F.col("o_custkey").alias("custkey"))
+        .exceptAll(urgent)
+    )
+
+
+@query(
+    "u6_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def u6_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 — INTERSECT ALL, the bag-semantics twin of U3: each key
+    keeps min(left multiplicity, right multiplicity) rows."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    a = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        t["orders"].filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersectAll(b)

@@ -146,6 +146,10 @@ SUITES: dict[str, list[Member]] = {
         # anti-entropy table checksums (r9): the 60-bit XOR-fold rides
         # as a string KEY — exact, no double-precision clipping
         ("dq_table_checksum", ["m", "checksum"], ["n_rows"]),
+        # bag-semantics set ops (r9): multiplicity-aware EXCEPT ALL /
+        # INTERSECT ALL next to U3/U4's set forms
+        ("u5_except_all", [], ["custkey"]),
+        ("u6_intersect_all", [], ["custkey"]),
     ],
     # §2.8 scalar/string functions
     "suite_scalar_string": [
@@ -251,6 +255,11 @@ SUITES: dict[str, list[Member]] = {
         # linear multi-touch attribution (r9): credit split over the
         # t6 interval-join pairs — one purchase-keyed window
         ("t15_multitouch_attribution", [],
+         ["user_id", "purchase_id", "view_id", "view_ts_us",
+          "n_touches", "touch_rank", "credit"]),
+        # U-shaped 40/20/40 position attribution (r9): t15's industry
+        # counterpart — same interval-join pairs, weighted credit
+        ("t17_position_attribution", [],
          ["user_id", "purchase_id", "view_id", "view_ts_us",
           "n_touches", "touch_rank", "credit"]),
         ("j16_pit_dim_join", ["o_dt", "segment_at_order"],

@@ -1808,3 +1808,85 @@ def dw1_layered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "pv", "sum_daily_uv", "rev",
         F.round(F.col("rev") / total, 6).alias("rev_share"),
     )
+
+
+@query(
+    "t17_position_attribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+             p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') v
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    ),
+    ranked AS (
+      SELECT user_id, purchase_id, view_id, view_ts_us, purchase_value,
+             CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_touches,
+             CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+                  ORDER BY view_ts_us, view_id) AS BIGINT) AS touch_rank
+      FROM pairs
+    )
+    SELECT user_id, purchase_id, view_id, view_ts_us, n_touches,
+           touch_rank,
+           purchase_value * (CASE
+             WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+             WHEN touch_rank = 1 OR touch_rank = n_touches THEN
+               (CASE WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                     ELSE CAST(0.4 AS DOUBLE) END)
+             ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2)
+           END) AS credit
+    FROM ranked
+    """,
+)
+def t17_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution —
+    t15's linear model's industry counterpart: the first and last
+    touches earn 40% each and the middle touches split the remaining
+    20% (n=1 → 100%, n=2 → 50/50). Same t6 interval-join pairs, same
+    one purchase-keyed window; the weights are identical double
+    literals in both engines and the middle split is one IEEE
+    division, so credits are bit-exact with no rounding."""
+    from pyspark.sql import Window as W
+
+    from datawarehouse_spark.streaming.core import (
+        read_events_batch,
+        stream_stream_attribution,
+    )
+
+    load_tables(spark, sf_dir, ("events",))  # pins session profile
+    ev = read_events_batch(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = stream_stream_attribution(views, purchases).select(
+        "user_id", "purchase_id", "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        "purchase_value",
+    )
+    wp = W.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "user_id", "purchase_id", "view_id", "view_ts_us",
+        "purchase_value",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_touches"),
+        F.row_number().over(
+            wp.orderBy("view_ts_us", "view_id")
+        ).cast("bigint").alias("touch_rank"),
+    )
+    frac = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(
+            (F.col("touch_rank") == 1)
+            | (F.col("touch_rank") == F.col("n_touches")),
+            F.when(F.col("n_touches") == 2, F.lit(0.5))
+            .otherwise(F.lit(0.4)),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2))
+    )
+    return ranked.select(
+        "user_id", "purchase_id", "view_id", "view_ts_us", "n_touches",
+        "touch_rank",
+        (F.col("purchase_value") * frac).alias("credit"),
+    )
