@@ -190,6 +190,10 @@ SUITES: dict[str, list[Member]] = {
         # (type, day) — integer-micro weighted sums, engine-exact
         ("t14_time_weighted_avg", ["event_type", "dt"],
          ["n_events", "span_us", "twa"]),
+        # day-of-week seasonal profile + residual (r9): the weekly
+        # normalization the volume monitors compare against
+        ("t19_dow_seasonality", ["event_type", "dt"],
+         ["dow", "c", "n_days", "dow_mean", "residual"]),
     ],
     # §2.5 windows: first/last value, default frame, partition count/sum
     "suite_windows_basic": [

@@ -1890,3 +1890,61 @@ def t17_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touch_rank",
         (F.col("purchase_value") * frac).alias("credit"),
     )
+
+
+@query(
+    "t19_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS c,
+             dayofweek(CAST(ts AS DATE)) AS dow
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT event_type, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS DOUBLE) / COUNT(*) AS dow_mean
+      FROM d GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.dt, CAST(d.dow AS BIGINT) AS dow,
+           CAST(d.c AS BIGINT) AS c,
+           p.n_days, p.dow_mean,
+           d.c - p.dow_mean AS residual
+    FROM d JOIN prof p
+      ON p.event_type = d.event_type AND p.dow = d.dow
+    """,
+)
+def t19_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19 — day-of-week seasonal decomposition of the daily volume
+    series: the weekly profile (per-type mean volume per weekday) and
+    each day's deseasonalized residual — the normalization step that
+    makes t11/t13/t18's monitors compare Mondays to Mondays. Exact
+    WITHOUT rounding: the profile mean is one IEEE division of exact
+    integers (identical in both engines) and the residual is one IEEE
+    subtraction of it from an integer.
+
+    Scale shape: one map-combined fact rollup to types×days, a
+    types×7 profile aggregation over it, and a broadcast-sized
+    profile join back — report cost independent of fact volume.
+    DuckDB's dayofweek (0=Sunday) is matched on the Spark side via
+    dayofweek()-1 (Spark's is 1=Sunday)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    d = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("dow", (F.dayofweek("dt") - 1).cast("bigint"))
+    )
+    prof = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
+    )
+    return (
+        d.join(prof, ["event_type", "dow"])
+        .select(
+            "event_type", "dt", "dow",
+            F.col("c").cast("bigint").alias("c"),
+            "n_days", "dow_mean",
+            (F.col("c") - F.col("dow_mean")).alias("residual"),
+        )
+    )
