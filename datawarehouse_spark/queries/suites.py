@@ -237,6 +237,11 @@ SUITES: dict[str, list[Member]] = {
         # genuine windowed DISTINCT — a rewrite-equivalence pair
         ("w13_windowed_count_distinct", [],
          ["event_id", "user_id", "n_types_so_far"]),
+        # frame EXCLUDE CURRENT ROW (r9): leave-one-out peer mean —
+        # native SQL:2011 EXCLUDE in the oracle vs Spark's
+        # sum-minus-self rewrite
+        ("w15_exclude_current_row", [],
+         ["o_orderkey", "o_custkey", "n", "peer_mean"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [

@@ -524,3 +524,54 @@ def w14_locf_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.last(obs, ignorenulls=True).over(w).alias("filled"),
     )
+
+
+@query(
+    "w15_exclude_current_row",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(38,2)) AS dec,
+             CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, n,
+           CASE WHEN n > 1 THEN
+             ROUND(CAST(SUM(dec) OVER (PARTITION BY o_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING
+                     EXCLUDE CURRENT ROW) AS DOUBLE) / (n - 1), 6)
+           END AS peer_mean
+    FROM d
+    """,
+)
+def w15_exclude_current_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 — frame EXCLUDE CURRENT ROW (leave-one-out peer mean: each
+    order vs the mean of the customer's OTHER orders — the peer
+    benchmark / anomaly baseline that must not include the row being
+    judged). DuckDB runs the NATIVE SQL:2011 EXCLUDE clause; Spark
+    has no EXCLUDE, so this runs the rewrite (whole-partition decimal
+    sum minus self, over n−1) — another genuine rewrite-equivalence
+    pair (window capability bar: docs/olap.md:82,97). Singleton
+    partitions emit NULL in both engines (guarded division). Decimal
+    sums make the excluded total order-independent; the one IEEE
+    division is identical, rounded at 6 by convention.
+
+    Scale shape: ONE Exchange on the partition key; both the count
+    and the full-frame sum evaluate in a single Window operator."""
+    w = W.partitionBy("o_custkey")
+    t = load_tables(spark, sf_dir, ("orders",))
+    d = t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(38,2)").alias("dec"),
+    ).withColumn("n", F.count(F.lit(1)).over(w).cast("bigint"))
+    peer = F.when(
+        F.col("n") > 1,
+        F.round(
+            (F.sum("dec").over(w) - F.col("dec")).cast("double")
+            / (F.col("n") - 1),
+            6,
+        ),
+    )
+    return d.select("o_orderkey", "o_custkey", "n",
+                    peer.alias("peer_mean"))
