@@ -119,7 +119,7 @@ def load_prev_timings(path: str) -> dict[str, float]:
 
     pairs = {
         m.group(1): float(m.group(2))
-        for m in _re.finditer(r'"([A-Za-z0-9_]+)": ([0-9][0-9.]*)', tail)
+        for m in _re.finditer(r'"([A-Za-z0-9_]+)":\s?([0-9][0-9.]*)', tail)
     }
     for meta in ("n", "rc", "cpus", "sf", "value", "legacy_headline_total"):
         pairs.pop(meta, None)
@@ -171,6 +171,36 @@ def members_set() -> list[tuple[str, object]]:
     from datawarehouse_spark.queries import QUERIES_RAW
 
     return sorted(QUERIES_RAW.items())
+
+
+#: the round driver records bench stdout through a bounded tail
+#: (2000 chars observed in BENCH_r09) and parses the JSON line out of
+#: it; BENCH_r08/r09 both exceeded the window (2157 chars at r9) and
+#: recorded "parsed": null. Budget with headroom for a trailing
+#: newline and partial-line capture slack.
+DRIVER_TAIL_BUDGET = 1950
+
+
+def compact_line(out: dict) -> str:
+    """The stdout JSON line, guaranteed to fit the driver's tail
+    window: compact separators, per-query timings rounded just enough
+    (3 → 2 → 1 decimals), and as a last resort the repo-internal
+    legacy_headline_total field dropped — everything the driver spec
+    requires (metric/value/unit/queries/sf) always stays. The
+    committed .benchmarks copy keeps the full-precision line."""
+    line = json.dumps(out, separators=(",", ":"))
+    for nd in (2, 1):
+        if len(line) <= DRIVER_TAIL_BUDGET:
+            return line
+        slim = dict(
+            out,
+            queries={k: round(v, nd) for k, v in out["queries"].items()},
+        )
+        line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > DRIVER_TAIL_BUDGET and "legacy_headline_total" in slim:
+        slim.pop("legacy_headline_total")
+        line = json.dumps(slim, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -257,12 +287,11 @@ def main() -> None:
             "queries": timings,
             "sf": sf_val,
         }
-    print(json.dumps(out))
+    print(compact_line(out))
     # Persist the full line in-repo (full-registry runs only — never
-    # --only subsets or --members attribution runs): the round driver
-    # captures stdout through a bounded tail that truncated BENCH_r08's
-    # totals and first two query lines, so the committed copy is the
-    # canonical series artifact (SCALE.md "Bench artifacts").
+    # --only subsets or --members attribution runs): the committed
+    # copy is the canonical full-precision series artifact
+    # (SCALE.md "Bench artifacts").
     if only is None and not members:
         os.makedirs(".benchmarks", exist_ok=True)
         tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "latest")

@@ -105,6 +105,97 @@ class DataWarehouse:
                 print(f"[advisor:{a.rule}] {a.message} ({a.reference})")
         return self.spark.sql(q)
 
+    def sql_match_recognize(
+        self,
+        source: str | DataFrame,
+        partition_by: list[str],
+        order_by: list[str],
+        define: dict[str, str],
+        pattern: str,
+    ) -> DataFrame:
+        """MATCH_RECOGNIZE (SQL:2016 row-pattern matching) as a table
+        function — the documented shim for the standard-SQL capability
+        bar (docs/olap.md:97): Spark's parser has no MATCH_RECOGNIZE,
+        so the clause's pieces arrive as arguments instead of syntax
+        and the semantics run as the operator the driver gate already
+        hash-verifies (w12). The mapping, clause by clause::
+
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id            -> partition_by=["user_id"]
+              ORDER BY ts, event_id           -> order_by=["ts","event_id"]
+              MEASURES ...                    -> fixed: seq, n_rows,
+                                                 n_matches, matched_len
+              ONE ROW PER MATCH               -> aggregated per partition
+              AFTER MATCH SKIP PAST LAST ROW  -> non-overlapping matches
+              PATTERN (V+ P)                  -> pattern="V+ P"
+              DEFINE V AS event_type='view',  -> define={"V": "...",
+                     P AS event_type='purchase')          "P": "..."}
+            )
+
+        ``source`` is a SQL string (run through :meth:`sql`, lints
+        included) or a DataFrame. Example::
+
+            dw.sql_match_recognize(
+                "SELECT * FROM events",
+                partition_by=["user_id"],
+                order_by=["ts", "event_id"],
+                define={"V": "event_type = 'view'",
+                        "P": "event_type = 'purchase'"},
+                pattern="V+ P",
+            )
+        """
+        from datawarehouse_spark.operators.patterns import (
+            compile_define,
+            compile_pattern,
+            match_recognize,
+        )
+
+        df = self.sql(source) if isinstance(source, str) else source
+        symbol, chars = compile_define(define)
+        return match_recognize(
+            df, partition_by, order_by, symbol,
+            compile_pattern(pattern, chars),
+        )
+
+    def sql_hierarchy(
+        self,
+        source: str | DataFrame,
+        key: str = "k",
+        parent: str = "p",
+        value: str = "val",
+        max_depth: int | None = None,
+    ) -> DataFrame:
+        """``WITH RECURSIVE`` hierarchy traversal as a table function —
+        the second half of the standard-SQL shim (Spark SQL has no
+        recursive CTE). The anchor relation is ordinary SQL (or a
+        DataFrame); the recursion itself runs as the path-doubling
+        closure the driver gate hash-verifies (p14: ⌈log₂ depth⌉
+        shuffle rounds, operators/graph.py::hierarchy_stats), returning
+        what the classic recursive rollup computes — depth, root,
+        descendant count, subtree balance. Equivalent SQL::
+
+            WITH RECURSIVE tree AS (
+              SELECT k, p, val, 0 AS depth FROM nodes WHERE p IS NULL
+              UNION ALL
+              SELECT n.k, n.p, n.val, t.depth + 1
+              FROM nodes n JOIN tree t ON n.p = t.k)
+            ...
+
+        Example::
+
+            dw.sql_hierarchy(
+                "SELECT emp_id AS k, mgr_id AS p, salary AS val "
+                "FROM employees",
+                max_depth=16,
+            )
+        """
+        from datawarehouse_spark.operators.graph import hierarchy_stats
+
+        df = self.sql(source) if isinstance(source, str) else source
+        return hierarchy_stats(
+            df, key=key, parent=parent, value=value, max_depth=max_depth
+        )
+
     # -- materialization ---------------------------------------------------
     def materialize(self, df: DataFrame, layer: str, table: str,
                     partition_by: list[str] | None = None) -> MaterializedView:

@@ -892,10 +892,12 @@ def sorted_neighborhood_pairs(
     # build never recompute; dropped in the finally below
     local = ranged.withColumn("rn", F.row_number().over(rn_w)).persist()
     cnt = local.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
-    off_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
-    off = cnt.select(
-        "blk", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
-    )
+    # exclusive prefix counts via the triangular self-join — an
+    # n_blocks²-row join, never a global running-sum window (which
+    # would plan an Exchange SinglePartition: the global-window lint)
+    from datawarehouse_spark.operators.rank import block_offsets
+
+    off = block_offsets(cnt, blk="blk", c="c", off_col="off")
     g = local.join(F.broadcast(off), "blk").select(
         F.col(id_col),
         "arr",

@@ -334,70 +334,72 @@ def triangle_stats(pairs: DataFrame, id_a: str = "doc_a",
         .distinct()
         .localCheckpoint(eager=True)
     )
-    try:
-        und = edges.union(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        deg = (
-            und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-            .withColumnRenamed("a", "v")
-            .persist()
-        )
-        with_deg = (
-            edges
-            .join(deg.select(F.col("v").alias("a"),
-                             F.col("d").alias("da")), "a")
-            .join(deg.select(F.col("v").alias("b"),
-                             F.col("d").alias("db")), "b")
-        )
-        low_first = (
-            F.struct(F.col("da"), F.col("a"))
-            < F.struct(F.col("db"), F.col("b"))
-        )
-        orient = with_deg.select(
-            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("w"),
-            F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
-        ).persist()
-        o1, o2 = orient.alias("o1"), orient.alias("o2")
-        wedges = o1.join(
-            o2,
-            (F.col("o1.u") == F.col("o2.u"))
-            & (F.struct(F.col("o1.dw"), F.col("o1.w"))
-               < F.struct(F.col("o2.dw"), F.col("o2.w"))),
-        ).select(
-            F.col("o1.u").alias("ta"),
-            F.col("o1.w").alias("tb"),
-            F.col("o2.w").alias("tc"),
-        )
-        tri = wedges.join(
-            orient.select(F.col("u").alias("tb"), F.col("w").alias("tc")),
-            ["tb", "tc"],
-            "left_semi",
-        )
-        per_node = (
-            tri.select(F.explode(F.array("ta", "tb", "tc")).alias("v"))
-            .groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
-        )
-        out = deg.join(per_node, "v", "left").select(
-            F.col("v").alias("doc_id"),
-            F.col("d").alias("degree"),
-            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
-            .alias("n_tri"),
-            F.when(
-                F.col("d") >= 2,
-                (F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0)))
-                / (F.col("d") * (F.col("d") - F.lit(1))),
-            ).otherwise(F.lit(0.0)).alias("clustering"),
-        )
-        # lazy return: everything downstream of the eager edge
-        # checkpoint is id-sized, so recomputation after the
-        # unpersists below is cheap — a second eager materialization
-        # here would only add a round of job-launch latency
-        return out
-    finally:
-        deg.unpersist()
-        orient.unpersist()
+    und = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    # eagerly checkpointed like edges: three consumers (two degree
+    # joins + the final output join) read the materialized id-sized
+    # table — a lazy persist would be dropped in the finally below
+    # BEFORE the returned DataFrame ever executes (r9 advisor), so
+    # it never held data during the real job
+    deg = (
+        und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("a", "v")
+        .localCheckpoint(eager=True)
+    )
+    with_deg = (
+        edges
+        .join(deg.select(F.col("v").alias("a"),
+                         F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"),
+                         F.col("d").alias("db")), "b")
+    )
+    low_first = (
+        F.struct(F.col("da"), F.col("a"))
+        < F.struct(F.col("db"), F.col("b"))
+    )
+    # same: the wedge self-join's BOTH sides plus the closing
+    # semi-join read orient — materialize its two-join lineage once
+    orient = with_deg.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dw"),
+    ).localCheckpoint(eager=True)
+    o1, o2 = orient.alias("o1"), orient.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (F.struct(F.col("o1.dw"), F.col("o1.w"))
+           < F.struct(F.col("o2.dw"), F.col("o2.w"))),
+    ).select(
+        F.col("o1.u").alias("ta"),
+        F.col("o1.w").alias("tb"),
+        F.col("o2.w").alias("tc"),
+    )
+    tri = wedges.join(
+        orient.select(F.col("u").alias("tb"), F.col("w").alias("tc")),
+        ["tb", "tc"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("v"))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = deg.join(per_node, "v", "left").select(
+        F.col("v").alias("doc_id"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+        .alias("n_tri"),
+        F.when(
+            F.col("d") >= 2,
+            (F.lit(2.0) * F.coalesce(F.col("n_tri"), F.lit(0)))
+            / (F.col("d") * (F.col("d") - F.lit(1))),
+        ).otherwise(F.lit(0.0)).alias("clustering"),
+    )
+    # lazy return: everything downstream of the eager deg/orient
+    # checkpoints is id-sized single-consumer lineage — a third eager
+    # materialization here would only add job-launch latency
+    return out
 
 
 def triangle_oracle_sql(pairs_cte: str) -> str:

@@ -138,15 +138,13 @@ def equiheight_histogram(
         "rn", F.row_number().over(W.partitionBy("blk").orderBy("v", "tb"))
     )
     cnt = local.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
-    off_w = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
-    off = cnt.select(
-        "blk",
-        F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off"),
-        F.sum("c").over(
-            W.orderBy("blk").rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("tot"),
-    )
+    # exclusive prefix counts + grand total via the triangular
+    # self-join and a scalar agg — never a global running-sum window
+    # (which plans an Exchange SinglePartition: the global-window lint)
+    from datawarehouse_spark.operators.rank import block_offsets
+
+    off = block_offsets(cnt, blk="blk", c="c", off_col="off",
+                        total_col="tot")
     return (
         local.join(F.broadcast(off), "blk")
         .select(

@@ -217,11 +217,11 @@ def shard_pack(media: DataFrame, size_col: str = "est_bytes",
     ).persist()
     try:
         tot = local.groupBy("_blk").agg(F.sum(F.col("_sz")).alias("_c"))
-        w_off = W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)
-        off = tot.select(
-            "_blk",
-            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
-        )
+        # exclusive prefix byte totals via the triangular self-join —
+        # n_blocks² rows, no global running-sum window (plan lint)
+        from datawarehouse_spark.operators.rank import block_offsets
+
+        off = block_offsets(tot, blk="_blk", c="_c", off_col="_off")
         out = (
             local.join(F.broadcast(off), "_blk")
             .withColumn("cum_bytes", F.col("_off") + F.col("_cum_in"))

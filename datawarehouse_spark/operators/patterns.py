@@ -1,0 +1,119 @@
+"""Row-pattern matching — the MATCH_RECOGNIZE query class (SQL:2016,
+shipped by Flink/Trino/Snowflake; part of the "支持标准SQL" capability
+bar the reference sets for an MPP engine, docs/olap.md:82,97) over
+Spark, which has no MATCH_RECOGNIZE parser.
+
+The re-expression: DEFINE's boolean conditions classify every row into
+a single-character SYMBOL; each partition's rows collapse — ordered —
+into one symbol string; PATTERN becomes an ordinary regular expression
+over that string, evaluated with leftmost-greedy semantics (identical
+in Java's regex and RE2 for the concatenation/alternation/quantifier
+pattern class MATCH_RECOGNIZE allows — no backreferences, no
+lookaround). This is exactly how w12_match_recognize
+(queries/warehouse.py) is driver-hash-verified against DuckDB; this
+module is the generic, user-facing form behind
+``DataWarehouse.sql_match_recognize``.
+
+Scale shape: ONE shuffle on the partition key builds each ordered
+symbol string map-side-combined (collect_list of (order, symbol)
+structs, array_sort in-row); the regex pass is a map-side projection.
+Per-partition state is O(rows in partition) single characters — the
+same bounded-session assumption every streaming MATCH_RECOGNIZE engine
+makes; an unbounded key needs a session split upstream (t5's session
+windows) first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[str],
+    symbol: Column,
+    pattern: str,
+) -> DataFrame:
+    """Per-partition row-pattern match statistics.
+
+    ``symbol`` must evaluate to a single character per row (the
+    DEFINE-classified symbol); ``order_by`` must be a total order
+    within each partition (include a unique tiebreak column — same
+    contract as every window op in this repo); ``pattern`` is a regex
+    over symbol characters.
+
+    Returns one row per partition: the symbol sequence ``seq``,
+    ``n_rows``, the number of non-overlapping leftmost-greedy matches
+    ``n_matches``, and the total row-span of all matches
+    ``matched_len`` (the SQL ONE ROW PER MATCH ... AFTER MATCH SKIP
+    PAST LAST ROW accounting).
+    """
+    seqs = (
+        df.select(
+            *partition_by,
+            F.struct(
+                *[F.col(o) for o in order_by], symbol.alias("_sym")
+            ).alias("_s"),
+        )
+        .groupBy(*partition_by)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_s")), lambda x: x["_sym"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    esc = pattern.replace("'", "\\'")
+    return seqs.select(
+        *partition_by,
+        "seq",
+        F.length("seq").cast("bigint").alias("n_rows"),
+        F.size(F.expr(f"regexp_extract_all(seq, '{esc}', 0)"))
+        .cast("bigint").alias("n_matches"),
+        (
+            F.length("seq") - F.length(F.regexp_replace("seq", pattern, ""))
+        ).cast("bigint").alias("matched_len"),
+    )
+
+
+def compile_define(define: dict[str, str]) -> tuple[Column, dict[str, str]]:
+    """Map MATCH_RECOGNIZE's DEFINE clause — symbol name → boolean SQL
+    condition — onto a single-character classifier Column. Conditions
+    are tested in DEFINE order (first match wins, the MR contract for
+    overlapping definitions); rows matching nothing classify as '0',
+    which no assigned symbol can collide with (assignments are
+    'a'..'z'). Returns (classifier, name → char map)."""
+    if not define:
+        raise ValueError("DEFINE needs at least one symbol")
+    if len(define) > 26:
+        raise ValueError(f"at most 26 symbols supported, got {len(define)}")
+    chars = {name: chr(ord("a") + i) for i, name in enumerate(define)}
+    cases = " ".join(
+        f"WHEN ({cond}) THEN '{chars[name]}'"
+        for name, cond in define.items()
+    )
+    return F.expr(f"CASE {cases} ELSE '0' END"), chars
+
+
+def compile_pattern(pattern: str, chars: dict[str, str]) -> str:
+    """Translate a MATCH_RECOGNIZE PATTERN body — symbol names with
+    regex quantifiers/grouping/alternation, e.g. ``V+ P`` or
+    ``(A B+){2,} | C?`` — into the regex over classifier characters.
+    Unknown names raise (a silent passthrough would quietly match
+    nothing)."""
+    import re
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(0)
+        if name not in chars:
+            raise ValueError(
+                f"PATTERN symbol {name!r} not in DEFINE {sorted(chars)}"
+            )
+        return chars[name]
+
+    out = re.sub(r"[A-Za-z_]\w*", sub, pattern)
+    return re.sub(r"\s+", "", out)

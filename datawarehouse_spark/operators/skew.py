@@ -212,13 +212,24 @@ def count_distinct_split(df: DataFrame, group_cols: list[str],
     N scans (cheap on columnar storage: each scan prunes to
     keys + one column).
 
+    NULL semantics match the expand plan exactly: the result has one
+    row per distinct GROUP KEY of the input — including the NULL key
+    (joined null-safely, so it never splits into per-part rows) and
+    groups whose distinct columns are all NULL (anchored by the key
+    spine below, counting 0 like count(distinct) does).
+
     Equality with the expand plan is property-tested
-    (tests/test_properties.py); the measured crossover is recorded in
+    (tests/test_properties.py, including the all-NULL-values and
+    NULL-group-key cases); the measured crossover is recorded in
     SCALE.md — on the fixture blow-up the expand form stays ahead
     until per-row width × N dominates, exactly the regime the
     reference's count-distinct-extraction rewrite (A14) targets.
     """
-    out = None
+    from functools import reduce
+
+    # key spine: every group key present in the input, so a group
+    # whose distinct columns are all NULL still emits its zero row
+    out = df.select(*group_cols).distinct()
     for c in distinct_cols:
         part = (
             df.select(*group_cols, c)
@@ -227,7 +238,18 @@ def count_distinct_split(df: DataFrame, group_cols: list[str],
             .groupBy(*group_cols)
             .agg(F.count(F.lit(1)).alias(f"nd_{c}"))
         )
-        out = part if out is None else out.join(part, group_cols, "full")
+        renamed = part.select(
+            *[F.col(g).alias(f"_k_{g}") for g in group_cols], f"nd_{c}"
+        )
+        # null-safe equi-join (<=> is still a hash-partitionable key):
+        # a NULL group key is ONE group, same as in the expand plan
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(g).eqNullSafe(F.col(f"_k_{g}")) for g in group_cols],
+        )
+        out = out.join(renamed, cond, "left").drop(
+            *[f"_k_{g}" for g in group_cols]
+        )
     fill = [
         F.coalesce(F.col(f"nd_{c}"), F.lit(0)).alias(f"nd_{c}")
         for c in distinct_cols

@@ -795,10 +795,11 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     build + scoring — rescanning columnar text beats caching a 2× token
     stream at 100 TB), plus a doc_id-only column-pruned scan for the
     left join. The model lineage is ONE map-combined count (shuffle
-    volume = distinct bigrams, not token instances) followed by window
-    aggregates over the vocab²-bounded count table — context counts and
-    V derive from it in the SAME lineage (no per-branch recompute of
-    the corpus scan, the round-5 double-scan bug class). The scoring
+    volume = distinct bigrams, not token instances), eagerly
+    checkpointed; context counts (a w1-partitioned window) and V (an
+    agg scalar, broadcast) both read the materialized count table —
+    no per-branch recompute of the corpus scan (the round-5
+    double-scan bug class) and no whole-table window. The scoring
     join shuffles the doc bigram stream once on (w1, w2); hot stopword
     bigrams are exactly the keys partial aggregation collapses first.
     """
@@ -813,19 +814,19 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     bg = df.select(F.col(id_col), F.explode(bgs).alias("b")).select(
         id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    # marginals via windows over the counted table: c1 (context count)
-    # and V (distinct successors) stay in one lineage — no branch ever
-    # re-aggregates the corpus scan
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # marginals over the counted table, which is eagerly checkpointed
+    # so both consumers (the c1 window and the V scalar) read the
+    # materialized counts — no branch ever re-aggregates the corpus
+    # scan. c1 stays a w1-PARTITIONED window (vocab-way parallel); V
+    # is a plain agg broadcast back via crossJoin, never a whole-table
+    # window through one partition (the global-window plan lint)
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    ).localCheckpoint(eager=True)
+    vt = c2.agg(F.countDistinct("w2").cast("bigint").alias("_v"))
     marked = (
         c2.withColumn("c1", F.sum("c2").over(W.partitionBy("w1")))
-        .withColumn(
-            "_first_w2",
-            F.when(
-                F.row_number().over(W.partitionBy("w2").orderBy("w1")) == 1, 1
-            ).otherwise(0),
-        )
-        .withColumn("_v", F.sum("_first_w2").over(W.partitionBy()))
+        .crossJoin(F.broadcast(vt))
     )
     # per-bigram logp is rounded to 6 BEFORE aggregation (absorbs the
     # ≤1-ulp libm log2 differences between engines), then summed exactly
@@ -895,12 +896,18 @@ def kn_lm_score(df: DataFrame, id_col: str = "doc_id",
         id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     d = F.lit(discount)
-    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # counted table checkpointed once; word marginals stay PARTITIONED
+    # windows, the bigram-type total B is an agg scalar broadcast back
+    # (no whole-table window — the global-window plan lint)
+    c = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint(eager=True)
+    bt = c.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
     m = (
         c.withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
         .withColumn("n1a", F.count(F.lit(1)).over(W.partitionBy("w1")))
         .withColumn("n1b", F.count(F.lit(1)).over(W.partitionBy("w2")))
-        .withColumn("b", F.count(F.lit(1)).over(W.partitionBy()))
+        .crossJoin(F.broadcast(bt))
     )
     model = m.select(
         "w1", "w2",
@@ -944,13 +951,13 @@ def domain_divergence(df: DataFrame, domain_col: str = "source",
     so P_corpus > 0 wherever P_domain > 0. No smoothing needed.
 
     Scale shape: ONE corpus scan, ONE map-combined (domain, token)
-    count — shuffle volume is distinct keys, not token instances. All
-    three marginals (per-domain totals, corpus token marginal, grand
-    total) are window aggregates over the counted table, so they live
-    in the same lineage — no branch re-aggregates the corpus scan (the
-    round-5 double-scan bug class). The windowed table is
-    vocab × n_domains — broadcast-sized at any corpus scale; even the
-    single-partition grand-total window is bounded by it.
+    count — shuffle volume is distinct keys, not token instances. The
+    counted table (vocab × n_domains rows) is checkpointed once; the
+    per-domain and per-token marginals are PARTITIONED windows over
+    it, and the grand total is an agg scalar broadcast back via
+    crossJoin — no branch re-aggregates the corpus scan (the round-5
+    double-scan bug class) and no whole-table window through one
+    partition (the global-window plan lint).
     """
     from pyspark.sql import Window as W
 
@@ -958,11 +965,12 @@ def domain_divergence(df: DataFrame, domain_col: str = "source",
         df.select(F.col(domain_col), F.explode(F.split(F.col(text), " "))
                   .alias("t"))
         .groupBy(domain_col, "t").agg(F.count(F.lit(1)).alias("c_s"))
-    )
+    ).localCheckpoint(eager=True)
+    tot = sc.agg(F.sum("c_s").cast("bigint").alias("_n"))
     marked = (
         sc.withColumn("n_s", F.sum("c_s").over(W.partitionBy(domain_col)))
         .withColumn("c_t", F.sum("c_s").over(W.partitionBy("t")))
-        .withColumn("_n", F.sum("c_s").over(W.partitionBy()))
+        .crossJoin(F.broadcast(tot))
     )
     p_s = F.col("c_s") / F.col("n_s")
     p_c = F.col("c_t") / F.col("_n")
@@ -1178,10 +1186,15 @@ def cms_heavy_hitters(df: DataFrame, text: str = "text", d: int = 4,
         .groupBy("t", "exact_c")
         .agg(F.min("c").alias("cms_est"))
     )
+    # top-k via orderBy+limit (plans as TakeOrdered: per-partition
+    # top-k, driver merges k rows per partition) — never a global
+    # row_number window over the 10^8+-row distinct-token table; the
+    # rank window then runs over the k-row result, bounded by
+    # construction (the llm_reservoir_sample pattern)
+    top = est.orderBy(F.desc("exact_c"), F.asc("t")).limit(k)
     win = W.orderBy(F.desc("exact_c"), F.asc("t"))
     return (
-        est.withColumn("rank", F.row_number().over(win).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(win).cast("bigint"))
         .select(
             F.col("t").alias("token"),
             F.col("exact_c").cast("bigint").alias("exact_c"),
@@ -1207,12 +1220,17 @@ def pmi_collocations(df: DataFrame, text: str = "text", min_count: int = 5,
     self-consistent (no off-by-one from document edges).
 
     Scale shape: bigrams in-row (zip_with), ONE map-combined count to
-    the vocab²-bounded pair table, and ALL marginals (c1, c2, N) are
-    window aggregates over that table — single lineage, one corpus
-    scan (the same no-per-branch-re-scan discipline as lm_score /
-    domain_divergence, plan-asserted). PMI rounds to 6 (one libm log2
-    absorbed) and ranking uses the rounded score with a pair tiebreak,
-    so top-k is total-ordered and engine-identical.
+    the vocab²-bounded pair table, eagerly checkpointed so both
+    consumers (the marginal windows and the corpus-total scalar) read
+    the materialized counts — still exactly one corpus scan (the same
+    no-per-branch-re-scan discipline as lm_score / domain_divergence,
+    plan-asserted). The word marginals c1/c2 are windows PARTITIONED
+    by the word (vocab-way parallel); the corpus total N is a plain
+    agg broadcast back via crossJoin — never a whole-table window
+    through one partition. Top-k plans as TakeOrdered (orderBy+limit)
+    with the rank window over the k-row result. PMI rounds to 6 (one
+    libm log2 absorbed) and ranking uses the rounded score with a
+    pair tiebreak, so top-k is total-ordered and engine-identical.
     """
     from pyspark.sql import Window as W
 
@@ -1226,11 +1244,12 @@ def pmi_collocations(df: DataFrame, text: str = "text", min_count: int = 5,
         df.select(F.explode(bgs).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    )
+    ).localCheckpoint(eager=True)
+    tot = c12.agg(F.sum("c12").cast("bigint").alias("_n"))
     marked = (
         c12.withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
         .withColumn("c2", F.sum("c12").over(W.partitionBy("w2")))
-        .withColumn("_n", F.sum("c12").over(W.partitionBy()))
+        .crossJoin(F.broadcast(tot))
     )
     # cast each factor to double BEFORE multiplying: the int64 products
     # N·c12 and c1·c2 overflow at web scale (N ~ 1e14 tokens), while
@@ -1243,8 +1262,7 @@ def pmi_collocations(df: DataFrame, text: str = "text", min_count: int = 5,
         ),
         6,
     )
-    win = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-    return (
+    scored = (
         marked.filter(F.col("c12") >= min_count)
         .select(
             "w1", "w2",
@@ -1253,9 +1271,10 @@ def pmi_collocations(df: DataFrame, text: str = "text", min_count: int = 5,
             F.col("c2").cast("bigint").alias("c2"),
             pmi.alias("pmi"),
         )
-        .withColumn("rank", F.row_number().over(win).cast("bigint"))
-        .filter(F.col("rank") <= k)
     )
+    top = scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+    win = W.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(win).cast("bigint"))
 
 
 def batch_by_length(df: DataFrame, id_col: str = "doc_id",
@@ -1730,7 +1749,7 @@ def curriculum_phases(df: DataFrame, n_phases: int = 4,
     bigram pass; ranking adds one range shuffle of (id, ppl, counts)
     rows — no shuffle carries text.
     """
-    from pyspark.sql import Window as W
+    from datawarehouse_spark.operators.rank import global_rank
 
     scored = (
         lm_score(df, id_col=id_col, text=text)
@@ -1742,30 +1761,14 @@ def curriculum_phases(df: DataFrame, n_phases: int = 4,
             (F.col("n_bigrams") + 1).cast("bigint").alias("n_tok"),
         )
     )
-    ranged = scored.repartitionByRange(n_blocks, "ppl", id_col).withColumn(
-        "_blk", F.spark_partition_id()
+    ranked = global_rank(
+        scored,
+        [F.asc("ppl"), F.asc(id_col)],
+        n_blocks=n_blocks,
+        rank_col="rank",
+        total_col="_n",
     )
-    rn_w = W.partitionBy("_blk").orderBy("ppl", id_col)
-    local = ranged.withColumn("_rn", F.row_number().over(rn_w)).persist()
-    try:
-        cnt = local.groupBy("_blk").agg(F.count(F.lit(1)).alias("_c"))
-        off_w = W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)
-        off = cnt.select(
-            "_blk",
-            F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off"),
-        )
-        n_tot = local.agg(F.count(F.lit(1)).alias("_n"))
-        out = (
-            local.join(F.broadcast(off), "_blk")
-            .crossJoin(F.broadcast(n_tot))
-            .withColumn("rank", (F.col("_off") + F.col("_rn")).cast("bigint"))
-            .withColumn(
-                "phase",
-                F.expr(f"(rank - 1) * {int(n_phases)} div _n + 1")
-                .cast("bigint"),
-            )
-            .drop("_blk", "_rn", "_off", "_n")
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        local.unpersist()
+    return ranked.withColumn(
+        "phase",
+        F.expr(f"(rank - 1) * {int(n_phases)} div _n + 1").cast("bigint"),
+    ).drop("_n")

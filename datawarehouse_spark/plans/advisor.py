@@ -107,6 +107,31 @@ def lint_plan(df: DataFrame) -> list[Advice]:
                 "docs/实时数仓.md:42 (UDF dev model) + Spark guidance",
             )
         )
+    # a Window whose input is a SINGLE-partition exchange = a window
+    # with an empty partition spec over unbounded input: the whole
+    # table funnels through one task's sort. The physical shape is the
+    # Window node directly over (an optional Sort over) an Exchange
+    # SinglePartition — consecutive lines, since Window and Sort are
+    # unary. Bounded inputs never show the exchange: a rank-filter
+    # plans TakeOrderedAndProject, a limit plans Local/GlobalLimit,
+    # and a scalar agg's final merge hangs under HashAggregate, so
+    # none of those false-positive here.
+    if re.search(
+        r"\bWindow\b[^\n]*\n(?:[^\n]*\bSort\b[^\n]*\n)?"
+        r"[^\n]*Exchange SinglePartition",
+        plan,
+    ):
+        out.append(
+            Advice(
+                "global-window",
+                "window with an empty partition spec over unbounded "
+                "input single-partitions the whole table; use the "
+                "distributed global-rank pattern (operators/rank.py), "
+                "orderBy+limit (TakeOrdered) for top-k, or an agg "
+                "scalar broadcast back via crossJoin",
+                "docs/sql调优.md:115-186 (数据倾斜/全局排序)",
+            )
+        )
     if rep.shuffle_joins and not rep.broadcast_joins:
         small_side = re.search(r"Statistics|sizeInBytes", plan)
         if small_side:

@@ -1379,13 +1379,19 @@ def llm_ann_ivfpq_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llm_ann_ivfpq_topk")  # approximate — rows-only check
 def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k (FAISS IVFPQ shape): coarse IVF routing,
     product-quantized asymmetric-distance scoring inside probed cells
     (corpus travels as m uint8 codes — 32× smaller than float32
     vectors), exact re-rank of the PQ shortlist only. Recall vs
-    llm_cosine_topk asserted in tests."""
+    llm_cosine_topk asserted in tests.
+
+    NOT a registry query (r10): the IVF-PQ *family's* verdict comes
+    from llm_ann_ivfpq_grid, whose grid-exact training is replayed
+    end-to-end by the DuckDB oracle — one op, one verdict. This
+    variant demonstrates the production speed path (cached index,
+    driver-sample float training, uint8 codes) and keeps its recall +
+    index-cache-invalidation properties in tests/test_llm_ops.py."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     key = (sf_dir, _dataset_fingerprint(sf_dir))

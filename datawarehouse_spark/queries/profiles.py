@@ -127,15 +127,21 @@ def x5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a total order (metric + custkey tiebreak, so bucket assignment is
     engine-identical), concatenated into the familiar 'rfm' code.
 
-    Scale shape: one map-combined per-customer aggregate; the three
-    NTILE windows run over the customers-sized rollup, not orders. The
-    global NTILE sort is the only single-partition step — at 100 TB
-    replace it with percentile boundaries from approx_percentile and a
-    broadcast CASE bucket join (same output contract, fully parallel);
-    the fixture keeps exact NTILE because the oracle can mirror it.
+    Scale shape: one map-combined per-customer aggregate; each
+    quintile is then an EXACT distributed NTILE — a range-partitioned
+    global rank (operators/rank.py::global_rank: per-block row_number
+    + a broadcast triangular-join offset table) fed through the ANSI
+    NTILE bucket formula (rank.py::ntile_from_rank). No single-
+    partition window anywhere: the classic ntile() formulation would
+    funnel the 100M–1B-row customer rollup through ONE task three
+    times; this runs three fully-parallel range shuffles and is
+    bit-identical to the oracle's NTILE because the bucket arithmetic
+    is the NTILE contract itself, not an approximation.
     """
-    from pyspark.sql import Window as W
-
+    from datawarehouse_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
     from datawarehouse_spark.queries.qutil import dsum
 
     t = load_tables(spark, sf_dir, ("orders",))
@@ -146,16 +152,25 @@ def x5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("f_cnt"),
         dsum("o_totalprice").alias("m_amt"),
     )
-    r = F.ntile(5).over(W.orderBy(F.desc("last_dt"), F.asc("custkey")))
-    fq = F.ntile(5).over(W.orderBy(F.desc("f_cnt"), F.asc("custkey")))
-    m = F.ntile(5).over(W.orderBy(F.desc("m_amt"), F.asc("custkey")))
-    scored = base.select(
+
+    def quintile(df: DataFrame, metric: str, score: str) -> DataFrame:
+        ranked = global_rank(
+            df,
+            [F.desc(metric), F.asc("custkey")],
+            rank_col="_gr",
+            total_col="_n",
+        )
+        return ranked.withColumn(
+            score, ntile_from_rank("_gr", "_n", 5)
+        ).drop("_gr", "_n")
+
+    scored = quintile(base, "last_dt", "r_score")
+    scored = quintile(scored, "f_cnt", "f_score")
+    scored = quintile(scored, "m_amt", "m_score")
+    return scored.select(
         "custkey", "last_dt", "f_cnt", "m_amt",
-        r.cast("bigint").alias("r_score"),
-        fq.cast("bigint").alias("f_score"),
-        m.cast("bigint").alias("m_score"),
-    )
-    return scored.withColumn(
+        "r_score", "f_score", "m_score",
+    ).withColumn(
         "rfm",
         F.concat(F.col("r_score").cast("string"),
                  F.col("f_score").cast("string"),

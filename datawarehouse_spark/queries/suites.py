@@ -669,18 +669,17 @@ DRIVER_GATE_CAP = 50
 
 # Raw queries intentionally NOT in the driver registry (no deterministic
 # SQL oracle possible — verified by dedicated pytest properties instead):
-#   llm_ann_ivfpq_topk (recall properties in tests/test_llm_ops.py —
-#   its PQ codebook training is driver-side float numpy with no exact
-#   SQL replay), mm_resize (roundtrip test). llm_ann_lsh_topk
+#   mm_resize (codec stub, roundtrip test). llm_ann_lsh_topk
 #   graduated to the driver gate in r8 (md5-derived hyperplanes make
 #   the bucket+rerank path oracle-replayable, queries/llm.py::
 #   _lsh_ann_oracle); llm_ann_ivf_topk graduated in r9 (grid-exact
 #   k-means quantizer makes index training replayable,
-#   _ivf_ann_oracle) — the spherical ivf_topk stays the pure-speed
-#   variant, pytest-only.
-TESTS_ONLY: frozenset[str] = frozenset(
-    {"llm_ann_ivfpq_topk", "mm_resize"}
-)
+#   _ivf_ann_oracle); llm_ann_ivfpq_topk FOLDED in r10 — the IVF-PQ
+#   family's registry verdict is llm_ann_ivfpq_grid (grid-exact,
+#   oracle-replayed); the FAISS-shaped cached-index speed variant
+#   stays as a plain function (queries/llm.py::llm_ann_ivfpq_topk)
+#   with recall + cache-invalidation properties in pytest.
+TESTS_ONLY: frozenset[str] = frozenset({"mm_resize"})
 
 
 def _canon_spark(

@@ -1773,12 +1773,19 @@ def dw1_layered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact volume. The rev share divides exact decimal sums cast to
     double — identical IEEE division in both engines, rounded at 6."""
     import hashlib
+    import shutil
 
     from datawarehouse_spark.engine import DataWarehouse
 
     t = load_tables(spark, sf_dir, ("events",))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    dw = DataWarehouse(spark, base_path=f"/tmp/dw_layered_{tag}")
+    base = f"/tmp/dw_layered_{tag}"
+    # clean slate: under dynamic partition overwrite, a re-run against
+    # a REGENERATED fixture with fewer distinct days would otherwise
+    # leave stale dt partitions from the prior fixture in place and
+    # diverge the ADS read from the oracle
+    shutil.rmtree(f"{base}/dws/daily_type_rollup", ignore_errors=True)
+    dw = DataWarehouse(spark, base_path=base)
     dwd = (
         t["events"]
         .where(
@@ -1798,15 +1805,24 @@ def dw1_layered_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dw.materialize(dws, layer="dws", table="daily_type_rollup",
                    partition_by=["dt"])
+    # rev stays DECIMAL through the rollup and the grand total; both
+    # operands cast to double only for the final division — exactly
+    # the oracle's SUM(SUM(rev)) OVER () decimal arithmetic, so the
+    # share can never drift an ulp from a premature double sum. The
+    # total is an agg scalar broadcast back, not a global window.
     rolled = dw.table("dws_daily_type_rollup").groupBy("event_type").agg(
         F.sum("pv").cast("bigint").alias("pv"),
         F.sum("uv").cast("bigint").alias("sum_daily_uv"),
-        F.sum("rev").cast("double").alias("rev"),
+        F.sum("rev").alias("rev_dec"),
     )
-    total = F.sum("rev").over(W.partitionBy())
-    return rolled.select(
-        "event_type", "pv", "sum_daily_uv", "rev",
-        F.round(F.col("rev") / total, 6).alias("rev_share"),
+    tot = rolled.agg(F.sum("rev_dec").alias("_tot"))
+    return rolled.crossJoin(F.broadcast(tot)).select(
+        "event_type", "pv", "sum_daily_uv",
+        F.col("rev_dec").cast("double").alias("rev"),
+        F.round(
+            F.col("rev_dec").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("rev_share"),
     )
 
 

@@ -48,6 +48,47 @@ def test_load_prev_timings_both_shapes(tmp_path):
     assert bench.load_prev_timings(str(p2)) == {"a": 1.5}
 
 
+def test_stdout_line_fits_driver_tail():
+    """BENCH_r08/r09 recorded "parsed": null because the stdout JSON
+    line outgrew the driver's 2000-char capture tail. Compose the line
+    exactly as main() does for the CURRENT registry with worst-case
+    3-decimal timings and assert it fits the budget — so registry
+    growth can never silently push the driver artifact back to null."""
+    names = [n for n, _ in bench.bench_set()]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": 9999.999,
+        "unit": "sec",
+        "legacy_headline_total": 9999.999,
+        "queries": {n: 88.888 for n in names},
+        "sf": 0.1,
+    }
+    line = bench.compact_line(out)
+    assert len(line) <= bench.DRIVER_TAIL_BUDGET, (
+        f"bench stdout line is {len(line)} chars (> "
+        f"{bench.DRIVER_TAIL_BUDGET}); the driver tail will truncate it"
+    )
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(names)
+
+
+def test_load_prev_timings_compact_line(tmp_path):
+    """The compact (space-free) stdout line must be recoverable from a
+    driver wrapper, including the regex salvage path for a
+    front-truncated tail."""
+    line = json.dumps(
+        {"metric": "m", "queries": {"a": 1.5, "b": 0.25}},
+        separators=(",", ":"),
+    )
+    whole = tmp_path / "whole.json"
+    whole.write_text(json.dumps({"n": 9, "tail": "x\n" + line + "\n"}))
+    assert bench.load_prev_timings(str(whole)) == {"a": 1.5, "b": 0.25}
+    cut = tmp_path / "cut.json"
+    cut.write_text(json.dumps({"n": 9, "tail": line[20:]}))
+    got = bench.load_prev_timings(str(cut))
+    assert got.get("b") == 0.25
+
+
 def test_check_flag_fires_end_to_end(tmp_path):
     """Deliberate-slowdown self-test: the previous artifact claims
     suite_scan_sort took 1 ms, so the real sf0.001 run (~0.3 s) is a

@@ -282,3 +282,95 @@ def test_shard_pack_rejects_nonpositive_sizes(spark):
     )
     with pytest.raises(Exception, match="must be > 0"):
         shard_pack(bad, shard_bytes=64, n_blocks=2).collect()
+
+
+# --- standard-SQL façade shims (r10): MATCH_RECOGNIZE + WITH RECURSIVE ---
+
+
+def test_sql_match_recognize_facade_matches_duckdb(spark, duck, tmp_path):
+    """The MATCH_RECOGNIZE table-function shim must reproduce exactly
+    what the SQL clause computes — checked against DuckDB running the
+    same classify→string_agg→regex plan (the w12 verification recipe,
+    but through the generic DEFINE/PATTERN compiler)."""
+    from tests.oracle_compare import compare_query
+
+    dw = DataWarehouse(spark, base_path=str(tmp_path / "wh"))
+
+    def fn(spark_, sf_dir):
+        ev = load_tables(spark_, sf_dir, ("events",))["events"].withColumn(
+            "ts_us", F.unix_micros("ts")
+        )
+        return dw.sql_match_recognize(
+            ev,
+            partition_by=["user_id"],
+            order_by=["ts_us", "event_id"],
+            define={
+                "V": "event_type = 'view'",
+                "P": "event_type = 'purchase'",
+            },
+            pattern="V+ P",
+        )
+
+    oracle = """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE WHEN event_type = 'view' THEN 'a'
+                             WHEN event_type = 'purchase' THEN 'b'
+                             ELSE '0' END, ''
+                        ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, seq,
+           CAST(length(seq) AS BIGINT) AS n_rows,
+           CAST(len(regexp_extract_all(seq, 'a+b')) AS BIGINT) AS n_matches,
+           CAST(length(seq) - length(regexp_replace(seq, 'a+b', '', 'g'))
+                AS BIGINT) AS matched_len
+    FROM seqs
+    """
+    ok, msg = compare_query(spark, duck, fn, oracle, SF_ORACLE)
+    assert ok, msg
+
+
+def test_sql_hierarchy_facade_matches_recursive_cte(spark, duck, tmp_path):
+    """The WITH RECURSIVE table-function shim: anchor relation written
+    in plain SQL, closure run by the path-doubling operator — must
+    equal DuckDB's genuine recursive CTE on the same synthetic forest
+    (nation keys, parent = k div 2, root at 0)."""
+    from datawarehouse_spark.operators.graph import hierarchy_oracle_sql
+    from tests.oracle_compare import compare_query
+
+    dw = DataWarehouse(spark, base_path=str(tmp_path / "wh"))
+    anchor = (
+        "SELECT n_nationkey AS k, "
+        "CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey DIV 2 END AS p, "
+        "CAST(n_regionkey AS DOUBLE) AS val FROM nation"
+    )
+
+    def fn(spark_, sf_dir):
+        load_tables(spark_, sf_dir, ("nation",))
+        return dw.sql_hierarchy(anchor, max_depth=8)
+
+    nodes_cte = (
+        "nodes AS (SELECT n_nationkey AS k, "
+        "CASE WHEN n_nationkey = 0 THEN NULL ELSE n_nationkey // 2 END AS p, "
+        "CAST(n_regionkey AS DOUBLE) AS val FROM nation)"
+    )
+    ok, msg = compare_query(
+        spark, duck, fn, hierarchy_oracle_sql(nodes_cte), SF_ORACLE
+    )
+    assert ok, msg
+
+
+def test_pattern_compiler_rejects_unknown_symbol_and_collisions():
+    from datawarehouse_spark.operators.patterns import (
+        compile_define,
+        compile_pattern,
+    )
+
+    _, chars = compile_define({"V": "x = 1", "P": "x = 2"})
+    assert compile_pattern("V+ P", chars) == "a+b"
+    assert compile_pattern("(V P?){2,} | V", chars) == "(ab?){2,}|a"
+    with pytest.raises(ValueError, match="not in DEFINE"):
+        compile_pattern("V+ Q", chars)
+    with pytest.raises(ValueError, match="at least one"):
+        compile_define({})

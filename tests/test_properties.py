@@ -575,16 +575,20 @@ def test_join_cardinality_rel_err_lights_up_on_mismatched_skew(spark):
 
 def test_count_distinct_split_equals_expand_plan(spark):
     """SURVEY §7.3 risk 3: the per-distinct split rewrite must equal
-    Spark's expand-based multi-count-distinct exactly, including a
-    group key that never reaches one of the distinct columns (NULL
-    handling: count(distinct) skips NULLs; the split's full-outer
-    join + coalesce(0) must reproduce that, not drop the group)."""
+    Spark's expand-based multi-count-distinct exactly, including the
+    NULL semantics the r9 advisor caught the old full-outer form
+    getting wrong: a group whose distinct columns are ALL NULL must
+    still emit its (0, 0, ...) row (the key spine anchors it), and a
+    NULL group key is ONE group (null-safe join), never a split pair
+    of partial rows."""
     from datawarehouse_spark.operators.skew import count_distinct_split
 
     rows = [
         ("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"),
         ("b", 3, None), ("b", 3, None),       # b has 0 distinct v
         ("c", None, "z"),                     # c has 0 distinct u
+        ("d", None, None), ("d", None, None),  # ALL distinct cols NULL
+        (None, 7, "q"), (None, None, "q"),     # NULL group key
     ]
     df = spark.createDataFrame(rows, "k string, u int, v string")
     expand = {
@@ -594,11 +598,12 @@ def test_count_distinct_split_equals_expand_plan(spark):
             F.countDistinct("v").alias("ndv"),
         ).collect()
     }
-    split = {
-        r["k"]: (r["nd_u"], r["nd_v"])
-        for r in count_distinct_split(df, ["k"], ["u", "v"]).collect()
+    out = count_distinct_split(df, ["k"], ["u", "v"]).collect()
+    split = {r["k"]: (r["nd_u"], r["nd_v"]) for r in out}
+    assert len(out) == len(split), "duplicate group-key rows in split"
+    assert expand == split == {
+        "a": (2, 2), "b": (1, 0), "c": (0, 1), "d": (0, 0), None: (1, 1),
     }
-    assert expand == split == {"a": (2, 2), "b": (1, 0), "c": (0, 1)}
 
     # and on a real fixture slice with multiple group keys
     from datawarehouse_spark.catalog import load_tables
