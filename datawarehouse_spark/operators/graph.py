@@ -449,3 +449,114 @@ def triangle_oracle_sql(pairs_cte: str) -> str:
                 ELSE CAST(0.0 AS DOUBLE) END AS clustering
     FROM deg LEFT JOIN per_node ON deg.v = per_node.v
     """
+
+
+def kcore_stats(pairs: DataFrame, k: int = 2, id_a: str = "doc_a",
+                id_b: str = "doc_b", max_rounds: int = 8) -> DataFrame:
+    """k-core decomposition (membership form) over the undirected pair
+    graph: iteratively peel every node whose remaining degree is < k
+    until the subgraph is stable — the surviving k-core is the
+    "dense nucleus" of a duplication/link graph (a mirror farm or
+    template family survives; chains and stars peel away), the
+    density audit one level above triangle_stats' per-node view.
+
+    Returns one row per node with degree ≥ 1 in the ORIGINAL graph:
+    (doc_id, degree, core_degree, in_kcore) — core_degree is the
+    node's degree inside the stable k-core subgraph (0 once peeled).
+
+    Exactness: integer degrees and joins only — nothing to round.
+
+    Scale shape: each peel round is one map-combined degree count and
+    two semi-joins on node ids (never an all-pairs product); every
+    round eagerly localCheckpoints so lineage stays flat (the
+    PageRank iterative hygiene), and convergence is one count()
+    scalar per round (the hierarchy_stats fixpoint shape). Rounds are
+    bounded by ``max_rounds`` with a loud ValueError if the peel has
+    not stabilized — a green oracle row therefore PROVES the bound
+    covered the fixture, because the unrolled-CTE oracle peels the
+    same fixed number of rounds (kcore_oracle_sql).
+    """
+    sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).union(
+        pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=True)
+    deg0 = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d0"))
+    cur = edges
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("a")
+        )
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
+    else:
+        raise ValueError(
+            f"kcore_stats: peel not stable after {max_rounds} rounds; "
+            "raise max_rounds (and the oracle's unroll) for this graph"
+        )
+    core = cur.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+    return deg0.join(core, "a", "left").select(
+        F.col("a").alias("doc_id"),
+        F.col("d0").cast("bigint").alias("degree"),
+        F.coalesce(F.col("core_degree"), F.lit(0)).cast("bigint")
+        .alias("core_degree"),
+        F.col("core_degree").isNotNull().alias("in_kcore"),
+    )
+
+
+def kcore_oracle_sql(pairs_cte: str, k: int = 2, rounds: int = 8) -> str:
+    """Unrolled-iteration DuckDB oracle for :func:`kcore_stats`:
+    ``rounds`` fixed peels (the Spark side raises if stability needs
+    more, so a green comparison proves the unroll sufficed).
+    ``pairs_cte`` must end in ``pairs(doc_a, doc_b)``."""
+    blocks = [
+        pairs_cte,
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # e{i} references e{i-1} three times (FROM + two IN probes) —
+        # un-materialized, the unroll re-evaluates e0 3^rounds times
+        # and exhausts file handles re-opening the parquet
+        """e0 AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+          )
+        )""",
+        "d0 AS (SELECT a, COUNT(*) AS d FROM e0 GROUP BY 1)",
+    ]
+    for i in range(1, rounds + 1):
+        blocks.append(f"""keep{i} AS MATERIALIZED (
+          SELECT a FROM (
+            SELECT a, COUNT(*) AS c FROM e{i - 1} GROUP BY 1
+          ) WHERE c >= {int(k)}
+        ), e{i} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{i - 1} e
+          WHERE e.a IN (SELECT a FROM keep{i})
+            AND e.b IN (SELECT a FROM keep{i})
+        )""")
+    body = ",\n    ".join(blocks)
+    return f"""
+    WITH {body},
+    core AS (
+      SELECT a, CAST(COUNT(*) AS BIGINT) AS core_degree
+      FROM e{rounds} GROUP BY 1
+    )
+    SELECT d0.a AS doc_id,
+           CAST(d0.d AS BIGINT) AS degree,
+           CAST(COALESCE(core.core_degree, 0) AS BIGINT) AS core_degree,
+           core.a IS NOT NULL AS in_kcore
+    FROM d0 LEFT JOIN core ON core.a = d0.a
+    """

@@ -1772,3 +1772,4 @@ def curriculum_phases(df: DataFrame, n_phases: int = 4,
         "phase",
         F.expr(f"(rank - 1) * {int(n_phases)} div _n + 1").cast("bigint"),
     ).drop("_n")
+

@@ -2339,6 +2339,26 @@ def llm_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_graph_kcore",
+    oracle=graph.kcore_oracle_sql(_DUCK_NGRAM_CTES, k=2, rounds=8),
+)
+def llm_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core decomposition of the exact near-dup pair graph — peel
+    degree-<2 nodes until stable; what survives is the dense nucleus
+    of the duplication graph (mirror/template families), what peels is
+    chain/star periphery one keeper handles. Completes the graph-audit
+    trio (PageRank centrality, triangle density, k-core nucleus), all
+    on the same candidate graph with exact integer oracles. See
+    operators/graph.py::kcore_stats (bounded peel rounds; the oracle
+    unrolls the same count — a green row proves the bound held)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.3, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+    return graph.kcore_stats(pairs, k=2, max_rounds=8)
+
+
+@query(
     "llm_pmi_collocations",
     oracle="""
     WITH bg AS (
@@ -3180,3 +3200,65 @@ def llm_incremental_paragraph_dedup(spark: SparkSession,
         new_batch, seen, block_words=8
     )
     return cleaned
+
+
+@query(
+    "llm_textrank_keywords",
+    oracle=(
+        "SELECT term, pr, rank FROM ("
+        "  SELECT node AS term, pr,"
+        "         CAST(row_number() OVER (ORDER BY pr DESC, node)"
+        "              AS BIGINT) AS rank"
+        "  FROM (" + graph.pagerank_oracle_sql(
+            """tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT unnest(t[1:len(t)-1]) AS w1,
+                  unnest(t[2:len(t)]) AS w2 FROM tok),
+    pairs AS (SELECT DISTINCT w1 AS doc_a, w2 AS doc_b FROM bg
+              WHERE w1 <> w2)""",
+            n_iters=3,
+        ) + ")"
+        ") WHERE rank <= 20"
+    ),
+)
+def llm_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph (distinct adjacent-token pairs),
+    top-20 terms by centrality — the unsupervised keyword/keyphrase
+    seeding pass of a corpus indexing pipeline, and a composition
+    proof: the graph op (llm_pagerank's exact fixed-iteration engine)
+    re-targeted from the doc near-dup graph to the token graph with
+    the SAME unrolled-CTE oracle machinery.
+
+    Exactness: inherits pagerank's bit-identical doubles (decimal
+    contribution sums, injected literals); top-k orders on (pr desc,
+    term) — total, engine-identical. Scale shape: the co-occurrence
+    graph is vocab²-bounded (931 edges on the fixture; stopword-capped
+    at web scale), so three exact iterations are trivial; top-k plans
+    as TakeOrdered with the rank window over 20 rows.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.col("text"), " ")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    pairs = (
+        t["documents"]
+        .select(F.explode(bgs).alias("b"))
+        .select(F.col("b.w1").alias("doc_a"), F.col("b.w2").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    pr = graph.pagerank(pairs, n_iters=3)
+    top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
+    return top.select(
+        F.col("node").alias("term"),
+        "pr",
+        F.row_number()
+        .over(W.orderBy(F.desc("pr"), F.asc("node")))
+        .cast("bigint")
+        .alias("rank"),
+    )

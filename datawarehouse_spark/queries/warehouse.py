@@ -10,6 +10,7 @@ the reference's own "数据是一致的" methodology (docs/sql调优.md:91).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -245,7 +246,9 @@ def a14_count_distinct_extraction(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "t3_tumbling_window_batch",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+             AS window_start_us,
+           event_type,
            CAST(COUNT(*) AS BIGINT) AS pv,
            CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
@@ -254,7 +257,9 @@ def a14_count_distinct_extraction(spark: SparkSession, sf_dir: str) -> DataFrame
 def t3_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — tumbling event-time window, batch form (the same
     `windowed_summary` transform runs unbounded in streaming/core.py —
-    Lambda parity T9)."""
+    Lambda parity T9). Window starts emit as unix micros (the repo's
+    engine-portable timestamp rendering) so the query can ride in
+    suite_streaming_batch's canonical projection."""
     t = load_tables(spark, sf_dir, ("events",))
     return (
         t["events"]
@@ -263,14 +268,18 @@ def t3_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("pv"),
             F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "pv", "total_value")
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type", "pv", "total_value",
+        )
     )
 
 
 @query(
     "t3_sliding_window_batch",
     oracle="""
-    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS pv
+    SELECT CAST(epoch_us(window_start) AS BIGINT) AS window_start_us,
+           CAST(COUNT(*) AS BIGINT) AS pv
     FROM (
       SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
                      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
@@ -282,13 +291,14 @@ def t3_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t3_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — sliding window (1h size, 30m slide): each event lands in two
-    windows; Spark's window() does the expansion natively."""
+    windows; Spark's window() does the expansion natively. Window
+    starts emit as unix micros (suite_streaming_batch member)."""
     t = load_tables(spark, sf_dir, ("events",))
     return (
         t["events"]
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("pv"))
-        .select(F.col("w.start").alias("window_start"), "pv")
+        .select(F.unix_micros("w.start").alias("window_start_us"), "pv")
     )
 
 
@@ -336,7 +346,9 @@ def t5_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t6_interval_attribution_batch",
     oracle="""
     SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
-           v.ts AS view_ts, p.ts AS purchase_ts, p.value AS purchase_value
+           CAST(epoch_us(v.ts) AS BIGINT) AS view_ts_us,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us,
+           p.value AS purchase_value
     FROM (SELECT * FROM events WHERE event_type = 'click') v
     JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON v.user_id = p.user_id
@@ -347,7 +359,8 @@ def t6_interval_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     """T6 stretch — interval (range) join: purchases attributed to the
     same user's views in the preceding 2 h. This is the bounded twin of
     streaming.core.stream_stream_attribution — the SAME function (T9);
-    unbounded parity is asserted in tests/test_streaming.py."""
+    unbounded parity is asserted in tests/test_streaming.py. Event
+    times emit as unix micros (suite_streaming_batch member)."""
     from datawarehouse_spark.streaming.core import (
         read_events_batch,
         stream_stream_attribution,
@@ -357,7 +370,12 @@ def t6_interval_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_events_batch(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
-    return stream_stream_attribution(views, purchases)
+    return stream_stream_attribution(views, purchases).select(
+        "user_id", "purchase_id", "view_id",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
 
 
 @query(
@@ -1962,5 +1980,128 @@ def t19_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("bigint").alias("c"),
             "n_days", "dow_mean",
             (F.col("c") - F.col("dow_mean")).alias("residual"),
+        )
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d), d = 1..9 — computed
+# ONCE in Python and injected verbatim into both engines (the
+# _EWMA_W discipline: one libm call site, identical doubles).
+_BENFORD = {str(d): math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+_BENFORD_VALUES = ", ".join(
+    f"('{d}', CAST({v!r} AS DOUBLE))" for d, v in _BENFORD.items()
+)
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+    WITH fd AS (
+      SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM fd GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM c
+    ), e(digit, expected) AS (VALUES {_BENFORD_VALUES})
+    SELECT c.digit, c.n_d,
+           round(c.n_d / CAST(t.n AS DOUBLE), 6) AS freq,
+           round(e.expected, 6) AS expected,
+           round(c.n_d / CAST(t.n AS DOUBLE) - e.expected, 6) AS dev
+    FROM c JOIN e USING (digit) CROSS JOIN t
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the money column — the
+    classic fraud/synthetic-data screen a warehouse DQ battery runs on
+    financial facts: natural multiplicative amounts put digit d first
+    with probability log10(1+1/d); a flat or spiked profile flags
+    fabricated or truncated data. Emits per digit the count, observed
+    frequency, expected frequency and deviation.
+
+    Exactness: the first digit comes from the DECIMAL(38,2) string
+    rendering (identical in both engines — never float repr, the
+    dq_table_checksum canonicalization); frequencies are single IEEE
+    divisions of exact integers; expectations are Python-computed
+    literals injected verbatim into both sides (the _EWMA_W
+    discipline), so every double matches bit-for-bit before the
+    round-6.
+
+    Scale shape: one map-side digit projection, one 9-key
+    map-combined count, total as an agg scalar broadcast back via
+    crossJoin (never a global window), expectation table inline — at
+    any corpus size this is one scan + a 9-row reduce.
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    fd = t["orders"].select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(38,2)").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    c = fd.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    tot = c.agg(F.sum("n_d").cast("bigint").alias("n"))
+    expected = F.element_at(
+        F.create_map(
+            *[x for d, v in _BENFORD.items() for x in (F.lit(d), F.lit(v))]
+        ),
+        F.col("digit"),
+    )
+    freq_raw = F.col("n_d") / F.col("n").cast("double")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("expected_raw", expected)
+        .filter(F.col("expected_raw").isNotNull())
+        .select(
+            "digit",
+            "n_d",
+            F.round(freq_raw, 6).alias("freq"),
+            F.round(F.col("expected_raw"), 6).alias("expected"),
+            F.round(freq_raw - F.col("expected_raw"), 6).alias("dev"),
+        )
+    )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) >= 10 AS k_anon,
+           round(CAST(1.0 AS DOUBLE) / COUNT(*), 6) AS risk
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate a warehouse runs before publishing a derived table: every
+    (nation, market-segment) equivalence class must hold at least
+    k = 10 members, else the rows in it are re-identifiable by linking
+    on the QI columns. Emits per class the size, the k-anonymous flag
+    and the worst-case re-identification risk 1/n (the l-diversity /
+    t-closeness siblings refine this same per-class frame).
+
+    Exactness: counts are integers; risk is one IEEE division of
+    exact integers — no rounding ambiguity anywhere.
+
+    Scale shape: one map-combined aggregate over the QI key (class
+    count ≪ row count by definition of a useful QI); the flag and
+    risk are per-row projections of the class table. The classic
+    pitfall — a global sort to find the smallest class — is simply
+    `ORDER BY n LIMIT k` (TakeOrdered) downstream, never a window.
+    """
+    t = load_tables(spark, sf_dir, ("customer",))
+    return (
+        t["customer"]
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "c_nationkey", "c_mktsegment", "n",
+            (F.col("n") >= 10).alias("k_anon"),
+            F.round(F.lit(1.0) / F.col("n"), 6).alias("risk"),
         )
     )

@@ -84,6 +84,43 @@ TRIAGE: dict[str, dict[str, str]] = {
         "grid before argmin, so decimal ties resolve to the lowest cid "
         "exactly like the sql engine's (dist2, cid) ordering.",
     },
+    # --- round 10 triage ---
+    "datawarehouse_spark/operators/skew.py:201": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/skew.py",
+        "fix_pattern": r"eqNullSafe\(F\.col\(f\"_k_\{g\}\"\)\)",
+        "note": "count_distinct_split joins each part onto a "
+        "df.select(keys).distinct() spine with null-safe equality + "
+        "coalesce(0): all-NULL groups keep their zero row and a NULL "
+        "group key stays one group. Property test extended with both "
+        "cases.",
+    },
+    "datawarehouse_spark/operators/graph.py:286": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/graph.py",
+        "fix_pattern": r"semi-join read orient — materialize its "
+        r"two-join lineage once",
+        "note": "triangle_stats now eagerly localCheckpoints deg and "
+        "orient (like edges); the dead persist/unpersist-before-"
+        "execution pair and its misleading comment are gone.",
+    },
+    "datawarehouse_spark/queries/warehouse.py:126": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/queries/warehouse.py",
+        "fix_pattern": r"rev stays DECIMAL through the rollup",
+        "note": "dw1 keeps rev decimal through the rollup and the "
+        "grand total (agg scalar broadcast back), casting both "
+        "operands to double only for the final division — the "
+        "oracle's exact arithmetic.",
+    },
+    "datawarehouse_spark/queries/warehouse.py:101": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/queries/warehouse.py",
+        "fix_pattern": r'shutil\.rmtree\(f"\{base\}/dws/daily_type_rollup"',
+        "note": "dw1 deletes its materialization path before writing, "
+        "so a regenerated fixture with fewer distinct days can never "
+        "inherit stale dt partitions under dynamic overwrite.",
+    },
     "CORRECTNESS_r08.json:1": {
         "status": "fixed",
         "fix_file": "datawarehouse_spark/queries/suites.py",

@@ -476,18 +476,25 @@ def test_runtime_bloom_filter_reduces_shuffle_join(spark):
 
 def test_lm_and_kl_marginals_stay_in_one_lineage(spark):
     """The bigram-LM model and the domain-KL marginals derive their
-    context counts / totals via window aggregates over the counted
-    table, NOT per-branch re-aggregation — so domain_kl scans the
-    corpus exactly once, and lm_perplexity exactly thrice (model build,
-    scoring stream, and a doc_id-only pruned scan for the left join).
-    The round-5 verdict's double-scan bug class, pinned."""
+    word marginals and corpus totals from ONE materialized count table
+    (r10: the counted table is eagerly checkpointed; partitioned
+    windows read it and the grand total is an agg scalar broadcast
+    back — no global window, no per-branch re-aggregation of the
+    corpus scan). The count build scans the corpus once AT CHECKPOINT
+    TIME, so the returned plan must show the model side reading the
+    checkpoint (Scan ExistingRDD), never a second parquet scan:
+    domain_kl's final plan has ZERO corpus scans, lm_perplexity's has
+    exactly two (the scoring stream + a doc_id-only pruned scan for
+    the left join). The round-5 double-scan bug class, pinned."""
     kl = QUERIES["llm_domain_kl"](spark, SF_ORACLE)
     plan = kl._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("documents.parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
 
     lm = QUERIES["llm_lm_perplexity"](spark, SF_ORACLE)
     plan = lm._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("documents.parquet") == 3, plan
+    assert plan.count("documents.parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan, plan
     # the left-join branch must be column-pruned to doc_id alone
     assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
 
