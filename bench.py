@@ -183,18 +183,34 @@ DRIVER_TAIL_BUDGET = 1950
 
 def compact_line(out: dict) -> str:
     """The stdout JSON line, guaranteed to fit the driver's tail
-    window: compact separators, per-query timings rounded just enough
-    (3 → 2 → 1 decimals), and as a last resort the repo-internal
-    legacy_headline_total field dropped — everything the driver spec
-    requires (metric/value/unit/queries/sf) always stays. The
-    committed .benchmarks copy keeps the full-precision line."""
+    window: compact separators; if over budget, the legacy
+    fine-grained series lines (HEADLINE extras that are not driver
+    registry entries — they exist for round-over-round continuity and
+    live in full in the committed .benchmarks copy) drop out of the
+    stdout dict first, then per-query timings round 3 → 2 → 1
+    decimals. Everything the driver spec requires
+    (metric/value/unit/queries/sf, with a queries entry for every
+    registry name) always stays."""
     line = json.dumps(out, separators=(",", ":"))
+    slim = out
+    if len(line) > DRIVER_TAIL_BUDGET:
+        try:
+            from datawarehouse_spark.queries import QUERIES as _DRIVER
+        except Exception:
+            _DRIVER = out["queries"]
+        slim = dict(
+            out,
+            queries={
+                k: v for k, v in out["queries"].items() if k in _DRIVER
+            },
+        )
+        line = json.dumps(slim, separators=(",", ":"))
     for nd in (2, 1):
         if len(line) <= DRIVER_TAIL_BUDGET:
             return line
         slim = dict(
-            out,
-            queries={k: round(v, nd) for k, v in out["queries"].items()},
+            slim,
+            queries={k: round(v, nd) for k, v in slim["queries"].items()},
         )
         line = json.dumps(slim, separators=(",", ":"))
     if len(line) > DRIVER_TAIL_BUDGET and "legacy_headline_total" in slim:

@@ -90,6 +90,10 @@ SUITES: dict[str, list[Member]] = {
         # k-anonymity privacy gate over a quasi-identifier tuple (r10)
         ("dq_k_anonymity", ["c_mktsegment", "k_anon"],
          ["c_nationkey", "n", "risk"]),
+        # l-diversity refinement: distinct-sensitive-value floor +
+        # entropy of the sensitive distribution per QI class (r10)
+        ("dq_l_diversity", ["l_diverse"],
+         ["c_nationkey", "n", "l", "sens_entropy"]),
     ],
     # §2.4 multi-dimensional: CUBE, ROLLUP, GROUPING SETS
     "suite_cube_rollup": [

@@ -2105,3 +2105,72 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.0) / F.col("n"), 6).alias("risk"),
         )
     )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    WITH cls AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2
+    ), tot AS (
+      SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM cls GROUP BY 1
+    )
+    SELECT t.c_nationkey, t.n, t.l, t.l >= 3 AS l_diverse,
+           round(CAST(SUM(CAST(round(
+             -(cls.c / CAST(t.n AS DOUBLE))
+               * log2(cls.c / CAST(t.n AS DOUBLE)), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS sens_entropy
+    FROM tot t JOIN cls ON cls.c_nationkey = t.c_nationkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity sibling (dq_k_anonymity
+    checks class SIZES; this checks that each quasi-identifier class
+    also carries at least l = 3 DISTINCT sensitive values, plus the
+    entropy of the sensitive distribution, the entropy-l-diversity
+    refinement): a class of 100 rows that all share one market segment
+    is size-safe but attribute-disclosing.
+
+    Exactness: counts and l are integers; p = c/n is one IEEE division
+    of exact integers; each -p·log2(p) term rounds at 9 (absorbing the
+    single libm call's ulp skew) and sums via decimal so reduction
+    order can't move the entropy — the domain_divergence discipline.
+
+    Scale shape: two chained map-combined aggregates (QI×sensitive,
+    then QI) — class tables ≪ row count by construction; the entropy
+    is computed on the class table, never a second base-table scan.
+    """
+    t = load_tables(spark, sf_dir, ("customer",))
+    cls = (
+        t["customer"]
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    term = F.round(-p * F.log2(p), 9)
+    tot = cls.groupBy("c_nationkey").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    return (
+        cls.join(tot, "c_nationkey")
+        .groupBy("c_nationkey", "n", "l")
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(38,9)")).cast("double"), 6
+            ).alias("sens_entropy"),
+        )
+        .select(
+            "c_nationkey", "n", "l",
+            (F.col("l") >= 3).alias("l_diverse"),
+            "sens_entropy",
+        )
+    )

@@ -69,7 +69,12 @@ def test_stdout_line_fits_driver_tail():
         f"{bench.DRIVER_TAIL_BUDGET}); the driver tail will truncate it"
     )
     parsed = json.loads(line)
-    assert set(parsed["queries"]) == set(names)
+    from datawarehouse_spark.queries import QUERIES as DRIVER
+
+    # every driver registry entry must survive compaction; only the
+    # legacy continuity extras may drop from the stdout line
+    assert set(DRIVER) <= set(parsed["queries"])
+    assert set(parsed["queries"]) <= set(names)
 
 
 def test_load_prev_timings_compact_line(tmp_path):

@@ -581,3 +581,56 @@ def test_r9_new_ops_exchange_budgets(spark):
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan}"
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_r10_new_ops_exchange_budgets(spark):
+    """Pins the shuffle claims of the round-10 additions: the Benford
+    audit is one 9-key map-combined count (its corpus total is a
+    scalar agg, not a window); k-anonymity is one QI-key aggregate;
+    l-diversity chains class→QI→entropy aggregates (three key
+    exchanges); none evaluates Python or a cartesian. The iterative
+    graph ops (kcore, textrank) are covered by the registry-wide lint
+    sweep instead — their exchange count is round-dependent by
+    design."""
+    import re
+
+    budgets = {
+        # 2: the 9-row digit-count table feeds both the output select
+        # and the scalar-total branch (each re-aggregates 9 rows)
+        "dq_benford": 2,
+        "dq_k_anonymity": 1,
+        "dq_l_diversity": 3,
+    }
+    for name, budget in budgets.items():
+        plan = (
+            QUERIES[name](spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan}"
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_x5_rfm_has_no_single_partition_window(spark):
+    """The r9 verdict's #1 scale defect, pinned dead: the RFM
+    quintiles must never plan a Window over an Exchange
+    SinglePartition (the classic global-NTILE funnel) — the
+    distributed global-rank path (range partitions + broadcast
+    triangular-join offsets + the ANSI NTILE bucket formula) leaves
+    single-partition exchanges only under scalar aggregates."""
+    import re
+
+    plan = (
+        QUERIES["x5_rfm_segmentation"](spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.search(
+        r"\bWindow\b[^\n]*\n(?:[^\n]*\bSort\b[^\n]*\n)?"
+        r"[^\n]*Exchange SinglePartition",
+        plan,
+    ), plan
+    # the range-partitioned rank runs inside global_rank's eager
+    # localCheckpoint, so the returned plan reads the materialized
+    # blocks rather than re-showing the range exchange
+    assert "Scan ExistingRDD" in plan, plan
