@@ -45,17 +45,19 @@ def block_offsets(
     The input is n_blocks rows by construction, so the O(n_blocks²)
     join is trivial and the output broadcasts. With ``total_col`` the
     grand total (Σ all counts) rides along on every row, replacing the
-    unbounded-following window variant."""
+    unbounded-following window variant. Sums keep the count column's
+    own exact type (bigint counts stay bigint; decimal byte/revenue
+    totals stay decimal — global_cumsum relies on this)."""
     a = cnt.select(F.col(blk).alias("_ra"))
     b = cnt.select(F.col(blk).alias("_rb"), F.col(c).alias("_cb"))
     off = (
         a.join(b, F.col("_rb") < F.col("_ra"), "left")
         .groupBy("_ra")
-        .agg(F.coalesce(F.sum("_cb"), F.lit(0)).cast("bigint").alias(off_col))
+        .agg(F.coalesce(F.sum("_cb"), F.lit(0)).alias(off_col))
         .withColumnRenamed("_ra", blk)
     )
     if total_col is not None:
-        tot = cnt.agg(F.sum(c).cast("bigint").alias(total_col))
+        tot = cnt.agg(F.sum(c).alias(total_col))
         off = off.crossJoin(F.broadcast(tot))
     return off
 
@@ -91,6 +93,43 @@ def global_rank(
         local.join(F.broadcast(off), "_blk")
         .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("bigint"))
         .drop("_blk", "_rn", "_off")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order: list[Column],
+    value: str,
+    n_blocks: int = 8,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Attach the INCLUSIVE global running sum of ``value`` under
+    ``order`` (which must be a total order) without a single-partition
+    sort — the `SUM(v) OVER (ORDER BY ...)` re-expression: per-block
+    running sums lifted by the broadcast triangular-join offsets of
+    per-block totals (the shard_pack byte-packing machinery,
+    generalized). ``value`` should be an exact type (bigint/decimal)
+    so block composition cannot reorder float additions. Optionally
+    attaches the grand total (``total_col``) for share-of-total
+    projections."""
+    ranged = df.repartitionByRange(n_blocks, *order).withColumn(
+        "_blk", F.spark_partition_id()
+    )
+    w_cum = (
+        W.partitionBy("_blk")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "_cum_in", F.sum(F.col(value)).over(w_cum)
+    ).localCheckpoint(eager=True)
+    tot = local.groupBy("_blk").agg(F.sum(F.col(value)).alias("_c"))
+    off = block_offsets(tot, "_blk", "_c", total_col=total_col)
+    return (
+        local.join(F.broadcast(off), "_blk")
+        .withColumn(cum_col, F.col("_off") + F.col("_cum_in"))
+        .drop("_blk", "_cum_in", "_off")
     )
 
 

@@ -176,3 +176,217 @@ def x5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("f_score").cast("string"),
                  F.col("m_score").cast("string")),
     )
+
+
+@query(
+    "x6_session_paths",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessioned AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS path
+      FROM sessioned GROUP BY 1, 2
+    ), agg AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM paths GROUP BY 1
+    )
+    SELECT path, n_sessions, rank FROM (
+      SELECT path, n_sessions,
+             CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+                  AS BIGINT) AS rank
+      FROM agg
+    ) WHERE rank <= 20
+    """,
+)
+def x6_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis (用户路径分析 — the classic ADS-layer
+    behavioral report): sessionize the event stream (30-minute
+    inactivity gap, the t5 session operator), reduce each session to
+    its ordered event-type-initial string, and report the top-20 most
+    common session paths — what product analytics reads to see "where
+    do users actually go".
+
+    Exactness: session boundaries are the t5-proven session_window ≡
+    lag+cumsum equivalence; within-session order is total
+    (µs timestamp, event_id tiebreak); top-k orders on
+    (count desc, path).
+
+    Scale shape: ONE shuffle on user_id sessionizes (session state is
+    bounded by the behavioral gap), paths build in-row (array_sort of
+    collected per-session structs), the path frequency table is one
+    map-combined count (distinct paths ≪ sessions), and top-k plans
+    as TakeOrdered with the rank window over the 20-row result.
+    """
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("events",))
+    paths = (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("ts_us"),
+                                F.col("event_id"),
+                                F.substring("event_type", 1, 1).alias("i"),
+                            )
+                        )
+                    ),
+                    lambda x: x["i"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    top = agg.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("n_sessions"), F.asc("path")))
+        .cast("bigint"),
+    )
+
+
+@query(
+    "x7_churn_detection",
+    oracle="""
+    WITH before_d AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_before,
+             CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+      GROUP BY 1
+    ), after_d AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-12'
+    )
+    SELECT b.user_id, b.n_events_before, b.last_seen_us
+    FROM before_d b
+    WHERE NOT EXISTS (SELECT 1 FROM after_d a WHERE a.user_id = b.user_id)
+    """,
+)
+def x7_churn_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-active-user lapse — the retention complement of the w9
+    cohort matrix: users active on the observation day (Jan 10) with
+    ZERO activity the next day, with their prior volume and last-seen
+    time — the ADS-layer feed of every win-back campaign. (Day
+    granularity because the synthetic stream is dense: at week
+    granularity every fixture user stays active and the report is
+    vacuously empty.)
+
+    Scale shape: two pushdown-pruned scans (the ts range reaches the
+    parquet scan), one map-combined per-user aggregate, one
+    LEFT ANTI join on user_id — no windows, no skew risk beyond the
+    user key itself (a hot user is one row after the aggregate).
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    before = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-11").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events_before"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
+        )
+    )
+    after = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-11").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    ).select("user_id")
+    return before.join(after, "user_id", "left_anti")
+
+
+@query(
+    "x8_abc_analysis",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER () AS tot
+      FROM base
+    )
+    SELECT custkey,
+           CAST(rev AS DOUBLE) AS rev,
+           round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS cum_share,
+           CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                  THEN 'A'
+                WHEN CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c
+    """,
+)
+def x8_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis — rank customers by revenue and classify
+    by INCLUSIVE cumulative revenue share (A ≤ 80%, B ≤ 95%, C the
+    tail): the classic "which 20% of customers drive 80% of revenue"
+    warehouse report, and the global-running-sum sibling of the RFM
+    quintiles.
+
+    Exactness: revenue stays decimal through the per-customer rollup,
+    the distributed running sum and the grand total; the share is one
+    IEEE division of exact decimals cast to double — class boundaries
+    compare that identical double in both engines, so bucket edges
+    can never disagree.
+
+    Scale shape: the classic SUM(rev) OVER (ORDER BY rev DESC)
+    formulation single-partitions the customer rollup; this runs the
+    distributed global cumsum instead (operators/rank.py::
+    global_cumsum — one range shuffle, per-block running sums, a
+    broadcast triangular-join block-offset lift), with the grand
+    total riding along as a broadcast scalar. Fully parallel at any
+    customer count.
+    """
+    from datawarehouse_spark.operators.rank import global_cumsum
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    base = t["orders"].groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev")
+    )
+    cum = global_cumsum(
+        base,
+        [F.desc("rev"), F.asc("custkey")],
+        "rev",
+        cum_col="cum_rev",
+        total_col="_tot",
+    )
+    share = F.col("cum_rev").cast("double") / F.col("_tot").cast("double")
+    return cum.select(
+        "custkey",
+        F.col("rev").cast("double").alias("rev"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )

@@ -310,6 +310,15 @@ SUITES: dict[str, list[Member]] = {
         # suite is the profile/report family and has bench headroom)
         ("dw1_layered_pipeline", ["event_type"],
          ["pv", "sum_daily_uv", "rev", "rev_share"]),
+        # top-20 session journey paths (r10: sessionize → in-row path
+        # string → TakeOrdered; the 用户路径分析 ADS report)
+        ("x6_session_paths", ["path"], ["n_sessions", "rank"]),
+        # week-over-week churn (r10: active-then-silent anti-join)
+        ("x7_churn_detection", [],
+         ["user_id", "n_events_before", "last_seen_us"]),
+        # ABC/Pareto revenue classes (r10: distributed global cumsum —
+        # rank.py::global_cumsum — never a single-partition window)
+        ("x8_abc_analysis", ["abc"], ["custkey", "rev", "cum_share"]),
     ],
     # TPC-H workload suite (SURVEY §6's "TPC-H-class" claim made
     # runnable; Q1/Q18/Q22 live on as a1/a19/p13 → all 22 queries
