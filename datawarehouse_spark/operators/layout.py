@@ -280,3 +280,124 @@ def compaction_plan(files: DataFrame, part_keys: list[str],
             F.expr(f"(cum_after - size) DIV {int(target)}").alias("grp"),
         )
     )
+
+
+def _hilbert_step(s: int, xin: str, yin: str, din: str) -> tuple[str, str, str]:
+    """One unrolled Hilbert xy2d iteration (grid half-size ``s``) as
+    dialect-portable SQL over the named input columns: quadrant index
+    via CASE (≡ (3·rx) XOR ry without relying on a dialect XOR), then
+    the Gray-code rotation/reflection. Shared verbatim by the Spark
+    projection and the DuckDB oracle so the arithmetic cannot skew."""
+    rx = f"(({xin} & {s}) > 0)"
+    ry = f"(({yin} & {s}) > 0)"
+    seg = (
+        f"CASE WHEN {rx} AND {ry} THEN 2 WHEN {rx} THEN 3 "
+        f"WHEN {ry} THEN 1 ELSE 0 END"
+    )
+    x = (
+        f"CAST(CASE WHEN {ry} THEN {xin} WHEN {rx} THEN {s - 1} - {yin} "
+        f"ELSE {yin} END AS BIGINT)"
+    )
+    y = (
+        f"CAST(CASE WHEN {ry} THEN {yin} WHEN {rx} THEN {s - 1} - {xin} "
+        f"ELSE {xin} END AS BIGINT)"
+    )
+    d = f"CAST({din} + CAST({s} AS BIGINT) * {s} * ({seg}) AS BIGINT)"
+    return x, y, d
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Append a 2-D Hilbert-curve clustering key: the same exact
+    BIGINT min-max rank codes as :func:`zorder_key` (``z1``, ``z2``),
+    then the Hilbert index from ``bits`` unrolled xy2d iterations —
+    the locality-better sibling of Z-order (every unit step on the
+    Hilbert curve is adjacent in space, so file ranges under range
+    predicates are tighter than Morton's quadrant jumps; the layout
+    family Delta/Iceberg expose as OPTIMIZE ... ZORDER/Hilbert).
+
+    Exact integer arithmetic end to end (masks, CASE rotations,
+    shifts) inside whole-stage codegen — no UDF, no float, and the
+    per-iteration SQL text is shared with the DuckDB oracle
+    (:func:`_hilbert_step`), so both engines compute bit-identical
+    keys. Scale shape: identical to zorder_key — one scalar min/max
+    broadcast, then a pure projection.
+    """
+    if len(cols) != 2:
+        raise ValueError(f"hilbert_key is 2-D; got {len(cols)} columns")
+    coded = zorder_key(df, cols, bits=bits, out_col="_zk_tmp").drop(
+        "_zk_tmp"
+    )
+    out = coded.withColumn("_hx0", F.col("z1")).withColumn(
+        "_hy0", F.col("z2")
+    ).withColumn("_hd0", F.lit(0).cast("bigint"))
+    n_it = 0
+    for i, s in enumerate(2 ** b for b in range(bits - 1, -1, -1)):
+        x, y, d = _hilbert_step(s, f"_hx{i}", f"_hy{i}", f"_hd{i}")
+        out = (
+            out.withColumn(f"_hx{i + 1}", F.expr(x))
+            .withColumn(f"_hy{i + 1}", F.expr(y))
+            .withColumn(f"_hd{i + 1}", F.expr(d))
+        )
+        n_it = i + 1
+    drop = [f"_h{a}{i}" for a in "xyd" for i in range(n_it)]
+    return out.withColumn(out_col, F.col(f"_hd{n_it}")).drop(
+        *drop, f"_hx{n_it}", f"_hy{n_it}", f"_hd{n_it}"
+    )
+
+
+def hilbert_oracle_sql(
+    table: str,
+    col1: str,
+    col2: str,
+    keys: list[str],
+    bits: int = 8,
+) -> str:
+    """DuckDB replay of :func:`hilbert_key` over ``table``: the
+    identical scaling CTE as the Z-order oracle, then one chained CTE
+    per xy2d iteration built from the SAME _hilbert_step text."""
+    scale = (1 << bits) - 1
+    key_list = ", ".join(keys)
+    blocks = [
+        f"""st AS (
+      SELECT MIN({col1}) AS mn1, MAX({col1}) AS mx1,
+             MIN({col2}) AS mn2, MAX({col2}) AS mx2
+      FROM {table}
+    )""",
+        f"""h0 AS (
+      SELECT {key_list}, {col1}, {col2},
+             COALESCE(({col1} - mn1) * {scale}
+                      // GREATEST(mx1 - mn1, 1), 0) AS z1,
+             COALESCE(({col2} - mn2) * {scale}
+                      // GREATEST(mx2 - mn2, 1), 0) AS z2,
+             COALESCE(({col1} - mn1) * {scale}
+                      // GREATEST(mx1 - mn1, 1), 0) AS x0,
+             COALESCE(({col2} - mn2) * {scale}
+                      // GREATEST(mx2 - mn2, 1), 0) AS y0,
+             CAST(0 AS BIGINT) AS d0
+      FROM {table}, st
+    )""",
+    ]
+    n_it = 0
+    for i, s in enumerate(2 ** b for b in range(bits - 1, -1, -1)):
+        x, y, d = _hilbert_step(s, f"x{i}", f"y{i}", f"d{i}")
+        blocks.append(
+            f"""h{i + 1} AS (
+      SELECT {key_list}, {col1}, {col2}, z1, z2,
+             {x} AS x{i + 1}, {y} AS y{i + 1}, {d} AS d{i + 1}
+      FROM h{i}
+    )"""
+        )
+        n_it = i + 1
+    body = ",\n    ".join(blocks)
+    return f"""
+    WITH {body}
+    SELECT {key_list}, {col1}, {col2},
+           CAST(z1 AS BIGINT) AS z1, CAST(z2 AS BIGINT) AS z2,
+           d{n_it} AS hkey
+    FROM h{n_it}
+    """

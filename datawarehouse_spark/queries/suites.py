@@ -54,6 +54,11 @@ SUITES: dict[str, list[Member]] = {
         # grouping of a per-day file inventory — exact integers
         ("s16_compaction_plan", ["dt", "file_id"],
          ["size", "cum_before", "grp"]),
+        # Hilbert-curve clustering key (r10): Z-order's locality-
+        # better sibling, eight unrolled xy2d iterations — all BIGINT
+        ("s18_hilbert_clustering", [],
+         ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "z1", "z2", "hkey"]),
     ],
     # §2.2 predicates: filter, LIKE, IN list, date range, NULL, AND/OR/NOT
     "suite_predicates": [

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
-from datawarehouse_spark.operators import graph
+from datawarehouse_spark.operators import graph, layout
 from datawarehouse_spark.queries.registry import query
 from datawarehouse_spark.sources import io as dwio
 
@@ -2174,3 +2174,29 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sens_entropy",
         )
     )
+
+
+@query(
+    "s18_hilbert_clustering",
+    oracle=layout.hilbert_oracle_sql(
+        "lineitem", "l_partkey", "l_suppkey",
+        ["l_orderkey", "l_linenumber"], bits=8,
+    ),
+)
+def s18_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (l_partkey, l_suppkey) — the
+    locality-better sibling of s15's Z-order (every unit step of the
+    Hilbert curve is spatially adjacent, so file min-max ranges under
+    range predicates are tighter than Morton's quadrant jumps; the
+    second member of the OPTIMIZE-layout family warehouses expose).
+    Exact BIGINT scaling + eight unrolled xy2d iterations — pure
+    codegen projection sharing its per-iteration SQL text with the
+    DuckDB oracle, so the keys are bit-identical across engines. See
+    operators/layout.py::hilbert_key."""
+    from datawarehouse_spark.operators.layout import hilbert_key
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return hilbert_key(li, ["l_partkey", "l_suppkey"], bits=8)

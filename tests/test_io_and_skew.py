@@ -645,3 +645,67 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hilbert_key_equals_reference_xy2d_and_prunes(spark, tmp_path):
+    """The Hilbert layout, verified two ways: (1) the Spark projection
+    equals the canonical xy2d reference on the full 16×16 grid —
+    bit-identical, no sampling; (2) the locality claim measured — a
+    point predicate on the secondary dimension intersects a small
+    fraction of Hilbert-ordered files' min-max ranges, and never MORE
+    files than Z-order needs on the identical tiling (Hilbert's only
+    reason to exist over Morton)."""
+    from datawarehouse_spark.operators.layout import (
+        file_range_profile,
+        hilbert_key,
+        zorder_key,
+    )
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.hkey
+        for r in hilbert_key(grid, ["x", "y"], bits=4).collect()
+    }
+    for (x, y), hk in got.items():
+        assert hk == xy2d(16, x, y), (x, y, hk)
+
+    li = load_tables(spark, SF_ORACLE, ("lineitem",))["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    h = hilbert_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    z = zorder_key(li, ["l_partkey", "l_suppkey"], bits=8)
+    n_files = 64
+    by_h = str(tmp_path / "by_h")
+    by_z = str(tmp_path / "by_z")
+    h.repartitionByRange(n_files, "hkey").write.parquet(by_h)
+    z.repartitionByRange(n_files, "zkey").write.parquet(by_z)
+
+    lo, hi = 4, 4
+
+    def hit_files(path):
+        prof = file_range_profile(spark, path, "l_suppkey").collect()
+        return sum(1 for r in prof if r.mn <= hi and r.mx >= lo), len(prof)
+
+    h_hits, h_total = hit_files(by_h)
+    z_hits, _ = hit_files(by_z)
+    assert h_hits <= h_total // 3, (
+        f"hilbert should prune ≥ 2/3 of the files: {h_hits}/{h_total}"
+    )
+    assert h_hits <= z_hits, (
+        f"hilbert locality must not lose to z-order: {h_hits} > {z_hits}"
+    )
