@@ -227,7 +227,11 @@ def x6_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the behavioral gap), paths build in-row (array_sort of
     collected per-session structs), the path frequency table is one
     map-combined count (distinct paths ≪ sessions), and top-k plans
-    as TakeOrdered with the rank window over the 20-row result.
+    as TakeOrdered with the rank window over the 20-row result. The
+    per-session path transform also runs UNBOUNDED
+    (streaming/core.py::session_paths — watermarked session windows;
+    stream≡batch replay parity in
+    tests/test_streaming.py::test_session_paths_stream_equals_batch).
     """
     from pyspark.sql import Window as W
 

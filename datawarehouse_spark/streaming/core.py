@@ -224,6 +224,50 @@ def session_summary(df: DataFrame, gap: str = "30 minutes",
     )
 
 
+def session_paths(df: DataFrame, gap: str = "30 minutes",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Per-session journey path (the streaming form of the
+    x6_session_paths ADS report): sessionize on the inactivity gap and
+    reduce each finalized session to its ordered event-type-initial
+    string — one transform shared by batch and stream (T9 lambda
+    parity; the driver-gated batch form aggregates these paths to the
+    top-k report). The in-session order is total ((µs ts, event_id)
+    struct sort), so the emitted path is deterministic regardless of
+    arrival order — which is exactly what makes stream/batch replay
+    parity checkable row-for-row.
+
+    Scale shape: one shuffle on (user, session); per-OPEN-session
+    state is the collected initials of one behavioral session (bounded
+    by the gap), finalized and freed when the watermark passes.
+    """
+    src = df.withWatermark("ts", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("ts_us"),
+                                F.col("event_id"),
+                                F.substring("event_type", 1, 1).alias("i"),
+                            )
+                        )
+                    ),
+                    lambda x: x["i"],
+                ),
+                "",
+            ).alias("path")
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "path",
+        )
+    )
+
+
 def dedup_within_watermark(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T5 — stateful dedup with bounded state (reference retains ~3 days
     of state, docs/实时数仓.md:11-13; watermark is the TTL)."""

@@ -833,3 +833,34 @@ def test_late_rows_dropped_at_watermark_and_accounted(spark, tmpdir):
         assert dropped >= 1, [p["stateOperators"] for p in q.recentProgress]
     finally:
         q.stop()
+
+
+def test_session_paths_stream_equals_batch(spark):
+    """The x6 journey-path transform under replay parity: the SAME
+    session_paths transform over readStream and read produces
+    identical finalized (user, session, path) rows — proving the
+    in-session ordering (µs ts, event_id struct sort) is arrival-order
+    invariant, not just engine-portable. Same cutoff discipline as the
+    t5 session test: sessions the stream legitimately withholds at
+    end-of-input (start after max_ts - gap - watermark) are excluded
+    from the comparison."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    batch_src = core.read_events_batch(spark, SF_SMOKE)
+    got = core.run_stream_to_memory(
+        core.session_paths(core.read_events_stream(spark, SF_SMOKE)),
+        "session_paths",
+        output_mode="append",
+    )
+    batch = core.session_paths(batch_src)
+    hi = batch_src.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cutoff = hi - datetime.timedelta(minutes=40)  # gap 30m + wm 10m
+    diff = core.differential_validate(
+        batch.filter(F.col("session_start") < F.lit(cutoff)),
+        got.filter(F.col("session_start") < F.lit(cutoff)),
+        keys=["user_id", "session_start"],
+    )
+    assert diff.count() == 0
+    assert got.count() > 0
