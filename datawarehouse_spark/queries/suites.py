@@ -408,6 +408,12 @@ SUITES: dict[str, list[Member]] = {
         # pair-free half of the dup-span family)
         ("llm_dup_span_coverage",
          [], ["doc_id", "n_shingles", "n_dup", "dup_frac"]),
+        # m-bit/k-hash Bloom membership with REALIZED false-positive
+        # counts (md5 bits — both engines build the identical filter;
+        # r10 pass 2: from suite_corpus_ops — a probabilistic
+        # fingerprint belongs with the fingerprint diagnostics)
+        ("llm_bloom_contamination", [],
+         ["doc_id", "n_sh", "n_bloom", "n_exact", "n_fp", "bloom_frac"]),
     ],
     # corpus-level term statistics (r10 rebalance: pulled from the
     # overweight text-quality and corpus-mix lines — these five are
@@ -428,6 +434,15 @@ SUITES: dict[str, list[Member]] = {
         # PMI collocation mining (phrase/tokenizer-merge candidates)
         ("llm_pmi_collocations", ["w1", "w2"],
          ["c12", "c1", "c2", "pmi", "rank"]),
+        # BPE tokenizer training (6 merges; symbols are string keys) —
+        # r10 pass 2 from suite_corpus_mix: tokenizer statistics
+        ("llm_bpe_merges", ["lhs", "rhs"],
+         ["merge_rank", "pair_count"]),
+        # ...and the trained tokenizer applied to the vocabulary
+        ("llm_bpe_segment", ["w", "seg"], ["f", "n_syms"]),
+        # ...and its per-document fertility rollup (train-then-measure)
+        ("llm_tokenizer_fertility",
+         [], ["doc_id", "n_words", "n_syms", "fertility"]),
     ],
     # LLM dedup pair generation / blocking / graph resolution (the
     # pair-join heavy third of the old suite_text_metrics; absorbs the
@@ -523,14 +538,9 @@ SUITES: dict[str, list[Member]] = {
         # temperature-scaled (alpha=0.5) multinomial language mixing
         ("llm_source_mix", ["lang", "accept"],
          ["doc_id", "c_grp", "w_grp", "q"]),
-        # BPE tokenizer training (6 merges; symbols are string keys)
-        ("llm_bpe_merges", ["lhs", "rhs"],
-         ["merge_rank", "pair_count"]),
-        # ...and the trained tokenizer applied to the vocabulary
-        ("llm_bpe_segment", ["w", "seg"], ["f", "n_syms"]),
-        # ...and its per-document fertility rollup (train-then-measure)
-        ("llm_tokenizer_fertility",
-         [], ["doc_id", "n_words", "n_syms", "fertility"]),
+        # (r10 rebalance pass 2: the BPE train/apply/fertility trio
+        # moved to suite_corpus_stats — tokenizer statistics — to keep
+        # this assembly line inside the bench budget)
     ],
     # embedding-space similarity + semantic dedup: exact near-dup pairs,
     # brute cosine top-k baseline, SemDeDup keep-list
@@ -571,10 +581,10 @@ SUITES: dict[str, list[Member]] = {
     "suite_corpus_ops": [
         # added/removed/changed/unchanged between corpus versions
         ("llm_corpus_diff", ["status", "old_fp", "new_fp"], ["doc_id"]),
-        # m-bit/k-hash Bloom membership with REALIZED false-positive
-        # counts (md5 bits — both engines build the identical filter)
-        ("llm_bloom_contamination", [],
-         ["doc_id", "n_sh", "n_bloom", "n_exact", "n_fp", "bloom_frac"]),
+        # (r10 rebalance pass 2: Bloom contamination moved to
+        # suite_fingerprints — a probabilistic-fingerprint membership
+        # op — after llm_graph_kcore joined this line and the
+        # two-sample idle bench put it at 14.1 s, the round's heaviest)
         # exact-N deterministic uniform sample (md5-priority reservoir)
         ("llm_reservoir_sample", ["pri"], ["doc_id", "pick"]),
         # recall@5 + reciprocal rank of the LSH path vs exact cosine —
