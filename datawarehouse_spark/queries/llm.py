@@ -3262,3 +3262,108 @@ def llm_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     )
+
+
+@query(
+    "llm_minhash_accuracy",
+    oracle=f"""
+    WITH {_DUCK_SIG_CTES},
+    bands AS (
+      SELECT doc_id, 0 AS bi,
+             CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS bk FROM sig
+      UNION ALL SELECT doc_id, 1,
+             CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2,
+             CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3,
+             CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR) FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), matched AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(8))}
+                  AS BIGINT) AS n_match
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, m.n_match,
+           CAST(m.n_match AS DOUBLE) / 8 AS est_jaccard,
+           len(list_intersect(a.s, b.s)) * 1.0
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+             AS jaccard,
+           round(abs(CAST(m.n_match AS DOUBLE) / 8
+                 - len(list_intersect(a.s, b.s)) * 1.0
+                   / (len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s)))), 6) AS abs_err
+    FROM matched m
+    JOIN sh a ON a.doc_id = m.doc_a
+    JOIN sh b ON b.doc_id = m.doc_b
+    """,
+)
+def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash family: over every LSH
+    candidate pair, the signature-based Jaccard ESTIMATE (matching
+    components / k) next to the exact shingle Jaccard and the absolute
+    error — the dial an operator reads before trusting banded dedup at
+    a new threshold (estimate bias/variance is the k-vs-cost trade).
+    Because the md5mix signatures are deterministic in BOTH engines,
+    even the "estimate" is oracle-EXACT — the audit itself is
+    hash-verified, not band-checked.
+
+    Exactness: n_match is an integer; est = n_match/8 is an exact
+    binary fraction; exact Jaccard is one IEEE division of identical
+    integers; abs_err rounds the difference of two identical doubles.
+
+    Scale shape: banding bounds candidates (never all pairs); the
+    signature join is two broadcast-or-shuffle equi-joins on doc ids;
+    the exact verify carries the two shingle arrays in-row
+    (array_intersect — no exploded self-join). One corpus scan for
+    signatures + one for the arrays.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    # the signature table has THREE consumers (banding + both join
+    # sides) — materialize it once so the md5 shingle pass never
+    # recomputes (the rank.py one-materialization hygiene)
+    sig = dedup.minhash_signature(
+        docs, k=8, hash="md5mix"
+    ).localCheckpoint(eager=True)
+    cand = dedup.lsh_candidates(sig, k=8, band_size=2)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(8)
+    ).cast("bigint")
+    arr = docs.select(
+        "doc_id", dedup.shingles_col("text", 3).alias("arr")
+    )
+    aa = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    exact = inter / (
+        F.size("arr_a") + F.size("arr_b") - inter
+    )
+    est = F.col("n_match").cast("double") / F.lit(8)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", n_match)
+        .join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_match",
+            est.alias("est_jaccard"),
+            exact.alias("jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

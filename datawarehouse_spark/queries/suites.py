@@ -414,6 +414,12 @@ SUITES: dict[str, list[Member]] = {
         # fingerprint belongs with the fingerprint diagnostics)
         ("llm_bloom_contamination", [],
          ["doc_id", "n_sh", "n_bloom", "n_exact", "n_fp", "bloom_frac"]),
+        # MinHash sketch-accuracy audit (r10): estimate vs exact
+        # Jaccard per LSH candidate pair — oracle-EXACT because the
+        # md5mix signatures are deterministic in both engines
+        ("llm_minhash_accuracy", [],
+         ["doc_a", "doc_b", "n_match", "est_jaccard", "jaccard",
+          "abs_err"]),
     ],
     # corpus-level term statistics (r10 rebalance: pulled from the
     # overweight text-quality and corpus-mix lines — these five are
