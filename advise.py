@@ -14,9 +14,9 @@ Two layers per entry:
   guidance from defect).
 
 Exit code is 0 unless a FORBIDDEN rule (cartesian-product,
-row-python-udf — the same set tests/test_plan_lints_sweep.py gates on)
-fires on a Spark plan, so CI and the per-round driver can both consume
-it.
+row-python-udf, global-window — the same set
+tests/test_plan_lints_sweep.py gates on) fires on a Spark plan, so CI
+and the per-round driver can both consume it.
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FORBIDDEN = {"cartesian-product", "row-python-udf"}
+FORBIDDEN = {"cartesian-product", "row-python-udf", "global-window"}
 
 #: rules that are deliberate for specific entries — kept visible in the
 #: report but annotated, never counted as defects.
