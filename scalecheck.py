@@ -250,6 +250,35 @@ OPS = [
     # higher-order array functions claim a pure codegen projection —
     # zero shuffles, the scan is the whole cost
     "f14_higher_order_arrays",
+    # --- round-10 additions ---
+    # k-core claims per-round degree counts + two semi-joins on a pair
+    # graph that itself grows ~R² under mutually-near-dup replicas
+    # (the same documented adversarial envelope as triangles)
+    "llm_graph_kcore",
+    # TextRank claims pagerank iterations over the vocab²-bounded word
+    # graph — replicated text keeps the graph CONSTANT while the
+    # bigram scan grows: the flat-iterations regime
+    "llm_textrank_keywords",
+    # session paths claims one user-keyed session shuffle + a
+    # path-count map-combine; churn claims two pushdown-pruned scans +
+    # one anti-join; ABC claims the distributed global cumsum (range
+    # shuffle + block-offset lift, no single-partition window)
+    "x6_session_paths",
+    "x7_churn_detection",
+    "x8_abc_analysis",
+    # Hilbert claims the zorder envelope: one scalar min/max broadcast
+    # + a pure codegen projection (8 unrolled integer iterations)
+    "s18_hilbert_clustering",
+    # Benford claims one 9-key map-combined count + a scalar total;
+    # k-anonymity one QI-key aggregate; l-diversity two chained
+    # aggregates over class tables ≪ rows
+    "dq_benford",
+    "dq_k_anonymity",
+    "dq_l_diversity",
+    # minhash accuracy claims the signature+banding envelope with the
+    # in-row exact verify — candidates grow ~R² under near-dup
+    # replicas (the documented LSH output-size upper bound)
+    "llm_minhash_accuracy",
 ]
 
 
