@@ -726,3 +726,68 @@ def test_hll_sketch_union_estimate_differs_from_direct(spark):
     assert merged != direct  # the pinned non-identity
     assert abs(merged - 1500) / 1500 < 0.02
     assert abs(direct - 1500) / 1500 < 0.02
+
+
+# --- distributed global-order primitives ≡ single-partition brute force
+
+
+@given(rows=st.lists(VALS, min_size=1, max_size=40),
+       n_blocks=st.integers(min_value=1, max_value=6),
+       n_tile=st.integers(min_value=1, max_value=7))
+@_SETTINGS
+def test_global_rank_and_ntile_equal_brute_force(spark, rows, n_blocks, n_tile):
+    """rank.py's range-partitioned global rank must equal the trivially
+    correct single-partition enumeration for ANY block count (the
+    sampled range boundaries move; the rank must not), and
+    ntile_from_rank must equal the exact ANSI NTILE assignment —
+    including N < n (empty tail buckets) and heavy duplicate values
+    (the unique id tiebreak carries the total order)."""
+    from datawarehouse_spark.operators.rank import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    df = _df(spark, list(enumerate(rows)), ["id", "v"])
+    got = {
+        r["id"]: (r["grn"], r["nt"])
+        for r in global_rank(
+            df, [F.desc("v"), F.asc("id")],
+            n_blocks=n_blocks, total_col="_n",
+        ).withColumn("nt", ntile_from_rank("grn", "_n", n_tile)).collect()
+    }
+    order = sorted(enumerate(rows), key=lambda t: (-t[1], t[0]))
+    n = len(order)
+    q, r = divmod(n, n_tile)
+    want = {}
+    for rank0, (i, _) in enumerate(order):
+        # ANSI NTILE: first r buckets hold q+1 rows
+        if rank0 < r * (q + 1):
+            b = rank0 // (q + 1) + 1
+        else:
+            b = r + (rank0 - r * (q + 1)) // q + 1
+        want[i] = (rank0 + 1, b)
+    assert got == want
+
+
+@given(rows=st.lists(VALS, min_size=1, max_size=40),
+       n_blocks=st.integers(min_value=1, max_value=6))
+@_SETTINGS
+def test_global_cumsum_equals_brute_force(spark, rows, n_blocks):
+    """rank.py's distributed running sum must equal
+    SUM(v) OVER (ORDER BY ...) computed by plain Python, for ANY block
+    count — the block-offset lift may never double-count or skip a
+    block boundary, including negative values and duplicates."""
+    from datawarehouse_spark.operators.rank import global_cumsum
+
+    df = _df(spark, list(enumerate(rows)), ["id", "v"])
+    got = {
+        r["id"]: r["cum"]
+        for r in global_cumsum(
+            df, [F.asc("v"), F.asc("id")], "v", n_blocks=n_blocks
+        ).collect()
+    }
+    run, want = 0, {}
+    for i, v in sorted(enumerate(rows), key=lambda t: (t[1], t[0])):
+        run += v
+        want[i] = run
+    assert got == want
