@@ -645,6 +645,12 @@ SUITES: dict[str, list[Member]] = {
         ("t6_interval_attribution_batch", [],
          ["user_id", "purchase_id", "view_id", "view_ts_us",
           "purchase_ts_us", "purchase_value"]),
+        # conversion-latency distribution (r10): first-click→purchase
+        # latency per day with exact p50/p95 (the a20 percentile
+        # convention on top of the t6 interval join)
+        ("t20_time_to_convert", ["dt"],
+         ["n_conversions", "sum_latency_us", "p50_latency_us",
+          "p95_latency_us", "max_touches"]),
     ],
     # multimodal catalog + frame sampling + Arrow feature extraction
     # (mm_feature_extraction folded in for r9 — the registry must fit

@@ -2200,3 +2200,76 @@ def s18_hilbert_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     return hilbert_key(li, ["l_partkey", "l_suppkey"], bits=8)
+
+
+@query(
+    "t20_time_to_convert",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id,
+             CAST(strftime(p.ts, '%Y-%m-%d') AS VARCHAR) AS dt,
+             CAST(epoch_us(p.ts) AS BIGINT) AS p_us,
+             CAST(epoch_us(v.ts) AS BIGINT) AS v_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') v
+      JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    ), lat AS (
+      SELECT purchase_id, dt,
+             CAST(p_us - MIN(v_us) AS BIGINT) AS latency_us,
+             CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM pairs GROUP BY purchase_id, dt, p_us
+    )
+    SELECT dt,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(latency_us) AS BIGINT) AS sum_latency_us,
+           quantile_cont(latency_us, 0.5) AS p50_latency_us,
+           quantile_cont(latency_us, 0.95) AS p95_latency_us,
+           CAST(MAX(n_touches) AS BIGINT) AS max_touches
+    FROM lat GROUP BY dt
+    """,
+)
+def t20_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — the funnel-SLA report on top
+    of the t6 interval join: per purchase, the time from the FIRST
+    attributed click to the purchase; rolled up per day as conversion
+    count, total latency and exact p50/p95 latency percentiles (the
+    OLAP latency-SLA shape of a20, pointed at behavioral data).
+
+    Exactness: latencies are integer microseconds; percentiles are
+    exact continuous quantiles (sort-based, order-independent — the
+    a20 convention, bit-identical across engines); sums are integer.
+
+    Scale shape: t6's union-window interval join (no pair fan-out
+    beyond true attribution pairs), one map-combined per-purchase
+    MIN/COUNT, one day-keyed rollup whose percentile state is the
+    day's conversion latencies — days are the parallelism unit and
+    the per-day list is behavioral-window bounded. At extreme scale
+    percentile→approx_percentile exactly as a20 degrades to A18.
+    """
+    from datawarehouse_spark.streaming.core import (
+        read_events_batch,
+        stream_stream_attribution,
+    )
+
+    load_tables(spark, sf_dir, ("events",))  # pins session profile
+    ev = read_events_batch(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    pairs = stream_stream_attribution(views, purchases).select(
+        "purchase_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd").alias("dt"),
+        F.unix_micros("purchase_ts").alias("p_us"),
+        F.unix_micros("view_ts").alias("v_us"),
+    )
+    lat = pairs.groupBy("purchase_id", "dt", "p_us").agg(
+        (F.col("p_us") - F.min("v_us")).cast("bigint").alias("latency_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    )
+    return lat.groupBy("dt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.sum("latency_us").cast("bigint").alias("sum_latency_us"),
+        F.percentile("latency_us", F.lit(0.5)).alias("p50_latency_us"),
+        F.percentile("latency_us", F.lit(0.95)).alias("p95_latency_us"),
+        F.max("n_touches").cast("bigint").alias("max_touches"),
+    )
