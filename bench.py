@@ -216,6 +216,16 @@ def compact_line(out: dict) -> str:
     if len(line) > DRIVER_TAIL_BUDGET and "legacy_headline_total" in slim:
         slim.pop("legacy_headline_total")
         line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > DRIVER_TAIL_BUDGET:
+        # loud at run time, not only in the pinned registry-size test:
+        # an over-budget line regresses the driver artifact to
+        # "parsed": null silently (BENCH_r08/r09 did exactly that)
+        print(
+            f"bench: WARNING stdout line {len(line)} chars exceeds the "
+            f"driver tail budget {DRIVER_TAIL_BUDGET} after all trims — "
+            "shrink the registry key set or shorten names",
+            file=sys.stderr,
+        )
     return line
 
 

@@ -112,6 +112,7 @@ class DataWarehouse:
         order_by: list[str],
         define: dict[str, str],
         pattern: str,
+        validate_exclusive: bool = False,
     ) -> DataFrame:
         """MATCH_RECOGNIZE (SQL:2016 row-pattern matching) as a table
         function — the documented shim for the standard-SQL capability
@@ -143,14 +144,30 @@ class DataWarehouse:
                         "P": "event_type = 'purchase'"},
                 pattern="V+ P",
             )
+
+        DEFINE conditions must be mutually exclusive for
+        SQL:2016-identical results (a real MR engine backtracks over
+        overlapping symbol assignments; the shim classifies each row
+        once — operators/patterns.py::compile_define). Pass
+        ``validate_exclusive=True`` to spend one map-side pass over
+        the source proving exclusivity, raising ValueError if any row
+        satisfies two DEFINEs.
         """
         from datawarehouse_spark.operators.patterns import (
             compile_define,
             compile_pattern,
+            exclusive_violations,
             match_recognize,
         )
 
         df = self.sql(source) if isinstance(source, str) else source
+        if validate_exclusive and exclusive_violations(df, define):
+            raise ValueError(
+                "sql_match_recognize: DEFINE conditions overlap on this "
+                "data (a row satisfies >= 2 of them); the one-symbol-"
+                "per-row shim would diverge from SQL:2016 backtracking "
+                "semantics — make the conditions mutually exclusive"
+            )
         symbol, chars = compile_define(define)
         return match_recognize(
             df, partition_by, order_by, symbol,

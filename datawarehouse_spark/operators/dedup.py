@@ -840,7 +840,7 @@ def sorted_neighborhood_pairs(
     text: str = "text",
     n: int = 3,
     window: int = 4,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95, the
     merge/purge method): sort the corpus on a blocking key (here the
@@ -858,7 +858,9 @@ def sorted_neighborhood_pairs(
     therefore every emitted pair — is invariant to where the sampled
     range boundaries fall); per-block row_number plus a broadcast
     cumulative-offset table (block count rows, the zipWithIndex
-    strategy in DataFrame form) yields the GLOBAL rank; neighbor pairs
+    strategy in DataFrame form) yields the GLOBAL rank
+    (operators/rank.py::global_rank — n_blocks auto-sizes to the
+    session's shuffle parallelism when omitted); neighbor pairs
     are then an equi-join of rank+gap against rank — every stage is
     partition-parallel, and the only driver-sized object is the
     n_blocks-row offset table. Verification is in-row
@@ -867,8 +869,6 @@ def sorted_neighborhood_pairs(
     shuffle on shingle keys, so there is nothing to compact (and the
     oracle's list_intersect then matches byte-for-byte).
     """
-    from pyspark.sql import Window as W
-
     if window <= 1:
         # window=1 means "no neighbors"; guard explicitly because
         # F.sequence(1, window-1) with window=1 builds sequence(1, 0),
@@ -877,31 +877,23 @@ def sorted_neighborhood_pairs(
         raise ValueError(
             f"sorted_neighborhood_pairs needs window >= 2, got {window}"
         )
+    from datawarehouse_spark.operators.rank import global_rank
 
     base = df.select(
         F.col(id_col),
         F.col(text).alias("k"),
         shingles_col(text, n).alias("arr"),
     )
-    ranged = base.repartitionByRange(n_blocks, "k", id_col).withColumn(
-        "blk", F.spark_partition_id()
-    )
-    rn_w = W.partitionBy("blk").orderBy("k", id_col)
-    # three consumers of the ranked rows (block counts + both join
-    # sides): persist once so the range shuffle + window + shingle
-    # build never recompute; dropped in the finally below
-    local = ranged.withColumn("rn", F.row_number().over(rn_w)).persist()
-    cnt = local.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
-    # exclusive prefix counts via the triangular self-join — an
-    # n_blocks²-row join, never a global running-sum window (which
-    # would plan an Exchange SinglePartition: the global-window lint)
-    from datawarehouse_spark.operators.rank import block_offsets
-
-    off = block_offsets(cnt, blk="blk", c="c", off_col="off")
-    g = local.join(F.broadcast(off), "blk").select(
+    # the ranked frame is localCheckpoint'ed inside global_rank, so
+    # the range shuffle + shingle build run once and both join sides
+    # read the materialized blocks
+    g = global_rank(
+        base, [F.asc("k"), F.asc(id_col)], n_blocks=n_blocks,
+        rank_col="grn",
+    ).select(
         F.col(id_col),
         "arr",
-        (F.col("rn") + F.col("off")).alias("grn"),
+        "grn",
         F.size("arr").alias("n_sh"),
     )
     gaps = F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("gap")
@@ -933,10 +925,7 @@ def sorted_neighborhood_pairs(
             .alias("jaccard"),
         )
     )
-    try:
-        return pairs.localCheckpoint(eager=True)
-    finally:
-        local.unpersist()
+    return pairs
 
 
 def containment_pairs(

@@ -107,7 +107,7 @@ def equiheight_histogram(
     value: str,
     tiebreak: str,
     k: int = 16,
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Equi-height (equi-depth) histogram of a numeric column — the
     selectivity statistic a cost-based optimizer keeps per column
@@ -119,38 +119,28 @@ def equiheight_histogram(
     no float division anywhere. Emits per bucket: row count and the
     raw (untouched — no arithmetic, no rounding) lo/hi value bounds.
 
-    Scale shape — a distributed global rank WITHOUT a single-partition
-    window (the sorted_neighborhood_pairs machinery): one range
-    shuffle, per-block row_number, an n_blocks-row broadcast
-    offset/total table, then a map-side bucket projection into a
-    k-row aggregation. The classic ntile() formulation would funnel
-    the whole table through ONE partition's window; this never does.
+    Scale shape — the shared global-order primitive
+    (operators/rank.py::global_rank, n_blocks auto-sized to the
+    session's shuffle parallelism when omitted): one range shuffle,
+    per-block row_number, an n_blocks-row broadcast offset/total
+    table, then a map-side bucket projection into a k-row
+    aggregation. The classic ntile() formulation would funnel the
+    whole table through ONE partition's window; this never does.
     """
     if k < 1:
         raise ValueError(f"equiheight_histogram needs k >= 1, got {k}")
-    from pyspark.sql import Window as W
+    from datawarehouse_spark.operators.rank import global_rank
 
     base = df.select(F.col(value).alias("v"), F.col(tiebreak).alias("tb"))
-    ranged = base.repartitionByRange(n_blocks, "v", "tb").withColumn(
-        "blk", F.spark_partition_id()
+    ranked = global_rank(
+        base, [F.asc("v"), F.asc("tb")], n_blocks=n_blocks,
+        rank_col="grn", total_col="tot",
     )
-    local = ranged.withColumn(
-        "rn", F.row_number().over(W.partitionBy("blk").orderBy("v", "tb"))
-    )
-    cnt = local.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
-    # exclusive prefix counts + grand total via the triangular
-    # self-join and a scalar agg — never a global running-sum window
-    # (which plans an Exchange SinglePartition: the global-window lint)
-    from datawarehouse_spark.operators.rank import block_offsets
-
-    off = block_offsets(cnt, blk="blk", c="c", off_col="off",
-                        total_col="tot")
     return (
-        local.join(F.broadcast(off), "blk")
-        .select(
+        ranked.select(
             "v",
             # bigint DIV — exact integer division, never a float path
-            F.expr(f"((rn + off - 1) * {int(k)}) div tot")
+            F.expr(f"((grn - 1) * {int(k)}) div tot")
             .cast("bigint").alias("bucket"),
         )
         .groupBy("bucket")

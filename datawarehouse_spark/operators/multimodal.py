@@ -154,7 +154,7 @@ def resize_media(media: DataFrame, target_bytes: int = 16) -> DataFrame:
 def shard_pack(media: DataFrame, size_col: str = "est_bytes",
                id_col: str = "media_id",
                shard_bytes: int = 4 * 1024 * 1024,
-               n_blocks: int = 8) -> DataFrame:
+               n_blocks: int | None = None) -> DataFrame:
     """WebDataset-style shard packing: assign each media item to a
     sequential tar-shard of ~``shard_bytes`` by running byte total,
     after a deterministic md5 shuffle of the ids (the WebDataset
@@ -175,17 +175,18 @@ def shard_pack(media: DataFrame, size_col: str = "est_bytes",
     negative ``size_col`` raises at execution rather than silently
     corrupting every downstream running total.
 
-    Scale shape — the sorted-neighborhood global-order pattern
-    (operators/dedup.py::sorted_neighborhood_pairs), accumulating
-    BYTES instead of rank: repartitionByRange gives a partition-wise
-    total order, each block computes its local running sum with a
-    window, and a broadcast block-total prefix table (n_blocks rows,
-    the only driver-sized object) lifts local sums to the GLOBAL
-    running total. No single-partition window anywhere; integer
+    Scale shape — the shared global-order primitive
+    (operators/rank.py::global_cumsum), accumulating BYTES instead of
+    rank: repartitionByRange gives a partition-wise total order, each
+    block computes its local running sum with a window, and a
+    broadcast block-total prefix table (n_blocks rows, the only
+    driver-sized object) lifts local sums to the GLOBAL running
+    total. n_blocks auto-sizes to the session's shuffle parallelism
+    when omitted. No single-partition window anywhere; integer
     arithmetic throughout (no doubles, no libm), so the oracle is
     exact at any scale.
     """
-    from pyspark.sql import Window as W
+    from datawarehouse_spark.operators.rank import global_cumsum
 
     # validate in the live size expression (not a prunable side column):
     # every downstream sum reads _sz, so a bad size always raises.
@@ -204,35 +205,16 @@ def shard_pack(media: DataFrame, size_col: str = "est_bytes",
     base = media.withColumn("_sz", checked).withColumn(
         "_k", F.md5(F.col(id_col).cast("string"))
     )
-    ranged = base.repartitionByRange(n_blocks, "_k", id_col).withColumn(
-        "_blk", F.spark_partition_id()
-    )
-    w_cum = (
-        W.partitionBy("_blk")
-        .orderBy("_k", id_col)
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    local = ranged.withColumn(
-        "_cum_in", F.sum(F.col("_sz")).over(w_cum)
-    ).persist()
-    try:
-        tot = local.groupBy("_blk").agg(F.sum(F.col("_sz")).alias("_c"))
-        # exclusive prefix byte totals via the triangular self-join —
-        # n_blocks² rows, no global running-sum window (plan lint)
-        from datawarehouse_spark.operators.rank import block_offsets
-
-        off = block_offsets(tot, blk="_blk", c="_c", off_col="_off")
-        out = (
-            local.join(F.broadcast(off), "_blk")
-            .withColumn("cum_bytes", F.col("_off") + F.col("_cum_in"))
-            .withColumn(
-                "shard",
-                F.expr(
-                    f"(cum_bytes - _sz) div {int(shard_bytes)}"
-                ).cast("bigint"),
-            )
-            .drop("_k", "_blk", "_cum_in", "_off", "_sz")
+    return (
+        global_cumsum(
+            base, [F.asc("_k"), F.asc(id_col)], "_sz",
+            n_blocks=n_blocks, cum_col="cum_bytes",
         )
-        return out.localCheckpoint(eager=True)
-    finally:
-        local.unpersist()
+        .withColumn(
+            "shard",
+            F.expr(
+                f"(cum_bytes - _sz) div {int(shard_bytes)}"
+            ).cast("bigint"),
+        )
+        .drop("_k", "_sz")
+    )

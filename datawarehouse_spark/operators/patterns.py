@@ -67,15 +67,20 @@ def match_recognize(
             ).alias("seq")
         )
     )
-    esc = pattern.replace("'", "\\'")
+    # Column-form regex (no SQL-string interpolation): n_matches and
+    # matched_len share ONE un-mangled pattern literal, so a pattern
+    # containing \ or ' cannot produce inconsistent measures or a
+    # parse error (ADVICE r10).
+    pat = F.lit(pattern)
     return seqs.select(
         *partition_by,
         "seq",
         F.length("seq").cast("bigint").alias("n_rows"),
-        F.size(F.expr(f"regexp_extract_all(seq, '{esc}', 0)"))
+        F.size(F.regexp_extract_all(F.col("seq"), pat, F.lit(0)))
         .cast("bigint").alias("n_matches"),
         (
-            F.length("seq") - F.length(F.regexp_replace("seq", pattern, ""))
+            F.length("seq")
+            - F.length(F.regexp_replace(F.col("seq"), pat, F.lit("")))
         ).cast("bigint").alias("matched_len"),
     )
 
@@ -83,10 +88,19 @@ def match_recognize(
 def compile_define(define: dict[str, str]) -> tuple[Column, dict[str, str]]:
     """Map MATCH_RECOGNIZE's DEFINE clause — symbol name → boolean SQL
     condition — onto a single-character classifier Column. Conditions
-    are tested in DEFINE order (first match wins, the MR contract for
-    overlapping definitions); rows matching nothing classify as '0',
-    which no assigned symbol can collide with (assignments are
-    'a'..'z'). Returns (classifier, name → char map)."""
+    are tested in DEFINE order (first match wins); rows matching
+    nothing classify as '0', which no assigned symbol can collide with
+    (assignments are 'a'..'z'). Returns (classifier, name → char map).
+
+    CONTRACT: DEFINE conditions must be MUTUALLY EXCLUSIVE for
+    SQL:2016-identical results. A real MR engine assigns symbols per
+    pattern position with backtracking, so a row satisfying two
+    DEFINEs can match as either symbol depending on the pattern
+    (PATTERN (A B) with A AS v>10, B AS v>5 matches rows [20, 20]);
+    this shim's one-symbol-per-row classification cannot. Overlap is
+    a property of the data × conditions, not the SQL text — validate
+    with :func:`exclusive_violations` (engine.sql_match_recognize's
+    ``validate_exclusive=True`` runs it for you)."""
     if not define:
         raise ValueError("DEFINE needs at least one symbol")
     if len(define) > 26:
@@ -97,6 +111,19 @@ def compile_define(define: dict[str, str]) -> tuple[Column, dict[str, str]]:
         for name, cond in define.items()
     )
     return F.expr(f"CASE {cases} ELSE '0' END"), chars
+
+
+def exclusive_violations(df: DataFrame, define: dict[str, str]) -> int:
+    """Detect rows satisfying MORE THAN ONE DEFINE condition — the
+    mutual-exclusivity check behind :func:`compile_define`'s contract.
+    A map-side pass (a sum of boolean casts per row, no shuffle) with
+    a LIMIT 1 early exit: returns 0 (exclusive on this data — the
+    shim's first-match-wins classification is SQL:2016-identical) or
+    1 (at least one overlapping row exists)."""
+    hits = sum(
+        F.expr(f"({cond})").cast("int") for cond in define.values()
+    )
+    return df.filter(hits >= 2).limit(1).count()
 
 
 def compile_pattern(pattern: str, chars: dict[str, str]) -> str:

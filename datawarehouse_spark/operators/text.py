@@ -1727,7 +1727,7 @@ def quality_calibration(df: DataFrame, fit_group: str = "en",
 
 
 def curriculum_phases(df: DataFrame, n_phases: int = 4,
-                      n_blocks: int = 8, id_col: str = "doc_id",
+                      n_blocks: int | None = None, id_col: str = "doc_id",
                       text: str = "text") -> DataFrame:
     """Perplexity-ordered curriculum phasing: rank every scoreable
     document by corpus-trained bigram-LM perplexity (easy → hard, the

@@ -374,3 +374,54 @@ def test_pattern_compiler_rejects_unknown_symbol_and_collisions():
         compile_pattern("V+ Q", chars)
     with pytest.raises(ValueError, match="at least one"):
         compile_define({})
+
+
+def test_match_recognize_exclusivity_contract(spark):
+    """compile_define is first-match-wins, which equals SQL:2016 only
+    for mutually exclusive DEFINEs (ADVICE r10): the validator must
+    flag overlapping conditions on data that exercises the overlap,
+    pass disjoint ones, and sql_match_recognize(validate_exclusive=
+    True) must raise on the overlap."""
+    import pytest
+
+    from datawarehouse_spark.operators.patterns import exclusive_violations
+
+    df = spark.createDataFrame(
+        [(1, 20), (2, 20), (3, 7)], "id long, v long"
+    )
+    overlapping = {"A": "v > 10", "B": "v > 5"}
+    assert exclusive_violations(df, overlapping) == 1
+    assert exclusive_violations(df, {"A": "v > 10", "B": "v <= 10"}) == 0
+
+    dw = DataWarehouse(spark)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dw.sql_match_recognize(
+            df, partition_by=[], order_by=["id"],
+            define=overlapping, pattern="A B",
+            validate_exclusive=True,
+        )
+
+
+def test_match_recognize_pattern_with_regex_metachars_consistent(spark):
+    """n_matches and matched_len must share one un-mangled regex even
+    when the compiled pattern contains quoting-hostile characters —
+    the Column-literal form (ADVICE r10). Pattern a{1,2}b via
+    quantified DEFINE symbols; apostrophes in the data path."""
+    df = spark.createDataFrame(
+        [(1, 1, "x'a"), (1, 2, "x'a"), (1, 3, "pb")],
+        "g long, o long, t string",
+    )
+    from datawarehouse_spark.operators.patterns import (
+        compile_define,
+        compile_pattern,
+        match_recognize,
+    )
+
+    sym, chars = compile_define(
+        {"A": "t = concat('x', chr(39), 'a')", "B": "t = 'pb'"}
+    )
+    pat = compile_pattern("A{1,2} B", chars)
+    row = match_recognize(df, ["g"], ["o"], sym, pat).first()
+    assert row["seq"] == "aab"
+    assert row["n_matches"] == 1
+    assert row["matched_len"] == 3

@@ -791,3 +791,54 @@ def test_global_cumsum_equals_brute_force(spark, rows, n_blocks):
         run += v
         want[i] = run
     assert got == want
+
+
+def test_global_rank_autosizes_blocks_to_session_parallelism(spark):
+    """With n_blocks omitted the primitives must size the range stage
+    from the SESSION's shuffle parallelism (resolve_n_blocks), not a
+    fixed constant — the r10 verdict's one systemic scale nit: a
+    hard-coded 8 keeps the per-block sort 8-way-parallel at any data
+    size. The output partition count is observable because the
+    broadcast offset join adds no exchange over the checkpointed
+    range blocks."""
+    import pytest
+
+    from datawarehouse_spark.operators.rank import (
+        MAX_AUTO_BLOCKS,
+        global_rank,
+        resolve_n_blocks,
+    )
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(50_000).withColumn("v", F.col("id") % 997)
+    assert resolve_n_blocks(df) == min(conf, MAX_AUTO_BLOCKS)
+    assert resolve_n_blocks(df, 3) == 3  # explicit wins
+    with pytest.raises(ValueError):
+        resolve_n_blocks(df, 0)
+
+    out = global_rank(df, [F.asc("v"), F.asc("id")])
+    live = (
+        out.withColumn("_p", F.spark_partition_id())
+        .select("_p").distinct().count()
+    )
+    # every configured range block is non-empty at 50k rows >> blocks
+    assert live == min(conf, MAX_AUTO_BLOCKS)
+    # and the rank is still the exact global enumeration
+    n = out.count()
+    assert out.agg(F.min("grn"), F.max("grn")).first() == (1, n)
+
+
+def test_global_rank_rejects_internal_column_collisions(spark):
+    """Input frames already carrying an internal working name must be
+    refused loudly — a silent withColumn overwrite + drop would
+    corrupt caller data without error (ADVICE r10)."""
+    import pytest
+
+    from datawarehouse_spark.operators.rank import global_cumsum, global_rank
+
+    df = spark.range(10).withColumn("_blk", F.lit(1))
+    with pytest.raises(ValueError, match="_blk"):
+        global_rank(df, [F.asc("id")])
+    df2 = spark.range(10).withColumn("_cum_in", F.lit(1))
+    with pytest.raises(ValueError, match="_cum_in"):
+        global_cumsum(df2, [F.asc("id")], "_cum_in")
