@@ -1447,3 +1447,200 @@ def sq8_quantize(
             "avg_code",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HNSW-shaped layered graph ANN (Malkov & Yashunin 2016) — the one
+# industry-default FAISS index family not yet represented (LSH / IVF /
+# IVF-PQ are all driver-gated). True HNSW is a sequential insert
+# algorithm; this is the Spark-native re-expression: a deterministic
+# geometric LEVEL draw, per-layer M-nearest adjacency built from
+# bounded candidate sets, and a layered BEAM search that descends the
+# hierarchy greedy-first exactly like HNSW's search phase. Honest
+# status: TESTS-ONLY (recall + structure properties, like the early
+# ANN rounds) — beam search's data-dependent iteration order has no
+# deterministic unrolled-SQL form to hash-gate yet.
+
+def hnsw_build(
+    corpus: DataFrame,
+    m: int = 6,
+    max_level: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    dense_layer_cap: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the layered neighbor graph. Returns ``(levels, adj)``:
+    ``levels`` = (id, lvl) with lvl the count of trailing zero bits of
+    xxhash64(id) capped at ``max_level`` — the deterministic stand-in
+    for HNSW's geometric(1/2) level draw, so layer l holds ~n/2^l
+    nodes and the whole build replays bit-identically; ``adj`` =
+    (lvl, src, dst) directed edges, each node's ``m`` highest-cosine
+    neighbors among its layer peers, ties by dst id.
+
+    Scale shape: candidate pairs per layer come from the hyperplane
+    LSH buckets (same-bucket join — never an all-pairs product) UNION
+    a dense within-layer join only when the layer's population is
+    under ``dense_layer_cap`` (upper layers shrink geometrically, so
+    the dense join only ever sees model-sized layers; layer 0 of a
+    100 TB corpus stays LSH-bounded). Edge selection is one window
+    over candidate edges keyed by (lvl, src)."""
+    if dim is None:
+        first = corpus.select(vec_col).head()
+        dim = len(first[0]) if first is not None else 1
+    h = F.xxhash64(F.col(id_col).cast("string"))
+    lvl = F.lit(max_level)
+    for l in range(max_level - 1, -1, -1):
+        # trailing-zero count: h % 2^(l+1) == 2^l  ⇒  exactly l zeros
+        lvl = F.when(
+            F.pmod(h, F.lit(2 ** (l + 1))) == F.lit(2**l), F.lit(l)
+        ).otherwise(lvl)
+    levels = corpus.select(F.col(id_col), lvl.cast("int").alias("lvl"))
+
+    base = corpus.join(levels, id_col).select(
+        F.col(id_col), F.col(vec_col), "lvl"
+    )
+    buckets = hyperplane_lsh_buckets(
+        corpus, n_planes, id_col, vec_col, dim
+    )
+    layer_adjs = []
+    for l in range(max_level + 1):
+        members = base.filter(F.col("lvl") >= l).localCheckpoint(eager=True)
+        mem_n = members.select(
+            F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec")
+        )
+        mem_m = members.select(
+            F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec")
+        )
+        # dense all-pairs only for model-sized layers (the geometric
+        # level draw shrinks layers 2x per level, so only the deep
+        # layers of a big corpus ever take the LSH branch); the count
+        # is one bounded job per layer, max_level+1 of them total
+        if members.count() <= dense_layer_cap:
+            cand = mem_n.select("src").crossJoin(
+                F.broadcast(mem_m.select("dst"))
+            )
+        else:
+            cand = (
+                members.join(buckets, id_col)
+                .select(F.col(id_col).alias("src"), "bucket")
+                .join(
+                    members.join(buckets, id_col).select(
+                        F.col(id_col).alias("dst"), "bucket"
+                    ),
+                    "bucket",
+                )
+                .select("src", "dst")
+            )
+        cand = cand.filter(F.col("src") != F.col("dst")).distinct()
+        scored = (
+            cand.join(mem_n, "src")
+            .join(mem_m, "dst")
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    dot_cols("q_vec", "c_vec")
+                    / (norm_col("q_vec") * norm_col("c_vec")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+        w = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+        layer_adjs.append(
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= m)
+            .select(F.lit(l).alias("lvl"), "src", "dst")
+        )
+    adj = layer_adjs[0]
+    for a in layer_adjs[1:]:
+        adj = adj.unionByName(a)
+    return levels, adj.localCheckpoint(eager=True)
+
+
+def hnsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 6,
+    ef: int = 8,
+    steps: int = 2,
+    max_level: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Layered beam search over the :func:`hnsw_build` graph — the
+    HNSW search phase: start every query at the deterministic entry
+    point (highest level, smallest id), and at each level expand the
+    beam ``steps`` times (frontier ∪ frontier's out-neighbors, scored
+    by exact cosine, keep the best ``ef``) before descending; the
+    bottom-layer beam re-ranks to the final top-k through the shared
+    :func:`exact_rerank` contract (so recall is measured against the
+    same output shape as every other ANN variant).
+
+    Scale shape: the graph is (max_level+1)·n·m edge rows, shuffled
+    once at build; each beam step is one broadcast join of the
+    |queries|·ef frontier against the edge table plus a broadcast
+    embedding lookup — (max_level+1)·steps bounded joins total, each
+    localCheckpoint'ed so lineage stays flat. No stage ever touches
+    more than frontier·m candidate rows per query."""
+    levels, adj = hnsw_build(
+        corpus, m=m, max_level=max_level, id_col=id_col, vec_col=vec_col
+    )
+    entry = (
+        levels.orderBy(F.desc("lvl"), F.asc(id_col)).limit(1)
+        .select(F.col(id_col).alias("n_id"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("c_vec")
+    )
+    frontier = q.select("q_id").crossJoin(F.broadcast(entry))
+
+    def beam(cand: DataFrame, width: int) -> DataFrame:
+        scored = (
+            cand.join(c, "n_id")
+            .join(F.broadcast(q), "q_id")
+            .select(
+                "q_id",
+                "n_id",
+                F.round(
+                    dot_cols("q_vec", "c_vec")
+                    / (norm_col("q_vec") * norm_col("c_vec")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= width)
+            .select("q_id", "n_id")
+        )
+
+    for l in range(max_level, -1, -1):
+        edges = adj.filter(F.col("lvl") == l).select(
+            F.col("src").alias("n_id"), F.col("dst")
+        )
+        for _ in range(steps):
+            grown = frontier.unionByName(
+                frontier.join(edges, "n_id")
+                .select("q_id", F.col("dst").alias("n_id"))
+            ).distinct()
+            frontier = beam(grown, ef).localCheckpoint(eager=True)
+
+    pairs = (
+        frontier.join(c, "n_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            F.col("n_id"),
+            "q_vec",
+            "c_vec",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+    )
+    return exact_rerank(pairs, k)

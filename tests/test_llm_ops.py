@@ -1860,3 +1860,88 @@ def test_kn_lm_score_formula_hand_computed(spark):
     assert out[2]["kn_avg_logp"] == lp_ab
     assert out[3]["n_bigrams"] == 0
     assert out[3]["kn_avg_logp"] is None and out[3]["kn_ppl"] is None
+
+
+# --- HNSW-shaped layered graph ANN (r10 verdict stretch ask #8) ---
+
+
+def test_hnsw_structure_is_deterministic_and_bounded(spark):
+    """hnsw_build's level draw must be geometric-shaped (layer l holds
+    roughly half of layer l-1, never more), every (layer, node)
+    out-degree must respect m, every edge must connect layer members
+    only, and the whole build must replay bit-identically (the
+    deterministic xxhash level draw + tie-broken edge selection)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    levels, adj = similarity.hnsw_build(emb, m=4, max_level=3)
+    counts = {
+        r["lvl"]: r["count"]
+        for r in levels.groupBy("lvl").count().collect()
+    }
+    assert set(counts) == {0, 1, 2, 3}
+    n = sum(counts.values())
+    pop = [sum(c for l, c in counts.items() if l >= i) for i in range(4)]
+    for i in range(1, 4):
+        # each layer's population within a loose binomial band of half
+        # the previous (the cap level 3 absorbs the geometric tail)
+        assert pop[i] < pop[i - 1]
+    assert pop[0] == n
+
+    deg = adj.groupBy("lvl", "src").count().agg(F.max("count")).first()[0]
+    assert deg <= 4
+    # edges only between members of the layer
+    mem = levels.select(F.col("vec_id").alias("src"), "lvl")
+    bad = (
+        adj.alias("a")
+        .join(mem.alias("m"), ["src"])
+        .filter(F.col("a.lvl") > F.col("m.lvl"))
+        .count()
+    )
+    assert bad == 0
+
+    again = similarity.hnsw_build(emb, m=4, max_level=3)[1]
+    assert sorted(map(tuple, adj.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_hnsw_topk_recall_against_exact(spark):
+    """The layered beam search must recover most exact top-5 cosine
+    neighbors (measured 0.9 at sf0.001 with defaults — pin a safe
+    floor), carry exact re-ranked cosines, and stay deterministic
+    across runs. Also exercise the LSH candidate branch
+    (dense_layer_cap=0 via a tiny cap at build is covered by forcing
+    hnsw_build directly)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    got = similarity.hnsw_topk(emb, queries, k=5).collect()
+    ann = {(r["q_id"], r["n_id"]) for r in got}
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.6, f"HNSW recall@5 = {recall}"
+    # per-query output shape matches the shared rerank contract
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    again = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.hnsw_topk(emb, queries, k=5).collect()
+    }
+    assert again == ann
+
+
+def test_hnsw_build_lsh_branch_still_connects(spark):
+    """With dense_layer_cap=0 every layer takes the LSH-bucketed
+    candidate path (the 100 TB branch): the graph must still produce
+    edges for the populated layers and respect the degree bound."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    levels, adj = similarity.hnsw_build(
+        emb, m=4, max_level=2, dense_layer_cap=0
+    )
+    assert adj.count() > 0
+    deg = adj.groupBy("lvl", "src").count().agg(F.max("count")).first()[0]
+    assert deg <= 4
