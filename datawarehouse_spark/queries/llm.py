@@ -1933,6 +1933,69 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_corpus_gates",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ), dup AS (
+      SELECT doc_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+               AS dup_exact
+      FROM tr
+    ), words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM tr
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ), gop AS (
+      SELECT doc_id, (max(c) * 1.0 / sum(c) > 0.2) AS gopher_fail
+      FROM wc GROUP BY 1
+    ), ev AS (
+      SELECT DISTINCT unnest({_CONTAM_SHINGLES}) AS s
+      FROM documents WHERE doc_id % 10 = 0
+    ), trs AS (
+      SELECT doc_id, unnest({_CONTAM_SHINGLES}) AS s FROM tr
+    ), cont AS (
+      SELECT trs.doc_id,
+             (COUNT(ev.s) * 1.0 / COUNT(*) < 0.5) AS clean
+      FROM trs LEFT JOIN ev USING (s) GROUP BY 1
+    ), qual AS (
+      SELECT doc_id,
+             (len(string_split(text, ' ')) >= 12
+              AND (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                  / len(string_split(text, ' ')) <= 5.0) AS quality_ok
+      FROM tr
+    )
+    SELECT dup.doc_id, dup.dup_exact,
+           NOT gop.gopher_fail AS gopher_ok,
+           cont.clean, qual.quality_ok,
+           (NOT dup.dup_exact AND NOT gop.gopher_fail AND cont.clean
+            AND qual.quality_ok) AS keep
+    FROM dup
+    JOIN gop USING (doc_id)
+    JOIN cont USING (doc_id)
+    JOIN qual USING (doc_id)
+    """,
+)
+def llm_corpus_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming corpus-prep gate chain's batch twin
+    (streaming/corpus.py::corpus_prep_replay): keep-first exact dedup
+    by global id order composed with the stateless per-document gates
+    (Gopher repetition, benchmark contamination, fixed-threshold
+    quality band). This is the DETERMINISTIC oracle surface of the
+    r11 incremental foreachBatch pipeline — the streaming form itself
+    is verified by differential replay with a kill-restart
+    (tests/test_streaming.py::
+    test_streaming_corpus_prep_gate_chain_matches_batch_replay)."""
+    from datawarehouse_spark.streaming.corpus import corpus_prep_replay
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus_prep_replay(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+@query(
     "llm_chunk",
     oracle="""
     WITH t AS (

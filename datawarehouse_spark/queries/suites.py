@@ -525,6 +525,12 @@ SUITES: dict[str, list[Member]] = {
          ["doc_id", "score", "pr"]),
         # domain mixing: per-language md5-bucket keeps at target rates
         ("llm_stratified_sample", ["lang", "keep"], ["doc_id"]),
+        # r11: the streaming gate chain's batch twin (keep-first exact
+        # dedup ∘ Gopher ∘ contamination ∘ fixed quality band) — the
+        # deterministic oracle surface of the foreachBatch pipeline
+        ("llm_corpus_gates",
+         ["dup_exact", "gopher_ok", "clean", "quality_ok", "keep"],
+         ["doc_id"]),
         # cluster-balanced diversity sampling: equal md5-ordered quotas
         # from the k-means partition of the embedding space (corpus
         # SELECTION, so it lives with the assembly ops; the clustering
