@@ -840,10 +840,23 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
             6,
         ).alias("logp"),
     )
-    scored = bg.join(model, ["w1", "w2"]).groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
-         / F.count(F.lit(1))).alias("avg_logp"),
+    # the final per-doc average is rounded to the 1e-6 grid in EXACT
+    # INTEGER MICRO space: ROUND(sum/n, 6) over a double straddles
+    # double-rounding boundaries the two engines resolve differently
+    # (caught by the r11 sf1 sweep — one doc's avg sat exactly on a
+    # half-micro). logp ≤ 0 by construction (add-one ratio ≤ 1), so
+    # m = -Σ·1e6 is a nonneg bigint and HALF-UP is (2m+n) div (2n).
+    scored = (
+        bg.join(model, ["w1", "w2"]).groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(F.col("logp").cast("decimal(38,6)")) * F.lit(-1000000))
+            .cast("bigint").alias("_m"),
+        )
+        .withColumn(
+            "avg_logp",
+            -(F.expr("(2 * _m + n_bigrams) div (2 * n_bigrams)")
+              .cast("double")) / F.lit(1000000.0),
+        )
     )
     return (
         df.select(id_col)
@@ -852,7 +865,7 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
             id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
             .alias("n_bigrams"),
-            F.round(F.col("avg_logp"), 6).alias("avg_logp"),
+            F.col("avg_logp"),
             F.round(F.pow(F.lit(2.0), -F.col("avg_logp")), 6).alias("ppl"),
         )
     )
@@ -920,10 +933,19 @@ def kn_lm_score(df: DataFrame, id_col: str = "doc_id",
             6,
         ).alias("logp"),
     )
-    scored = bg.join(model, ["w1", "w2"]).groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (F.sum(F.col("logp").cast("decimal(38,6)")).cast("double")
-         / F.count(F.lit(1))).alias("avg_logp"),
+    # exact integer-micro final average — same double-rounding-boundary
+    # fix as lm_score (P_kn ≤ 1 ⇒ logp ≤ 0 ⇒ m ≥ 0)
+    scored = (
+        bg.join(model, ["w1", "w2"]).groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(F.col("logp").cast("decimal(38,6)")) * F.lit(-1000000))
+            .cast("bigint").alias("_m"),
+        )
+        .withColumn(
+            "avg_logp",
+            -(F.expr("(2 * _m + n_bigrams) div (2 * n_bigrams)")
+              .cast("double")) / F.lit(1000000.0),
+        )
     )
     return (
         df.select(id_col)
@@ -932,7 +954,7 @@ def kn_lm_score(df: DataFrame, id_col: str = "doc_id",
             id_col,
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
             .alias("n_bigrams"),
-            F.round(F.col("avg_logp"), 6).alias("kn_avg_logp"),
+            F.col("avg_logp").alias("kn_avg_logp"),
             F.round(F.pow(F.lit(2.0), -F.col("avg_logp")), 6)
             .alias("kn_ppl"),
         )

@@ -2047,15 +2047,23 @@ def llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c2 JOIN c1 USING (w1) CROSS JOIN v
     ), scored AS (
       SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) AS DOUBLE)
-               / COUNT(*) AS avg_logp
+             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) * -1000000
+                  AS BIGINT) AS m
       FROM bg JOIN model USING (w1, w2) GROUP BY 1
+    ), avgd AS (
+      -- exact integer-micro HALF-UP average: ROUND(sum/n, 6) over a
+      -- double straddles double-rounding boundaries the engines
+      -- resolve differently (r11 sf1 sweep catch)
+      SELECT doc_id, n_bigrams,
+             -((2 * m + n_bigrams) // (2 * n_bigrams)) / 1000000.0
+               AS avg_logp
+      FROM scored
     )
     SELECT d.doc_id,
            CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           ROUND(s.avg_logp, 6) AS avg_logp,
+           s.avg_logp,
            ROUND(POW(2.0, -s.avg_logp), 6) AS ppl
-    FROM documents d LEFT JOIN scored s USING (doc_id)
+    FROM documents d LEFT JOIN avgd s USING (doc_id)
     """,
 )
 def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2094,15 +2102,21 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     ), scored AS (
       SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) AS DOUBLE)
-               / COUNT(*) AS avg_logp
+             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) * -1000000
+                  AS BIGINT) AS m
       FROM bg JOIN model USING (w1, w2) GROUP BY 1
+    ), avgd AS (
+      -- exact integer-micro HALF-UP average (see llm_lm_perplexity)
+      SELECT doc_id, n_bigrams,
+             -((2 * m + n_bigrams) // (2 * n_bigrams)) / 1000000.0
+               AS avg_logp
+      FROM scored
     )
     SELECT d.doc_id,
            CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           ROUND(s.avg_logp, 6) AS kn_avg_logp,
+           s.avg_logp AS kn_avg_logp,
            ROUND(POW(2.0, -s.avg_logp), 6) AS kn_ppl
-    FROM documents d LEFT JOIN scored s USING (doc_id)
+    FROM documents d LEFT JOIN avgd s USING (doc_id)
     """,
 )
 def llm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3088,12 +3102,15 @@ def llm_exact_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c2 JOIN c1 USING (w1) CROSS JOIN v
     ), scored AS (
       SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) AS DOUBLE)
-               / COUNT(*) AS avg_logp
+             CAST(SUM(CAST(model.logp AS DECIMAL(38,6))) * -1000000
+                  AS BIGINT) AS m
       FROM bg JOIN model USING (w1, w2) GROUP BY 1
     ), ranked AS (
+      -- exact integer-micro HALF-UP average (see llm_lm_perplexity)
       SELECT doc_id, n_bigrams,
-             ROUND(POW(2.0, -avg_logp), 6) AS ppl,
+             ROUND(POW(2.0,
+               ((2 * m + n_bigrams) // (2 * n_bigrams)) / 1000000.0
+             ), 6) AS ppl,
              CAST(n_bigrams + 1 AS BIGINT) AS n_tok
       FROM scored
     ), rr AS (
