@@ -131,6 +131,43 @@ TRIAGE: dict[str, dict[str, str]] = {
         "every FINAL_ORDER entry; the r8 artifact itself cannot be "
         "regenerated in-repo (driver-side capture).",
     },
+    "datawarehouse_spark/operators/patterns.py:86": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/patterns.py",
+        "fix_pattern": r"CONTRACT: DEFINE conditions must be MUTUALLY EXCLUSIVE",
+        "note": "compile_define's docstring now states the mutual-"
+        "exclusivity contract (and why backtracking MR differs); "
+        "exclusive_violations() is the opt-in validator, wired as "
+        "sql_match_recognize(validate_exclusive=True) and tested on "
+        "an overlapping-DEFINE fixture.",
+    },
+    "datawarehouse_spark/operators/patterns.py:70": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/patterns.py",
+        "fix_pattern": r"regexp_extract_all\(F\.col\(\"seq\"\), pat, F\.lit\(0\)\)",
+        "note": "n_matches and matched_len both consume one Column-form "
+        "F.lit(pattern) literal (no SQL-string interpolation), so "
+        "backslashes/quotes can't produce inconsistent measures; "
+        "property test feeds a quote-and-backslash pattern.",
+    },
+    "datawarehouse_spark/operators/rank.py:95": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/rank.py",
+        "fix_pattern": r"collide with internal",
+        "note": "_guard_internal_collisions raises loudly when an input "
+        "column matches a working name (_blk/_rn/_off/_cum_in), called "
+        "by both global_rank and global_cumsum; tested with a planted "
+        "_blk column.",
+    },
+    "bench.py:216": {
+        "status": "fixed",
+        "fix_file": "bench.py",
+        "fix_pattern": r"after all trims",
+        "note": "compact_line now re-checks DRIVER_TAIL_BUDGET after the "
+        "final trim and prints a loud stderr warning when the stdout "
+        "line would still overflow (the parsed:null failure mode of "
+        "r8/r9), complementing the pinned registry-size test.",
+    },
 }
 
 FINDING_RE = re.compile(r"^- \*\*(\w+)\*\* ([\w./_-]+):(\d+) — ")
