@@ -560,3 +560,100 @@ def kcore_oracle_sql(pairs_cte: str, k: int = 2, rounds: int = 8) -> str:
            core.a IS NOT NULL AS in_kcore
     FROM d0 LEFT JOIN core ON core.a = d0.a
     """
+
+
+def label_propagation(pairs: DataFrame, id_a: str = "doc_a",
+                      id_b: str = "doc_b", n_iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) on the undirected pair graph — fixed
+    ``n_iters`` rounds, deterministic tie-break.
+
+    Every node starts labeled with its own id; each round, a node
+    adopts the label carried by the PLURALITY of its neighbors, ties
+    broken by the SMALLEST label (the classic random tie-break made
+    deterministic so both engines replay the same trajectory —
+    synchronous LPA can oscillate on bipartite structure, and a fixed
+    iteration count replays any oscillation identically rather than
+    hiding it). Returns ``(node, community, comm_size)``.
+
+    Exactness: integers/strings end-to-end — labels are node ids,
+    votes are COUNT(*), the argmax is (count DESC, label ASC) — so
+    cross-engine parity is exact with NO rounding anywhere (stricter
+    even than PageRank, which at least emits doubles).
+
+    Scale shape: each round is one join of labels against edges on the
+    source key (label table is node-sized, edge table E-sized) plus
+    one map-combined (node, label) vote count whose argmax is a
+    ``min_by`` aggregate — two shuffles per round, O(E) work, no
+    windows. Lineage is cut with an eager localCheckpoint every second
+    round (iterative-plan hygiene, same as pagerank)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .persist()
+    )
+    try:
+        labels = edges.select(F.col("src").alias("node")).distinct() \
+            .select("node", F.col("node").alias("lab"))
+        for i in range(n_iters):
+            votes = (
+                labels.join(edges, labels["node"] == edges["src"])
+                .groupBy(F.col("dst").alias("n"), "lab")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            # plurality label, smallest label on ties: min over the
+            # (-count, label) struct — no per-node window needed
+            labels = votes.groupBy(F.col("n").alias("node")).agg(
+                F.min_by(
+                    "lab", F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                ).alias("lab")
+            )
+            if i % 2 == 1:
+                labels = labels.localCheckpoint(eager=True)
+        sizes = labels.groupBy("lab").agg(
+            F.count(F.lit(1)).cast("bigint").alias("comm_size"))
+        return labels.join(sizes, "lab").select(
+            "node", F.col("lab").alias("community"), "comm_size")
+    finally:
+        edges.unpersist()
+
+
+def lpa_oracle_sql(pairs_cte: str, n_iters: int = 4) -> str:
+    """Unrolled-iteration DuckDB oracle for :func:`label_propagation`.
+    ``pairs_cte`` must end in ``pairs(doc_a, doc_b)``; ``n_iters``
+    chained CTEs replay the identical plurality/min-label votes."""
+    blocks = [
+        pairs_cte,
+        """edges AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        )""",
+        """l0 AS (
+          SELECT DISTINCT src AS node, src AS lab FROM edges
+        )""",
+    ]
+    for i in range(1, n_iters + 1):
+        blocks.append(f"""v{i} AS MATERIALIZED (
+          SELECT e.dst AS node, l.lab, COUNT(*) AS c
+          FROM edges e JOIN l{i - 1} l ON l.node = e.src
+          GROUP BY 1, 2
+        ), l{i} AS MATERIALIZED (
+          SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) AS rn
+            FROM v{i}
+          ) WHERE rn = 1
+        )""")
+    body = ",\n    ".join(blocks)
+    return f"""
+    WITH {body},
+    sizes AS (
+      SELECT lab, CAST(COUNT(*) AS BIGINT) AS comm_size
+      FROM l{n_iters} GROUP BY 1
+    )
+    SELECT l.node, l.lab AS community, s.comm_size
+    FROM l{n_iters} l JOIN sizes s ON s.lab = l.lab
+    """

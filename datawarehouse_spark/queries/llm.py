@@ -3447,3 +3447,49 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+_DUCK_WORDGRAPH_CTE = """tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT unnest(t[1:len(t)-1]) AS w1,
+                  unnest(t[2:len(t)]) AS w2 FROM tok),
+    pairs AS (SELECT DISTINCT w1 AS doc_a, w2 AS doc_b FROM bg
+              WHERE w1 <> w2)"""
+
+
+@query(
+    "llm_word_communities",
+    oracle=(
+        "SELECT node AS term, community, comm_size FROM ("
+        + graph.lpa_oracle_sql(_DUCK_WORDGRAPH_CTE, n_iters=4)
+        + ")"
+    ),
+)
+def llm_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the word co-occurrence graph
+    — the unsupervised topic-/term-cluster pass of a corpus indexing
+    pipeline (which terms travel together), completing the graph-audit
+    quartet (PageRank centrality, triangle density, k-core nucleus,
+    LPA communities) on corpus-derived graphs. Same vocab²-bounded
+    graph as llm_textrank_keywords; 4 fixed synchronous rounds with
+    the deterministic min-label tie-break. Integer/string-exact — the
+    one graph op with NO floating point at all. On the doc near-dup
+    graph the identical operator refines connected components (which
+    merge through any single spurious edge) into density-based
+    communities. See operators/graph.py::label_propagation.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split(F.col("text"), " ")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    pairs = (
+        t["documents"]
+        .select(F.explode(bgs).alias("b"))
+        .select(F.col("b.w1").alias("doc_a"), F.col("b.w2").alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    comm = graph.label_propagation(pairs, n_iters=4)
+    return comm.select(F.col("node").alias("term"), "community", "comm_size")

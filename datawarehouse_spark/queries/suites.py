@@ -637,6 +637,10 @@ SUITES: dict[str, list[Member]] = {
         # TextRank keywords (r10): the PageRank engine over the word
         # co-occurrence graph, top-20 by centrality
         ("llm_textrank_keywords", ["term"], ["pr", "rank"]),
+        # label-propagation communities (r11): plurality-vote LPA with
+        # the deterministic min-label tie-break on the same word graph
+        # — integer/string-exact, no floating point anywhere
+        ("llm_word_communities", ["term", "community"], ["comm_size"]),
     ],
     # streaming batch twins (r10: four standalone driver rows folded
     # into one line — each stays row-level hash-verified through the

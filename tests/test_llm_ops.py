@@ -1945,3 +1945,51 @@ def test_hnsw_build_lsh_branch_still_connects(spark):
     assert adj.count() > 0
     deg = adj.groupBy("lvl", "src").count().agg(F.max("count")).first()[0]
     assert deg <= 4
+
+
+def test_label_propagation_separates_cliques(spark):
+    """LPA on two K4 cliques joined by one bridge edge: after 4
+    synchronous rounds each clique converges to one community (the
+    min node id in the clique wins the plurality vote), the bridge
+    does NOT merge them (one cross-vote never outvotes three in-clique
+    votes), and a disjoint edge pair forms its own 2-community."""
+    from datawarehouse_spark.operators.graph import label_propagation
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = k4a + k4b + [(3, 10)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r["node"]: r for r in
+           label_propagation(pairs, n_iters=4).collect()}
+    assert len(out) == 10
+    comm_a = {out[v]["community"] for v in range(4)}
+    comm_b = {out[v]["community"] for v in range(10, 14)}
+    assert len(comm_a) == 1 and len(comm_b) == 1
+    assert comm_a != comm_b                      # bridge did not merge
+    assert all(out[v]["comm_size"] == 4 for v in list(range(4))
+               + list(range(10, 14)))
+    # disjoint pair: each endpoint adopts the other's label every
+    # round (degree-1 nodes), so after an EVEN round count both carry
+    # their own id again — two singleton communities, size 1 each
+    assert out[100]["comm_size"] == 1 and out[101]["comm_size"] == 1
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    """Deterministic tie-break: a node with two equal-vote neighbor
+    labels adopts the SMALLEST. Path 1-2-3 (ends fixed by symmetric
+    re-adoption): in round 1 node 2 sees one vote each for labels 1
+    and 3 and must pick 1 (after that the path's 2-cycle oscillation
+    takes over — rounds alternate node 2 between 1 and the re-imported
+    2 — which is exactly why the iteration count is FIXED and replayed
+    identically by the oracle rather than run "to convergence")."""
+    from datawarehouse_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(pairs, n_iters=1).collect()}
+    assert out[2] == 1
+    # and the odd-round trajectory keeps the tie-break visible
+    out3 = {r["node"]: r["community"] for r in
+            label_propagation(pairs, n_iters=3).collect()}
+    assert out3[2] == 1
