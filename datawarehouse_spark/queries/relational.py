@@ -968,3 +968,106 @@ def u6_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
     )
     return a.intersectAll(b)
+
+
+@query(
+    "a26_market_basket",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    itm AS (SELECT l_partkey, COUNT(*) AS ni FROM op GROUP BY 1),
+    pr AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n12
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    s AS (
+      SELECT pr.p1, pr.p2, pr.n12, i1.ni AS n1, i2.ni AS n2, n.n_orders,
+             CAST(pr.n12 AS DOUBLE) / n.n_orders AS support,
+             CAST(pr.n12 AS DOUBLE) / i1.ni AS confidence,
+             (CAST(pr.n12 AS DOUBLE) * n.n_orders)
+               / (CAST(i1.ni AS DOUBLE) * i2.ni) AS lift
+      FROM pr
+      JOIN itm i1 ON i1.l_partkey = pr.p1
+      JOIN itm i2 ON i2.l_partkey = pr.p2
+      CROSS JOIN n
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(n12 AS BIGINT) AS n12,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           ROUND(support, 6) AS support,
+           ROUND(confidence, 6) AS confidence,
+           ROUND(lift, 6) AS lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, p1, p2)
+                AS BIGINT) AS rank
+    FROM s
+    QUALIFY rank <= 20
+    """,
+)
+def a26_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 — 2-itemset association rules over order baskets (the
+    market-basket mining staple): for parts co-purchased in ≥2 orders,
+    emit support, confidence(p1→p2) and lift, top-20 by lift. The
+    min-support HAVING is the Apriori downward-closure prune applied
+    at the pair level.
+
+    Exactness: counts are integers; support/confidence/lift are IEEE
+    divisions of identical operands in identical order on both
+    engines (the basket total is counted once and injected as a
+    literal, like PageRank's N), rounded at 6 for the emitted values
+    while the top-k ranks on the raw doubles (bit-identical → the
+    rank tie-break (lift DESC, p1, p2) is total and engine-identical).
+
+    Scale shape: the distinct (order, part) projection shuffles once
+    on orderkey and the pair self-join reuses that partitioning; pair
+    volume is Σ_orders C(basket,2) — basket-bounded, not catalog² —
+    and the min-support filter is map-combined before the item-count
+    broadcast joins (item counts are catalog-sized, hence broadcast).
+    At 100 TB the standard extra guard is a per-order basket cap
+    (C(basket,2) explodes on pathological mega-baskets); fixture
+    baskets are ≤7 lines so the cap is not wired here.
+    """
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    itm = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
+    a = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= 2)
+    )
+    i1 = itm.select(F.col("l_partkey").alias("p1"), F.col("ni").alias("n1"))
+    i2 = itm.select(F.col("l_partkey").alias("p2"), F.col("ni").alias("n2"))
+    scored = (
+        pairs.join(F.broadcast(i1), "p1").join(F.broadcast(i2), "p2")
+        .withColumn("support", F.col("n12").cast("double") / F.lit(n_orders))
+        .withColumn("confidence",
+                    F.col("n12").cast("double") / F.col("n1"))
+        .withColumn(
+            "lift",
+            (F.col("n12").cast("double") * F.lit(n_orders))
+            / (F.col("n1").cast("double") * F.col("n2")),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), "p1", "p2").limit(20)
+    rank_w = W.orderBy(F.desc("lift"), "p1", "p2")
+    return top.select(
+        "p1", "p2",
+        F.col("n12").cast("bigint").alias("n12"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+    )

@@ -286,6 +286,12 @@ SUITES: dict[str, list[Member]] = {
         ("t17_position_attribution", [],
          ["user_id", "purchase_id", "view_id", "view_ts_us",
           "n_touches", "touch_rank", "credit"]),
+        # 2-itemset association rules (r11): basket self-join (theta
+        # p1<p2 on the order key) + broadcast item counts; top-20 by
+        # lift ranked on bit-identical raw doubles
+        ("a26_market_basket", [],
+         ["p1", "p2", "n12", "n1", "n2", "support", "confidence",
+          "lift", "rank"]),
         ("j16_pit_dim_join", ["o_dt", "segment_at_order"],
          ["o_orderkey", "c_custkey", "eff_version"]),
     ],
