@@ -1470,6 +1470,7 @@ def hnsw_build(
     vec_col: str = "embedding",
     dim: int | None = None,
     dense_layer_cap: int = 4096,
+    level_src: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the layered neighbor graph. Returns ``(levels, adj)``:
     ``levels`` = (id, lvl) with lvl the count of trailing zero bits of
@@ -1478,6 +1479,13 @@ def hnsw_build(
     nodes and the whole build replays bit-identically; ``adj`` =
     (lvl, src, dst) directed edges, each node's ``m`` highest-cosine
     neighbors among its layer peers, ties by dst id.
+
+    ``level_src`` overrides the integer whose trailing zeros the level
+    draw counts (default ``xxhash64(id)``). Passing the id column
+    itself keeps the geometric(1/2) layer shape for sequential ids
+    while making the draw plain modular arithmetic — the form the
+    cross-engine SQL oracle can replay verbatim (DuckDB has no
+    xxhash64).
 
     Scale shape: candidate pairs per layer come from the hyperplane
     LSH buckets (same-bucket join — never an all-pairs product) UNION
@@ -1489,63 +1497,103 @@ def hnsw_build(
     if dim is None:
         first = corpus.select(vec_col).head()
         dim = len(first[0]) if first is not None else 1
-    h = F.xxhash64(F.col(id_col).cast("string"))
+    h = (F.xxhash64(F.col(id_col).cast("string"))
+         if level_src is None else level_src)
     lvl = F.lit(max_level)
     for l in range(max_level - 1, -1, -1):
         # trailing-zero count: h % 2^(l+1) == 2^l  ⇒  exactly l zeros
         lvl = F.when(
             F.pmod(h, F.lit(2 ** (l + 1))) == F.lit(2**l), F.lit(l)
         ).otherwise(lvl)
-    levels = corpus.select(F.col(id_col), lvl.cast("int").alias("lvl"))
-
-    base = corpus.join(levels, id_col).select(
-        F.col(id_col), F.col(vec_col), "lvl"
-    )
+    # lvl is a projection of the id — no join needed; ONE eager
+    # checkpoint materializes (id, vec, lvl) and every per-layer
+    # filter + count + collect + score then reruns over the cached
+    # blocks instead of re-scanning the source per layer
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), lvl.cast("int").alias("lvl")
+    ).localCheckpoint(eager=True)
+    levels = base.select(F.col(id_col), "lvl")
     buckets = hyperplane_lsh_buckets(
         corpus, n_planes, id_col, vec_col, dim
     )
     layer_adjs = []
     for l in range(max_level + 1):
-        members = base.filter(F.col("lvl") >= l).localCheckpoint(eager=True)
+        members = base.filter(F.col("lvl") >= l)
+        n_l = members.count()
+        if n_l < 2:
+            continue
+        # dense exact top-m only for model-sized layers (the geometric
+        # level draw shrinks layers 2x per level, so only the deep
+        # layers of a big corpus ever take the LSH branch); the count
+        # is one bounded job per layer, max_level+1 of them total
+        if n_l <= dense_layer_cap:
+            # FAISS-style model-sized structure: the capped layer's
+            # (id, vector) matrix collects to the driver (bounded by
+            # dense_layer_cap BY CONSTRUCTION -- same class as the
+            # centroid/codebook collects) and rides each task's
+            # closure; every member partition then scores its rows
+            # against the whole layer with ONE BLAS GEMM and emits its
+            # own top-m directly -- no pair-set shuffle, no window.
+            # np.round(..., 6) before ranking keeps the rank ties and
+            # the selected edges identical to the SQL/window form (the
+            # cosine_pairs cross-engine convention).
+            rows = members.select(id_col, vec_col).collect()
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            k_l = min(m, n_l - 1)
+
+            def topm(it, ids=ids, M=M, norms=norms, k_l=k_l):
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    Q = np.array([list(v) for v in pdf[vec_col]],
+                                 dtype=np.float64)
+                    q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                    nq = np.linalg.norm(Q, axis=1, keepdims=True)
+                    S = np.round((Q @ M.T) / (nq * norms.T), 6)
+                    S[q_ids[:, None] == ids[None, :]] = -np.inf
+                    src, dst = [], []
+                    for i in range(len(q_ids)):
+                        # primary: cos desc (-S asc); tie: dst id asc
+                        order = np.lexsort((ids, -S[i]))[:k_l]
+                        src.extend([q_ids[i]] * len(order))
+                        dst.extend(ids[order])
+                    yield pd.DataFrame({"src": src, "dst": dst})
+
+            layer_adjs.append(
+                members.mapInPandas(topm, schema="src long, dst long")
+                .select(F.lit(l).alias("lvl"), "src", "dst")
+            )
+            continue
         mem_n = members.select(
             F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec")
         )
         mem_m = members.select(
             F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec")
         )
-        # dense all-pairs only for model-sized layers (the geometric
-        # level draw shrinks layers 2x per level, so only the deep
-        # layers of a big corpus ever take the LSH branch); the count
-        # is one bounded job per layer, max_level+1 of them total
-        if members.count() <= dense_layer_cap:
-            cand = mem_n.select("src").crossJoin(
-                F.broadcast(mem_m.select("dst"))
+        cos = F.round(
+            dot_cols("q_vec", "c_vec")
+            / (norm_col("q_vec") * norm_col("c_vec")),
+            6,
+        ).alias("cos")
+        cand = (
+            members.join(buckets, id_col)
+            .select(F.col(id_col).alias("src"), "bucket")
+            .join(
+                members.join(buckets, id_col).select(
+                    F.col(id_col).alias("dst"), "bucket"
+                ),
+                "bucket",
             )
-        else:
-            cand = (
-                members.join(buckets, id_col)
-                .select(F.col(id_col).alias("src"), "bucket")
-                .join(
-                    members.join(buckets, id_col).select(
-                        F.col(id_col).alias("dst"), "bucket"
-                    ),
-                    "bucket",
-                )
-                .select("src", "dst")
-            )
-        cand = cand.filter(F.col("src") != F.col("dst")).distinct()
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
         scored = (
             cand.join(mem_n, "src")
             .join(mem_m, "dst")
-            .select(
-                "src",
-                "dst",
-                F.round(
-                    dot_cols("q_vec", "c_vec")
-                    / (norm_col("q_vec") * norm_col("c_vec")),
-                    6,
-                ).alias("cos"),
-            )
+            .select("src", "dst", cos)
         )
         w = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
         layer_adjs.append(

@@ -3493,3 +3493,61 @@ def llm_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comm = graph.label_propagation(pairs, n_iters=4)
     return comm.select(F.col("node").alias("term"), "community", "comm_size")
+
+
+def _hnsw_graph_oracle(m: int = 6, max_level: int = 3) -> str:
+    """DuckDB oracle for llm_hnsw_graph: replay the deterministic
+    build — trailing-zero level draw on vec_id (plain modular
+    arithmetic), then per layer the m highest-cosine neighbors among
+    layer peers (cos rounded 6, ties by dst) via a dense within-layer
+    join (every fixture layer is under hnsw_build's dense_layer_cap,
+    so the Spark side provably took the same dense branch)."""
+    tz = " ".join(
+        f"WHEN vec_id % {2 ** (l + 1)} = {2 ** l} THEN {l}"
+        for l in range(max_level)
+    )
+    cos = ("round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+           "CAST(b.embedding AS DOUBLE[])), 6)")
+    layers = []
+    for l in range(max_level + 1):
+        layers.append(f"""a{l} AS (
+      SELECT CAST({l} AS INT) AS lvl, src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos} DESC, b.vec_id) AS rn
+        FROM lv a JOIN lv b
+          ON a.vec_id <> b.vec_id AND a.lvl >= {l} AND b.lvl >= {l}
+      ) WHERE rn <= {m}
+    )""")
+    body = ",\n    ".join(layers)
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM a{l}" for l in range(max_level + 1))
+    return f"""
+    WITH lv AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             CASE {tz} ELSE {max_level} END AS lvl
+      FROM embeddings
+    ),
+    {body}
+    SELECT lvl, src, dst FROM ({union})
+    """
+
+
+@query("llm_hnsw_graph", oracle=_hnsw_graph_oracle())
+def llm_hnsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW layered neighbor graph (Malkov & Yashunin 2016) over the
+    embedding corpus — the build half of the industry-default ANN
+    family, driver-gated: the deterministic trailing-zero level draw
+    (geometric(1/2) layer shape on sequential ids, plain modular
+    arithmetic so the oracle replays it verbatim) plus each node's m=6
+    highest-cosine layer peers (cos rounded 6, ties by dst id). The
+    beam-search half (hnsw_topk) stays recall-property-tested — a
+    layered greedy traversal has no bounded SQL unroll — but the graph
+    it walks is now row-for-row oracle-verified, upgrading the r10
+    TESTS_ONLY stretch. See operators/similarity.py::hnsw_build.
+    """
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    _, adj = similarity.hnsw_build(
+        emb, m=6, max_level=3, level_src=F.col("vec_id"))
+    return adj.select(F.col("lvl").cast("int").alias("lvl"), "src", "dst")

@@ -647,6 +647,10 @@ SUITES: dict[str, list[Member]] = {
         # the deterministic min-label tie-break on the same word graph
         # — integer/string-exact, no floating point anywhere
         ("llm_word_communities", ["term", "community"], ["comm_size"]),
+        # HNSW layered neighbor graph (r11): trailing-zero level draw
+        # + per-layer GEMM top-m adjacency, row-for-row verified (the
+        # beam-search half stays recall-property-tested)
+        ("llm_hnsw_graph", [], ["lvl", "src", "dst"]),
     ],
     # streaming batch twins (r10: four standalone driver rows folded
     # into one line — each stays row-level hash-verified through the

@@ -41,6 +41,11 @@ ALLOWED: dict[tuple[str, str], str] = {
         "grid — all index/model-sized, never corpus-sized",
     ("operators/text.py", "bpe_train"):
         "LIMIT 1 best merge pair per BPE round — one row",
+    ("operators/similarity.py", "hnsw_build"):
+        "dense-layer (id, vector) matrix, collected ONLY when the "
+        "layer population ≤ dense_layer_cap (4096 default) — the "
+        "count() guard right above the collect IS the bound; "
+        "over-cap layers take the distributed LSH-bucket branch",
 }
 
 
