@@ -396,6 +396,12 @@ SUITES: dict[str, list[Member]] = {
         ("llm_quality_calibration", ["lang", "is_outlier"],
          ["doc_id", "n_tok", "stop_ratio", "slope", "intercept",
           "resid"]),
+        # label-propagation term communities (r11): which words travel
+        # together — the topic-cluster pass over the word co-occurrence
+        # graph (integer/string-exact LPA; lives here rather than in
+        # suite_graph for line balance — the graph line already carries
+        # the near-dup pair regeneration)
+        ("llm_word_communities", ["term", "community"], ["comm_size"]),
         # (r10 rebalance: the shingle-fingerprint members — winnow,
         # novelty, dup-span coverage — moved to suite_fingerprints,
         # and the corpus-statistics members — zipf, tfidf — to
@@ -643,14 +649,6 @@ SUITES: dict[str, list[Member]] = {
         # TextRank keywords (r10): the PageRank engine over the word
         # co-occurrence graph, top-20 by centrality
         ("llm_textrank_keywords", ["term"], ["pr", "rank"]),
-        # label-propagation communities (r11): plurality-vote LPA with
-        # the deterministic min-label tie-break on the same word graph
-        # — integer/string-exact, no floating point anywhere
-        ("llm_word_communities", ["term", "community"], ["comm_size"]),
-        # HNSW layered neighbor graph (r11): trailing-zero level draw
-        # + per-layer GEMM top-m adjacency, row-for-row verified (the
-        # beam-search half stays recall-property-tested)
-        ("llm_hnsw_graph", [], ["lvl", "src", "dst"]),
     ],
     # streaming batch twins (r10: four standalone driver rows folded
     # into one line — each stays row-level hash-verified through the
@@ -686,6 +684,13 @@ SUITES: dict[str, list[Member]] = {
         ("mm_feature_extraction", ["kind"],
          ["media_id", "n_bytes", "byte_mean", "byte_entropy_proxy",
           "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]),
+        # HNSW layered neighbor graph (r11): the vector-modality index
+        # build — trailing-zero level draw + per-layer GEMM top-m
+        # adjacency, row-for-row verified (the beam-search half stays
+        # recall-property-tested). Lives here rather than in
+        # suite_graph/suite_embeddings for line balance; the suite
+        # union keeps it fully hash-verified either way.
+        ("llm_hnsw_graph", [], ["lvl", "src", "dst"]),
     ],
     # MinHash pipeline: signatures + LSH banding candidates (merged
     # from two standalone rows in r9 for the same 50-entry reason —
