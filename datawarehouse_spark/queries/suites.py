@@ -99,6 +99,12 @@ SUITES: dict[str, list[Member]] = {
         # entropy of the sensitive distribution per QI class (r10)
         ("dq_l_diversity", ["l_diverse"],
          ["c_nationkey", "n", "l", "sens_entropy"]),
+        # functional-dependency audit (r11): per asserted FD A→B, the
+        # violating-group count / trapped rows / worst RHS cardinality
+        # — integer-exact, one map-combined groupBy per FD; the check
+        # set mixes holding and violated FDs
+        ("dq_fd_audit", ["fd", "holds"],
+         ["n_lhs", "n_violating", "viol_rows", "max_rhs"]),
     ],
     # §2.4 multi-dimensional: CUBE, ROLLUP, GROUPING SETS
     "suite_cube_rollup": [
@@ -669,6 +675,12 @@ SUITES: dict[str, list[Member]] = {
         ("t20_time_to_convert", ["dt"],
          ["n_conversions", "sum_latency_us", "p50_latency_us",
           "p95_latency_us", "max_touches"]),
+        # Theil-Sen robust trend + OLS twin over the daily series
+        # (r11): rank-arithmetic median of pairwise slopes — the trend
+        # member of the monitoring family (t11 z / t13 MAD / t16 EWMA
+        # / t18 CUSUM / t19 seasonality)
+        ("t21_theilsen_trend", ["event_type"],
+         ["n_days", "n_pairs", "ts_slope", "ols_slope"]),
     ],
     # multimodal catalog + frame sampling + Arrow feature extraction
     # (mm_feature_extraction folded in for r9 — the registry must fit

@@ -2273,3 +2273,199 @@ def t20_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("latency_us", F.lit(0.95)).alias("p95_latency_us"),
         F.max("n_touches").cast("bigint").alias("max_touches"),
     )
+
+
+@query(
+    "t21_theilsen_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dt, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CAST(b.c - a.c AS DOUBLE)
+               / date_diff('day', a.dt, b.dt) AS slope
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.dt < b.dt
+    ),
+    r AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM p
+    ),
+    med AS (
+      SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+             SUM(slope) / COUNT(*) AS ts_slope
+      FROM r
+      WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+      GROUP BY event_type, np
+    ),
+    ols AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(COUNT(*) * SUM(x * c) - SUM(x) * SUM(c) AS DOUBLE)
+               / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS ols_slope
+      FROM (SELECT event_type, c,
+                   date_diff('day', DATE '1970-01-01', dt) AS x
+            FROM d)
+      GROUP BY 1
+    )
+    SELECT med.event_type, ols.n_days, med.n_pairs,
+           ROUND(med.ts_slope, 6) AS ts_slope,
+           ROUND(ols.ols_slope, 6) AS ols_slope
+    FROM med JOIN ols ON ols.event_type = med.event_type
+    """,
+)
+def t21_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21 — Theil-Sen robust trend over the daily volume series, next
+    to its parametric OLS twin: the median of all pairwise slopes
+    (c_j − c_i)/(t_j − t_i) shrugs off the level shifts and hot-day
+    spikes that drag a least-squares fit (the same robustness story as
+    t13's MAD vs t11's z-score, now for TREND instead of level).
+
+    Exactness: pairwise slopes are one IEEE division of integer
+    operands; the median is computed by RANK ARITHMETIC on both
+    engines — row_number over (type, slope), keep positions
+    ⌊(n+1)/2⌋ and ⌊(n+2)/2⌋, SUM/COUNT over the ≤2 selected rows — so
+    no engine-specific quantile interpolation is involved (equal-value
+    ties make the picked VALUES identical regardless of tie order).
+    The OLS slope is integer sums (epoch-day x, count y — exact
+    BIGINTs) into one final double division. Both rounded at 6.
+
+    Scale shape: the pair set is per-series C(days,2) — bounded by the
+    calendar, never by row volume (the fact scan map-combines to the
+    types×days rollup first); the slope window shuffles only pair rows
+    keyed by event_type, and the OLS sums are one more map-combined
+    pass over the rollup."""
+    t = load_tables(spark, sf_dir, ("events",))
+    d = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = d.select("event_type", F.col("dt").alias("dt_a"),
+                 F.col("c").alias("c_a"))
+    b = d.select("event_type", F.col("dt").alias("dt_b"),
+                 F.col("c").alias("c_b"))
+    pairs = (
+        a.join(b, ["event_type"])
+        .filter(F.col("dt_a") < F.col("dt_b"))
+        .select(
+            "event_type",
+            ((F.col("c_b") - F.col("c_a")).cast("double")
+             / F.datediff("dt_b", "dt_a")).alias("slope"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("slope")
+    r = pairs.select(
+        "event_type", "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("np"),
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.floor((F.col("np") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("np") + 2) / 2))
+        )
+        .groupBy("event_type", "np")
+        .agg((F.sum("slope") / F.count(F.lit(1))).alias("ts_slope"))
+        .select("event_type", F.col("np").cast("bigint").alias("n_pairs"),
+                "ts_slope")
+    )
+    xy = d.select(
+        "event_type", "c",
+        F.datediff("dt", F.lit("1970-01-01")).alias("x"),
+    )
+    ols = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("c"))
+             - F.sum("x") * F.sum("c")).cast("double")
+            / (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x"))
+        ).alias("ols_slope"),
+    )
+    return med.join(ols, "event_type").select(
+        "event_type", "n_days", "n_pairs",
+        F.round("ts_slope", 6).alias("ts_slope"),
+        F.round("ols_slope", 6).alias("ols_slope"),
+    )
+
+
+#: asserted functional dependencies under audit: label, table, LHS, RHS.
+#: A mix that HOLDS (nation name → region) and a mix that is VIOLATED
+#: (brand → type; customer → priority; user → event type) so both
+#: verdicts are exercised.
+_FD_CHECKS = [
+    ("nation.n_name->n_regionkey", "nation", "n_name", "n_regionkey"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+]
+
+
+@query(
+    "dq_fd_audit",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{label}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(COUNT(*) FILTER (nd > 1) AS BIGINT) AS n_violating,
+           CAST(COALESCE(SUM(n) FILTER (nd > 1), 0) AS BIGINT)
+             AS viol_rows,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs,
+           MAX(nd) = 1 AS holds
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd, COUNT(*) AS n
+          FROM {table} GROUP BY 1)"""
+        for label, table, lhs, rhs in _FD_CHECKS
+    ),
+)
+def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — functional-dependency audit: for each ASSERTED dependency
+    A → B, one row with the violating-group count, the rows trapped in
+    violating groups, and the worst per-key RHS cardinality — the
+    schema-contract check behind "is this column still derivable from
+    that one" (FD discovery's verification half; profiling siblings:
+    dq_column_profile, dq_audit). The check set mixes FDs that hold
+    (nation name → region) with FDs that don't (brand → type,
+    customer → order priority, user → event type) so both verdicts
+    are exercised, not just the vacuous pass.
+
+    Exactness: all counts — integer-exact, no rounding. Scale shape:
+    each FD is one map-combined groupBy on its LHS followed by a
+    6-value scalar rollup; checks on the same table still scan it once
+    each (4 independent jobs), never more than one shuffle per FD."""
+    t = load_tables(
+        spark, sf_dir, tuple({tb for _, tb, _, _ in _FD_CHECKS})
+    )
+    outs = []
+    for label, table, lhs, rhs in _FD_CHECKS:
+        g = (
+            t[table]
+            .groupBy(lhs)
+            .agg(
+                F.countDistinct(rhs).alias("nd"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        outs.append(
+            g.agg(
+                F.lit(label).alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+                F.count_if(F.col("nd") > 1).cast("bigint")
+                .alias("n_violating"),
+                F.coalesce(
+                    F.sum(F.when(F.col("nd") > 1, F.col("n"))), F.lit(0)
+                ).cast("bigint").alias("viol_rows"),
+                F.max("nd").cast("bigint").alias("max_rhs"),
+                (F.max("nd") == 1).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
