@@ -9,6 +9,8 @@ buckets, candidate ranking only touches same-bucket vectors.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
@@ -1492,7 +1494,13 @@ def hnsw_build(
     a dense within-layer join only when the layer's population is
     under ``dense_layer_cap`` (upper layers shrink geometrically, so
     the dense join only ever sees model-sized layers; layer 0 of a
-    100 TB corpus stays LSH-bounded). Edge selection is one window
+    100 TB corpus stays LSH-bounded). ``n_planes`` is a FLOOR: each
+    over-cap layer sizes its own plane count so expected bucket
+    occupancy stays ≤ dense_layer_cap/8 — with planes fixed, bucket
+    population grows with the layer and candidate volume goes
+    quadratic (the r11 8× sweep measured exactly that: 15.5× at 8×
+    data before auto-sizing, at-linear after); with occupancy pinned,
+    candidates are n·occupancy — linear. Edge selection is one window
     over candidate edges keyed by (lvl, src)."""
     if dim is None:
         first = corpus.select(vec_col).head()
@@ -1513,9 +1521,6 @@ def hnsw_build(
         F.col(id_col), F.col(vec_col), lvl.cast("int").alias("lvl")
     ).localCheckpoint(eager=True)
     levels = base.select(F.col(id_col), "lvl")
-    buckets = hyperplane_lsh_buckets(
-        corpus, n_planes, id_col, vec_col, dim
-    )
     layer_adjs = []
     for l in range(max_level + 1):
         members = base.filter(F.col("lvl") >= l)
@@ -1566,39 +1571,56 @@ def hnsw_build(
                 .select(F.lit(l).alias("lvl"), "src", "dst")
             )
             continue
-        mem_n = members.select(
-            F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec")
+        # LSH branch: each vector lives in exactly ONE sign bucket, so
+        # a node's whole candidate set IS its bucket — per-bucket GEMM
+        # top-m via applyInPandas (one shuffle of n rows keyed by
+        # bucket; no pair-set materialization, no window). Expected
+        # occupancy is pinned to ~dense_layer_cap/8: with the plane
+        # count fixed, occupancy grows with n_l and per-bucket work
+        # goes quadratic; sized per layer it stays linear (the r11 8x
+        # sweep measured 15.5x before, at-linear after).
+        # occupancy floor 8·m keeps every bucket comfortably above the
+        # degree bound even when dense_layer_cap is forced low (tests
+        # pin it to 0 to exercise this branch on a small corpus)
+        target = max(8.0 * m, dense_layer_cap / 8)
+        planes_l = max(
+            n_planes,
+            math.ceil(math.log2(max(2.0, n_l / target))),
         )
-        mem_m = members.select(
-            F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec")
+        buckets = hyperplane_lsh_buckets(
+            members, planes_l, id_col, vec_col, dim
         )
-        cos = F.round(
-            dot_cols("q_vec", "c_vec")
-            / (norm_col("q_vec") * norm_col("c_vec")),
-            6,
-        ).alias("cos")
-        cand = (
-            members.join(buckets, id_col)
-            .select(F.col(id_col).alias("src"), "bucket")
-            .join(
-                members.join(buckets, id_col).select(
-                    F.col(id_col).alias("dst"), "bucket"
-                ),
+        mem_b = members.select(id_col, vec_col).join(buckets, id_col)
+
+        # NOTE: exactly ONE positional parameter — applyInPandas
+        # inspects the arity and a second parameter (even a defaulted
+        # one) switches it to (key, pdf) dispatch, silently feeding
+        # the key tuple as pdf; m is a build-constant, closure is safe
+        def topm_bucket(pdf):
+            if len(pdf) < 2:
+                return pd.DataFrame({"src": [], "dst": []})
+            ids = pdf["_hnsw_id"].to_numpy(dtype=np.int64)
+            M = np.array([list(v) for v in pdf["_hnsw_vec"]],
+                         dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            S = np.round((M @ M.T) / (norms * norms.T), 6)
+            np.fill_diagonal(S, -np.inf)
+            k_b = min(m, len(ids) - 1)
+            src, dst = [], []
+            for i in range(len(ids)):
+                order = np.lexsort((ids, -S[i]))[:k_b]
+                src.extend([ids[i]] * len(order))
+                dst.extend(ids[order])
+            return pd.DataFrame({"src": src, "dst": dst})
+
+        layer_adjs.append(
+            mem_b.select(
+                F.col(id_col).alias("_hnsw_id"),
+                F.col(vec_col).alias("_hnsw_vec"),
                 "bucket",
             )
-            .select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        scored = (
-            cand.join(mem_n, "src")
-            .join(mem_m, "dst")
-            .select("src", "dst", cos)
-        )
-        w = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-        layer_adjs.append(
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= m)
+            .groupBy("bucket")
+            .applyInPandas(topm_bucket, schema="src long, dst long")
             .select(F.lit(l).alias("lvl"), "src", "dst")
         )
     adj = layer_adjs[0]
