@@ -1032,7 +1032,11 @@ def a26_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir, ("lineitem",))
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # ONE distinct basket projection, checkpointed: the basket count,
+    # both self-join sides and the item counts all reuse it instead of
+    # re-deduplicating the fact scan four times
+    op = (t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+          .localCheckpoint(eager=True))
     n_orders = op.select("l_orderkey").distinct().count()
     itm = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
     a = op.select(F.col("l_orderkey").alias("ok"),

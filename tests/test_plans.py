@@ -634,3 +634,33 @@ def test_x5_rfm_has_no_single_partition_window(spark):
     # localCheckpoint, so the returned plan reads the materialized
     # blocks rather than re-showing the range exchange
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_r11_new_ops_exchange_budgets(spark):
+    """Pins the shuffle claims of the round-11 additions: market
+    basket reuses ONE checkpointed distinct basket projection (3
+    exchanges: two self-join sides + the pair count; item counts ride
+    a broadcast); Theil-Sen shuffles only the types×days rollup and
+    its pair window (2); the FD audit is one map-combined groupBy per
+    asserted FD (8 = 4 FDs × (group + the countDistinct split)); the
+    HNSW dense build has NO shuffle at all (bounded driver collect +
+    per-partition GEMM). The iterative LPA op is covered by the
+    registry-wide lint sweep — its exchange count is round-dependent
+    by design."""
+    import re
+
+    budgets = {
+        "a26_market_basket": 3,
+        "t21_theilsen_trend": 2,
+        "dq_fd_audit": 8,
+        "llm_hnsw_graph": 0,
+    }
+    for name, budget in budgets.items():
+        plan = (
+            QUERIES[name](spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan}"
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
