@@ -1993,3 +1993,40 @@ def test_label_propagation_tie_breaks_to_min_label(spark):
     out3 = {r["node"]: r["community"] for r in
             label_propagation(pairs, n_iters=3).collect()}
     assert out3[2] == 1
+
+
+def test_lpa_communities_refine_connected_components(spark):
+    """On the document near-dup graph, LPA communities must be a
+    REFINEMENT of the connected components (labels only ever travel
+    along edges, so a community can never span two components) — the
+    structural relationship that makes LPA the 'split the
+    over-merged CC cluster' tool: CC merges mirror families through
+    any single spurious edge, LPA keeps dense cores separate."""
+    from datawarehouse_spark.operators import dedup
+    from datawarehouse_spark.operators.graph import label_propagation
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    comm = label_propagation(pairs, n_iters=4)
+    cc = dedup.dedup_clusters(pairs)
+    cols = set(cc.columns)
+    assert "doc_id" in cols, cols
+    cluster_col = [c for c in cc.columns if c != "doc_id"][0]
+    j = comm.join(
+        cc.select(F.col("doc_id").alias("node"),
+                  F.col(cluster_col).alias("component")),
+        "node",
+    )
+    # every LPA community maps into exactly one CC component
+    viol = (
+        j.groupBy("community")
+        .agg(F.countDistinct("component").alias("n_comp"))
+        .filter(F.col("n_comp") > 1)
+        .count()
+    )
+    assert viol == 0
+    # and the refinement is real on this fixture: at least as many
+    # communities as components
+    n_comm = comm.select("community").distinct().count()
+    n_comp = cc.select(cluster_col).distinct().count()
+    assert n_comm >= n_comp
