@@ -1580,3 +1580,108 @@ def edit_distance_pairs(
     finally:
         keys.unpersist()
         ids.unpersist()
+
+
+def near_dup_bands(df: DataFrame, id_col: str = "doc_id",
+                   text: str = "text", k: int = 8,
+                   band_size: int = 2) -> DataFrame:
+    """(id, band_idx, band_key) MinHash-LSH band rows — the unit of
+    state for the INCREMENTAL near-dup gate (the banding half of
+    :func:`lsh_candidates`, factored out so a stream can register
+    bands without materializing candidate pairs)."""
+    sig = minhash_signature(df, id_col, text, k=k)
+    n_bands = k // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+
+
+def near_dup_increment(
+    new: DataFrame,
+    band_registry: DataFrame | None,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 8,
+    band_size: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the streaming NEAR-dup gate — the MinHash
+    sibling of the exact-fingerprint gate in streaming/corpus.py: a
+    document is flagged ``dup_near`` when any of its LSH bands was
+    already registered by a strictly-earlier epoch, or belongs to a
+    smaller id within this batch (keep-first in (epoch, id) order — 
+    the same incremental-safe discipline as exact dedup, applied at
+    the band level, so the decision stream replays EXACTLY as the
+    batch twin :func:`near_dup_replay`).
+
+    Returns ``(decisions, new_bands)``: per-document
+    (id, dup_near, keep) for THIS batch, and the distinct
+    not-previously-registered (band_idx, band_key) rows to append.
+
+    Scale shape per batch: one signature pass over the BATCH (explode
+    shingles → map-combined min-agg), one band groupBy, one anti/semi
+    join against the registry keyed on (band_idx, band_key) — linear
+    in the batch, never in the corpus; registry state is
+    bands-per-doc × docs short rows (the same order as the exact
+    gate's fingerprint set)."""
+    nb = near_dup_bands(new, id_col, text, k, band_size).localCheckpoint(
+        eager=True
+    )
+    firstb = nb.groupBy("band_idx", "band_key").agg(
+        F.min(id_col).alias("_first")
+    )
+    flags = nb.join(firstb, ["band_idx", "band_key"]).withColumn(
+        "_dup", F.col(id_col) > F.col("_first")
+    )
+    if band_registry is not None:
+        reg = band_registry.select("band_idx", "band_key").distinct()
+        flags = flags.join(
+            reg.withColumn("_seen", F.lit(1)),
+            ["band_idx", "band_key"],
+            "left",
+        ).withColumn("_dup", F.col("_dup") | F.col("_seen").isNotNull())
+    decisions = flags.groupBy(id_col).agg(
+        F.max("_dup").alias("dup_near")
+    ).select(id_col, "dup_near", (~F.col("dup_near")).alias("keep"))
+    new_bands = nb.select("band_idx", "band_key").distinct()
+    if band_registry is not None:
+        new_bands = new_bands.join(
+            band_registry.select("band_idx", "band_key").distinct(),
+            ["band_idx", "band_key"],
+            "left_anti",
+        )
+    return decisions, new_bands
+
+
+def near_dup_replay(docs: DataFrame, id_col: str = "doc_id",
+                    text: str = "text", k: int = 8,
+                    band_size: int = 2) -> DataFrame:
+    """Batch twin of :func:`near_dup_increment`: the decisions the
+    increment accumulates over any id-ordered replay, in one pass —
+    ``dup_near(d)`` ⟺ some band of ``d`` is shared with a smaller id
+    anywhere in the corpus. One band groupBy + one join back, fully
+    shuffle-parallel on (band_idx, band_key)."""
+    nb = near_dup_bands(docs, id_col, text, k, band_size)
+    firstb = nb.groupBy("band_idx", "band_key").agg(
+        F.min(id_col).alias("_first")
+    )
+    return (
+        nb.join(firstb, ["band_idx", "band_key"])
+        .groupBy(id_col)
+        .agg(F.max(F.col(id_col) > F.col("_first")).alias("dup_near"))
+        .select(id_col, "dup_near", (~F.col("dup_near")).alias("keep"))
+    )

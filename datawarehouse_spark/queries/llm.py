@@ -3557,3 +3557,49 @@ def llm_hnsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, m=6, max_level=3, level_src=F.col("vec_id"),
         dense_layer_cap=32768)
     return adj.select(F.col("lvl").cast("int").alias("lvl"), "src", "dst")
+
+
+@query(
+    "t22_near_dup_gate",
+    oracle=f"""
+    WITH {_DUCK_SIG_CTES},
+    bands AS (
+      SELECT doc_id, 0 AS bi,
+             CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS bk FROM sig
+      UNION ALL SELECT doc_id, 1,
+             CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2,
+             CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3,
+             CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR) FROM sig
+    ),
+    firstb AS (
+      SELECT bi, bk, MIN(doc_id) AS first_id FROM bands GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT b.doc_id,
+             MAX(CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END) AS du
+      FROM bands b JOIN firstb f ON f.bi = b.bi AND f.bk = b.bk
+      GROUP BY 1
+    )
+    SELECT doc_id, du = 1 AS dup_near, du = 0 AS keep FROM d
+    """,
+)
+def t22_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 — batch twin of the STREAMING MinHash near-dup gate
+    (operators/dedup.py::near_dup_increment): keep-first-by-id at the
+    LSH-band level — a document is dropped when any of its 4 bands is
+    already claimed by a smaller id. This is the incremental-safe
+    decision rule an ingestion stream can apply with a band registry
+    as its only state (same discipline as the exact-fingerprint gate
+    in streaming/corpus.py, lifted from exact to NEAR duplicates);
+    stream≡batch replay parity incl. kill-restart is differential-
+    tested in tests/test_streaming.py. The md5mix signatures are
+    deterministic in both engines, so the gate hash-verifies exactly.
+
+    Scale shape: one signature pass (explode shingles → map-combined
+    min-agg), one band groupBy, one join back — no candidate pair
+    materialization at all (the gate needs band FIRST-OWNERSHIP, not
+    pairs), so it is strictly cheaper than the LSH candidate path."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.near_dup_replay(t["documents"])

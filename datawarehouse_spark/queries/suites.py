@@ -681,6 +681,10 @@ SUITES: dict[str, list[Member]] = {
         # / t18 CUSUM / t19 seasonality)
         ("t21_theilsen_trend", ["event_type"],
          ["n_days", "n_pairs", "ts_slope", "ols_slope"]),
+        # batch twin of the streaming MinHash near-dup gate (r11):
+        # keep-first-by-id at the LSH-band level; stream≡batch replay
+        # parity incl. kill-restart in test_streaming.py
+        ("t22_near_dup_gate", ["dup_near", "keep"], ["doc_id"]),
     ],
     # multimodal catalog + frame sampling + Arrow feature extraction
     # (mm_feature_extraction folded in for r9 — the registry must fit

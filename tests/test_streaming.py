@@ -990,3 +990,124 @@ def test_streaming_corpus_prep_gate_chain_matches_batch_replay(spark, tmpdir):
         for r in spark.read.parquet(f"{out_dir}/epoch=*").collect()
     }
     assert got == want
+
+
+def test_streaming_near_dup_gate_matches_batch_replay(spark, tmpdir):
+    """r11 — the MinHash near-dup gate as an incremental foreachBatch
+    pipeline (the NEAR-dup sibling of the exact-fingerprint chain
+    above): per batch, documents are flagged when any LSH band is
+    already claimed by a smaller id in this or any earlier epoch; the
+    band registry lives in a SnapshotTable and a mid-stream kill
+    forces an epoch replay. After restart the accumulated decisions
+    must equal dedup.near_dup_replay row for row, and the gate must
+    discriminate (some dups, some keeps)."""
+    import os
+
+    from datawarehouse_spark.operators import dedup
+    from datawarehouse_spark.sources.snapshot import SnapshotTable
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    # inject NEAR duplicates (first-token swap keeps 3-shingle overlap
+    # high) of early docs at high ids so the registry path across
+    # epochs is exercised for near- (not just exact-) duplicates
+    near = (
+        docs.filter(F.col("doc_id") < 40)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    train = docs.unionByName(near)
+
+    want = {
+        r["doc_id"]: (r["dup_near"], r["keep"])
+        for r in dedup.near_dup_replay(train).collect()
+    }
+    flags = {v[0] for v in want.values()}
+    assert flags == {True, False}, f"gate is constant: {flags}"
+
+    ids = sorted(want)
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    chunks = [
+        train.filter(F.col("doc_id") < cut1),
+        train.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        train.filter(F.col("doc_id") >= cut2),
+    ]
+    src = f"{tmpdir}/nd_src"
+    os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        staged = f"{tmpdir}/nd_stage{i}"
+        ch.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    reg_path = f"{tmpdir}/nd_registry"
+    out_dir = f"{tmpdir}/nd_out"
+    kill_flag = f"{tmpdir}/nd_kill"
+    open(kill_flag, "w").close()
+
+    def ingest(batch_df, epoch_id):
+        ss = batch_df.sparkSession
+        e = int(epoch_id)
+        has_reg = os.path.isdir(os.path.join(reg_path, "_manifests"))
+        seen = None
+        if has_reg:
+            seen = (
+                SnapshotTable(ss, reg_path).read()
+                .filter(F.col("epoch") < e)
+                .select(
+                    F.split_part(F.col("band"), F.lit("\x1f"), F.lit(1))
+                    .cast("int").alias("band_idx"),
+                    F.split_part(F.col("band"), F.lit("\x1f"), F.lit(2))
+                    .alias("band_key"),
+                )
+            )
+        decisions, new_bands = dedup.near_dup_increment(batch_df, seen)
+        decisions.write.mode("overwrite").parquet(f"{out_dir}/epoch={e}")
+        tagged = new_bands.select(
+            F.concat_ws(
+                "\x1f", F.col("band_idx").cast("string"), F.col("band_key")
+            ).alias("band"),
+            F.lit(e).alias("epoch"),
+        )
+        if has_reg:
+            SnapshotTable(ss, reg_path).upsert(tagged, key="band")
+        else:
+            SnapshotTable.create(ss, tagged, reg_path)
+        if e == 1 and os.path.exists(kill_flag):
+            raise RuntimeError("injected mid-stream kill after writes")
+
+    def run():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{tmpdir}/nd_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run()
+    try:
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass
+    finally:
+        q.stop()
+    assert q.exception() is not None, "the injected kill must fire"
+
+    os.remove(kill_flag)
+    q2 = run()
+    try:
+        q2.awaitTermination(180)
+    finally:
+        q2.stop()
+    assert q2.exception() is None
+
+    got = {
+        r["doc_id"]: (r["dup_near"], r["keep"])
+        for r in spark.read.parquet(f"{out_dir}/epoch=*").collect()
+    }
+    assert got == want
