@@ -973,7 +973,11 @@ def u6_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a26_market_basket",
     oracle="""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH op0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    okeep AS (
+      SELECT l_orderkey FROM op0 GROUP BY 1 HAVING COUNT(*) <= 64
+    ),
+    op AS (SELECT op0.* FROM op0 JOIN okeep USING (l_orderkey)),
     n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
     itm AS (SELECT l_partkey, COUNT(*) AS ni FROM op GROUP BY 1),
     pr AS (
@@ -1025,9 +1029,12 @@ def a26_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is Σ_orders C(basket,2) — basket-bounded, not catalog² —
     and the min-support filter is map-combined before the item-count
     broadcast joins (item counts are catalog-sized, hence broadcast).
-    At 100 TB the standard extra guard is a per-order basket cap
-    (C(basket,2) explodes on pathological mega-baskets); fixture
-    baskets are ≤7 lines so the cap is not wired here.
+    The per-order basket cap (≤64 distinct parts, mirrored in the
+    oracle) is the standard mega-basket guard: C(basket,2) explodes
+    on pathological transactions — the repo's own hot-key skew slice
+    puts ~20k parts in one order (~200M pairs from a single basket)
+    and the cap removes exactly that order while leaving every
+    fixture basket (≤7 lines) untouched.
     """
     from pyspark.sql import Window as W
 
@@ -1035,8 +1042,11 @@ def a26_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE distinct basket projection, checkpointed: the basket count,
     # both self-join sides and the item counts all reuse it instead of
     # re-deduplicating the fact scan four times
-    op = (t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-          .localCheckpoint(eager=True))
+    op0 = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    okeep = (op0.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("_bs"))
+             .filter(F.col("_bs") <= 64).select("l_orderkey"))
+    op = op0.join(okeep, "l_orderkey").localCheckpoint(eager=True)
     n_orders = op.select("l_orderkey").distinct().count()
     itm = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
     a = op.select(F.col("l_orderkey").alias("ok"),
