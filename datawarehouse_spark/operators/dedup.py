@@ -1673,15 +1673,11 @@ def near_dup_replay(docs: DataFrame, id_col: str = "doc_id",
     """Batch twin of :func:`near_dup_increment`: the decisions the
     increment accumulates over any id-ordered replay, in one pass —
     ``dup_near(d)`` ⟺ some band of ``d`` is shared with a smaller id
-    anywhere in the corpus. One band groupBy + one join back, fully
-    shuffle-parallel on (band_idx, band_key)."""
-    nb = near_dup_bands(docs, id_col, text, k, band_size)
-    firstb = nb.groupBy("band_idx", "band_key").agg(
-        F.min(id_col).alias("_first")
+    anywhere in the corpus. Literally ONE increment step over the
+    whole corpus with an empty registry — the keep-first rule lives in
+    exactly one place, so the stream and its differential oracle
+    cannot desynchronize."""
+    decisions, _ = near_dup_increment(
+        docs, None, id_col, text, k, band_size
     )
-    return (
-        nb.join(firstb, ["band_idx", "band_key"])
-        .groupBy(id_col)
-        .agg(F.max(F.col(id_col) > F.col("_first")).alias("dup_near"))
-        .select(id_col, "dup_near", (~F.col("dup_near")).alias("keep"))
-    )
+    return decisions

@@ -119,9 +119,15 @@ def exclusive_violations(df: DataFrame, define: dict[str, str]) -> int:
     A map-side pass (a sum of boolean casts per row, no shuffle) with
     a LIMIT 1 early exit: returns 0 (exclusive on this data — the
     shim's first-match-wins classification is SQL:2016-identical) or
-    1 (at least one overlapping row exists)."""
+    1 (at least one overlapping row exists). Each cast is coalesced to
+    0: a condition evaluating to NULL means "did not match" exactly as
+    in compile_define's CASE, and an un-coalesced NULL would poison
+    the whole sum and hide a real overlap on the same row."""
+    if not define:
+        raise ValueError("DEFINE needs at least one symbol")
     hits = sum(
-        F.expr(f"({cond})").cast("int") for cond in define.values()
+        F.coalesce(F.expr(f"({cond})").cast("int"), F.lit(0))
+        for cond in define.values()
     )
     return df.filter(hits >= 2).limit(1).count()
 

@@ -1502,9 +1502,6 @@ def hnsw_build(
     data before auto-sizing, at-linear after); with occupancy pinned,
     candidates are n·occupancy — linear. Edge selection is one window
     over candidate edges keyed by (lvl, src)."""
-    if dim is None:
-        first = corpus.select(vec_col).head()
-        dim = len(first[0]) if first is not None else 1
     h = (F.xxhash64(F.col(id_col).cast("string"))
          if level_src is None else level_src)
     lvl = F.lit(max_level)
@@ -1587,6 +1584,12 @@ def hnsw_build(
             n_planes,
             math.ceil(math.log2(max(2.0, n_l / target))),
         )
+        if dim is None:
+            # inferred lazily: only the LSH branch consumes dim, so a
+            # fully-dense build (the gated/fixture path) never pays
+            # this driver head() job
+            first = corpus.select(vec_col).head()
+            dim = len(first[0]) if first is not None else 1
         buckets = hyperplane_lsh_buckets(
             members, planes_l, id_col, vec_col, dim
         )
@@ -1623,6 +1626,11 @@ def hnsw_build(
             .applyInPandas(topm_bucket, schema="src long, dst long")
             .select(F.lit(l).alias("lvl"), "src", "dst")
         )
+    if not layer_adjs:
+        # 0- or 1-vector corpus: a valid (empty) graph, not a crash
+        empty = levels.sparkSession.createDataFrame(
+            [], "lvl int, src long, dst long")
+        return levels, empty
     adj = layer_adjs[0]
     for a in layer_adjs[1:]:
         adj = adj.unionByName(a)

@@ -151,23 +151,11 @@ def corpus_prep_replay(
     """The batch twin: the decisions ``corpus_prep_increment``
     accumulates over any id-ordered replay of ``docs``, computed in
     one pass — keep-first exact dedup by global id order plus the
-    same stateless gates. This is the differential oracle for the
-    streaming form (and is itself one groupBy + three joins: fully
-    shuffle-parallel on fp / doc_id)."""
-    fp = docs.select(F.col(id_col), F.md5(F.col(text)).alias("fp"))
-    first = fp.groupBy("fp").agg(F.min(id_col).alias("_first"))
-    dup = fp.join(first, "fp").select(
-        id_col, (F.col(id_col) != F.col("_first")).alias("dup_exact")
+    same stateless gates. Literally ONE increment step over the whole
+    corpus with an empty registry — the keep-first rule lives in
+    exactly one place, so the stream and its differential oracle
+    cannot desynchronize."""
+    decisions, _ = corpus_prep_increment(
+        docs, None, eval_df, id_col, text
     )
-    gates = _stateless_gates(docs, eval_df, id_col, text)
-    return dup.join(gates, id_col).select(
-        id_col,
-        "dup_exact",
-        "gopher_ok",
-        "clean",
-        "quality_ok",
-        (
-            ~F.col("dup_exact") & F.col("gopher_ok") & F.col("clean")
-            & F.col("quality_ok")
-        ).alias("keep"),
-    )
+    return decisions

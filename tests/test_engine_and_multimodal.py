@@ -425,3 +425,43 @@ def test_match_recognize_pattern_with_regex_metachars_consistent(spark):
     assert row["seq"] == "aab"
     assert row["n_matches"] == 1
     assert row["matched_len"] == 3
+
+
+def test_exclusive_violations_not_null_poisoned(spark):
+    """r11 review fix: a DEFINE condition evaluating to NULL on a row
+    (e.g. a predicate over a NULL column) must count as 'did not
+    match' — exactly compile_define's CASE semantics — not poison the
+    per-row sum and hide a REAL overlap between the other conditions
+    on the same row."""
+    from datawarehouse_spark.operators.patterns import exclusive_violations
+
+    df = spark.createDataFrame(
+        [(20, None)], "v int, note string"
+    )
+    define = {"A": "v > 10", "B": "v > 5", "C": "note = 'y'"}
+    # A and B both match the row while C is NULL: the overlap is real
+    assert exclusive_violations(df, define) == 1
+    # and an empty DEFINE raises the documented ValueError, not a
+    # PySpark type error from filter(False)
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one symbol"):
+        exclusive_violations(df, {})
+
+
+def test_hnsw_build_empty_and_singleton_corpus(spark):
+    """r11 review fix: a 0- or 1-vector corpus yields a valid EMPTY
+    adjacency (levels still emitted for the singleton), not an
+    IndexError from the all-layers-skipped union."""
+    from datawarehouse_spark.operators import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    levels, adj = similarity.hnsw_build(empty)
+    assert adj.count() == 0 and levels.count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    levels1, adj1 = similarity.hnsw_build(one)
+    assert adj1.count() == 0 and levels1.count() == 1
