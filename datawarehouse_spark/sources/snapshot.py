@@ -239,6 +239,52 @@ class SnapshotTable:
         self._commit(v + 1, self._stage(survivors), m["schema"])
         return v + 1
 
+    def optimize(self, zorder_by: list[str] | None = None,
+                 target_rows_per_file: int = 1_000_000) -> int:
+        """OPTIMIZE — the lakehouse maintenance command: rewrite the
+        CURRENT snapshot's data files bin-packed (and, with
+        ``zorder_by``, Z-ORDER-clustered) as a NEW version. Content is
+        row-identical — only layout changes — so pinned readers and
+        time travel to every earlier version are untouched, and the
+        rewritten files die only at the next ``vacuum`` (same
+        immutability contract as every other commit).
+
+        ``zorder_by`` sorts the rewrite by the interleaved Morton key
+        (operators/layout.py::zorder_key) via a RANGE repartition, so
+        every listed dimension clusters at once and per-file min/max
+        zone maps tighten — the OPTIMIZE ZORDER BY of Delta/Iceberg.
+        Without it the rewrite is pure bin-packing (small-file
+        compaction under the table's version control — the managed
+        sibling of sources/io.py::compact_small_files).
+
+        Scale shape: one read of the current file set, one count, one
+        range exchange (or coalesce), one write; file count =
+        ceil(rows / target_rows_per_file) per partition value, so a
+        micro-batch-fragmented table collapses to row-proportional
+        files. Partitioned tables rewrite per partition value through
+        the normal _stage path (dir-encoded), preserving partition
+        pruning."""
+        from pyspark.sql import functions as F
+
+        from datawarehouse_spark.operators.layout import zorder_key
+
+        v = self.current_version()
+        m = self._manifest(v)
+        cur = self.read(v)
+        n = cur.count()
+        n_files = max(1, -(-n // int(target_rows_per_file)))
+        if zorder_by:
+            keyed = zorder_key(cur, zorder_by, out_col="__zo")
+            packed = (
+                keyed.repartitionByRange(n_files, F.col("__zo"))
+                .sortWithinPartitions("__zo")
+                .drop("__zo", *[f"z{i + 1}" for i in range(len(zorder_by))])
+            )
+        else:
+            packed = cur.coalesce(n_files)
+        self._commit(v + 1, self._stage(packed), m["schema"])
+        return v + 1
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop manifests older than the last `retain_last` versions and
         delete data files no retained manifest references. Only here do

@@ -341,3 +341,87 @@ def test_cdc_apply_last_writer_wins_and_delete(spark):
     assert set(out) == {1, 3}
     assert out[1]["v"] == 20.0 and out[1]["seq"] == 2
     assert out[3]["v"] == 7.0 and out[3]["seq"] == 3
+
+
+def test_optimize_compacts_files_and_preserves_content(spark, tmp_path):
+    """OPTIMIZE (r11): a micro-batch-fragmented table collapses to
+    row-proportional files in a NEW version with row-identical
+    content; time travel to the fragmented version still works, and
+    the fragmented files die only at vacuum."""
+    from datawarehouse_spark.sources.snapshot import SnapshotTable
+
+    rows = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    t = SnapshotTable.create(
+        spark, rows.repartition(16), str(tmp_path / "opt")
+    )
+    # fragment further with small appends (micro-batch pattern)
+    for i in range(3):
+        t.append(spark.range(500 + i * 10, 510 + i * 10).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ).repartition(4))
+    v_frag = t.current_version()
+    n_frag = len(t._manifest(v_frag)["files"])
+    assert n_frag >= 20
+    before = {(r["k"], r["v"]) for r in t.read().collect()}
+
+    v_opt = t.optimize()
+    assert v_opt == v_frag + 1
+    n_opt = len(t._manifest(v_opt)["files"])
+    assert n_opt == 1  # 530 rows << target_rows_per_file
+    after = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert after == before
+    # pinned reader / time travel unaffected
+    assert t.read(v_frag).count() == 530
+    # rewritten-away files reclaimed only at vacuum
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) >= n_frag
+    assert t.read().count() == 530
+
+
+def test_optimize_zorder_tightens_file_zone_maps(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (r11): after a clustered rewrite into
+    multiple files, per-file min/max ranges on BOTH listed dimensions
+    must be narrower than the unclustered layout's — the zone-map
+    tightening that makes file skipping work."""
+    import itertools
+
+    from datawarehouse_spark.sources.snapshot import SnapshotTable
+
+    # two independent uniform dims, written row-shuffled (worst case)
+    rows = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+        F.xxhash64(F.col("id")).alias("shuf"),
+    ).orderBy("shuf").drop("shuf")
+    t = SnapshotTable.create(
+        spark, rows.repartition(8), str(tmp_path / "zo")
+    )
+
+    def spread(version):
+        files = [e["file"] for e in t._manifest(version)["files"]]
+        tot = {"x": 0, "y": 0, "n": 0}
+        for f in files:
+            df = spark.read.parquet(f"{t.path}/data/{f}")
+            mm = df.agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")
+            ).collect()[0]
+            tot["x"] += mm[1] - mm[0]
+            tot["y"] += mm[3] - mm[2]
+            tot["n"] += 1
+        return tot["x"] / tot["n"], tot["y"] / tot["n"]
+
+    x0, y0 = spread(t.current_version())
+    v = t.optimize(zorder_by=["x", "y"], target_rows_per_file=512)
+    assert len(t._manifest(v)["files"]) == 8
+    x1, y1 = spread(v)
+    # random layout: every file spans ~the full 0-63 range on both
+    # dims; the Z-order rewrite must tighten both substantially
+    assert x1 < x0 * 0.8 and y1 < y0 * 0.8
+    # content identical
+    assert t.read(v).count() == 4096
+    assert t.read(v).select(F.sum("x"), F.sum("y")).collect() == \
+        t.read(v - 1).select(F.sum("x"), F.sum("y")).collect()
