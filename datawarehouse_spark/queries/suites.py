@@ -144,6 +144,11 @@ SUITES: dict[str, list[Member]] = {
         # full-recompute oracle proves the partial-agg merge algebra
         ("a23_incremental_view_refresh", ["o_orderpriority", "order_month"],
          ["revenue", "n_orders", "min_price", "max_price", "avg_price"]),
+        # incremental JOIN-view maintenance under a dim UPDATE (r11):
+        # retraction anti-join + broadcast delta re-join vs the
+        # full-recompute oracle — a23's algebra lifted to joins
+        ("a27_incremental_join_refresh", ["c_mktsegment"],
+         ["o_orderkey", "o_custkey", "o_totalprice"]),
         # equi-height histogram (r9): distributed-global-rank bucket
         # boundaries vs the oracle's single ROW_NUMBER
         ("dq_equiheight_histogram", [], ["bucket", "n_rows", "lo", "hi"]),

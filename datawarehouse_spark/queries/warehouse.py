@@ -2469,3 +2469,58 @@ def dq_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "a27_incremental_join_refresh",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+           ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def a27_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under a dimension UPDATE
+    — a23's delta-merge algebra lifted from aggregates to joins, with
+    RETRACTION: the stored view V = orders ⋈ customer was materialized
+    while customers c_custkey % 100 == 7 still carried a stale LEGACY
+    segment (derived deterministically here, since the fixture stores
+    only current truth); the refresh retracts exactly the view rows
+    keyed by updated customers (one anti-join on the dim key) and
+    re-inserts their recomputed join rows (one fact ⋈ broadcast
+    updated-dims delta join) — ΔV = −(O ⋈ C_old[S]) ∪ (O ⋈ C_new[S]).
+    The oracle is the FULL RECOMPUTE over current tables, so the hash
+    check proves the retraction algebra converges the view exactly.
+
+    Scale shape: the stored view is touched once by an anti-join on
+    the dim key (shuffle on o_custkey — in production, partition or
+    bucket the view by that key and the retraction prunes to touched
+    partitions, the same recipe as merge_upsert_partitioned); the
+    insert side joins the fact against only the UPDATED dim rows,
+    broadcast-sized by definition of a dim update batch. No full view
+    recompute anywhere."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    c_cur = t["customer"]
+    updated = F.pmod(F.col("c_custkey"), F.lit(100)) == 7
+    # the stored (stale) view: materialized before the segment fix
+    c_old = c_cur.withColumn(
+        "c_mktsegment",
+        F.when(updated, F.lit("LEGACY")).otherwise(F.col("c_mktsegment")),
+    )
+    cols = [
+        "o_orderkey", "o_custkey", "c_mktsegment",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ]
+    v_stored = t["orders"].join(
+        c_old, F.col("c_custkey") == F.col("o_custkey")
+    ).select(*cols)
+    # refresh: retract rows keyed by updated dims, insert recomputes
+    upd = c_cur.filter(updated)
+    retracted = v_stored.join(
+        upd.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey", "left_anti",
+    )
+    inserted = t["orders"].join(
+        F.broadcast(upd), F.col("c_custkey") == F.col("o_custkey")
+    ).select(*cols)
+    return retracted.unionByName(inserted.select(*retracted.columns))
