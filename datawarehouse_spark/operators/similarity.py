@@ -1463,6 +1463,35 @@ def sq8_quantize(
 # ANN rounds) — beam search's data-dependent iteration order has no
 # deterministic unrolled-SQL form to hash-gate yet.
 
+def _topm_rows(S: "np.ndarray", ids: "np.ndarray", k: int) -> list:
+    """Per-row top-``k`` column indices of score matrix ``S``, ordered
+    by (value DESC, ids ASC) — the HNSW edge-selection kernel. A full
+    per-row lexsort is O(rows·cols·log cols) and was the measured
+    bottleneck of the dense build at 20k vectors (the r11 sf1-slice
+    rehearsal); this does an argpartition to a k+64 head and lexsorts
+    only the head. Exactness guard: if the row's boundary VALUE also
+    occurs outside the head (a tie spill — then an id outside the head
+    could outrank an id inside), that row falls back to the full
+    lexsort, so the selection is bit-identical to the naive form on
+    every input."""
+    n, mm = S.shape
+    if k >= mm or mm <= k + 64:
+        return [np.lexsort((ids, -S[i]))[:k] for i in range(n)]
+    K = k + 64
+    part = np.argpartition(-S, K - 1, axis=1)[:, :K]
+    rows = np.arange(n)[:, None]
+    Ssub = S[rows, part]
+    out = []
+    for i in range(n):
+        o = np.lexsort((ids[part[i]], -Ssub[i]))[:k]
+        kth = Ssub[i][o[-1]]
+        if (Ssub[i] == kth).sum() != (S[i] == kth).sum():
+            out.append(np.lexsort((ids, -S[i]))[:k])
+        else:
+            out.append(part[i][o])
+    return out
+
+
 def hnsw_build(
     corpus: DataFrame,
     m: int = 6,
@@ -1549,19 +1578,21 @@ def hnsw_build(
                 for pdf in it:
                     if len(pdf) == 0:
                         continue
-                    Q = np.array([list(v) for v in pdf[vec_col]],
-                                 dtype=np.float64)
-                    q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-                    nq = np.linalg.norm(Q, axis=1, keepdims=True)
-                    S = np.round((Q @ M.T) / (nq * norms.T), 6)
-                    S[q_ids[:, None] == ids[None, :]] = -np.inf
-                    src, dst = [], []
-                    for i in range(len(q_ids)):
-                        # primary: cos desc (-S asc); tie: dst id asc
-                        order = np.lexsort((ids, -S[i]))[:k_l]
-                        src.extend([q_ids[i]] * len(order))
-                        dst.extend(ids[order])
-                    yield pd.DataFrame({"src": src, "dst": dst})
+                    Q_all = np.array([list(v) for v in pdf[vec_col]],
+                                     dtype=np.float64)
+                    q_all = pdf[id_col].to_numpy(dtype=np.int64)
+                    # chunk the GEMM: a full-partition score matrix at
+                    # 20k members is GBs; 1024-row slabs bound memory
+                    for s0 in range(0, len(q_all), 1024):
+                        Q = Q_all[s0:s0 + 1024]
+                        q_ids = q_all[s0:s0 + 1024]
+                        nq = np.linalg.norm(Q, axis=1, keepdims=True)
+                        S = np.round((Q @ M.T) / (nq * norms.T), 6)
+                        S[q_ids[:, None] == ids[None, :]] = -np.inf
+                        sel = _topm_rows(S, ids, k_l)
+                        src = np.repeat(q_ids, [len(x) for x in sel])
+                        dst = ids[np.concatenate(sel)]
+                        yield pd.DataFrame({"src": src, "dst": dst})
 
             layer_adjs.append(
                 members.mapInPandas(topm, schema="src long, dst long")
@@ -1609,11 +1640,9 @@ def hnsw_build(
             S = np.round((M @ M.T) / (norms * norms.T), 6)
             np.fill_diagonal(S, -np.inf)
             k_b = min(m, len(ids) - 1)
-            src, dst = [], []
-            for i in range(len(ids)):
-                order = np.lexsort((ids, -S[i]))[:k_b]
-                src.extend([ids[i]] * len(order))
-                dst.extend(ids[order])
+            sel = _topm_rows(S, ids, k_b)
+            src = np.repeat(ids, [len(x) for x in sel])
+            dst = ids[np.concatenate(sel)]
             return pd.DataFrame({"src": src, "dst": dst})
 
         layer_adjs.append(
