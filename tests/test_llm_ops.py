@@ -2030,3 +2030,32 @@ def test_lpa_communities_refine_connected_components(spark):
     n_comm = comm.select("community").distinct().count()
     n_comp = cc.select(cluster_col).distinct().count()
     assert n_comm >= n_comp
+
+
+def test_topm_rows_matches_full_lexsort_under_ties():
+    """The argpartition+head-lexsort kernel must select EXACTLY what
+    the naive full lexsort selects — including on heavily-tied score
+    matrices where the boundary value spills past the head and the
+    exactness fallback has to fire. Deterministic seed; both the
+    spill and no-spill paths are exercised."""
+    import numpy as np
+
+    from datawarehouse_spark.operators.similarity import _topm_rows
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(500).astype(np.int64)
+    # quantized scores -> massive ties (boundary spill guaranteed for
+    # some rows); plus a -inf column to mimic the self-mask
+    S = np.round(rng.random((64, 500)), 1)
+    S[:, 3] = -np.inf
+    for k in (1, 6, 80):
+        want = [np.lexsort((ids, -S[i]))[:k] for i in range(len(S))]
+        got = _topm_rows(S, ids, k)
+        for i in range(len(S)):
+            assert (want[i] == got[i]).all(), (i, k)
+    # continuous scores (no ties) — fast path only
+    S2 = rng.random((32, 500))
+    want2 = [np.lexsort((ids, -S2[i]))[:6] for i in range(len(S2))]
+    got2 = _topm_rows(S2, ids, 6)
+    for i in range(len(S2)):
+        assert (want2[i] == got2[i]).all()
