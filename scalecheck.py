@@ -279,6 +279,35 @@ OPS = [
     # in-row exact verify — candidates grow ~R² under near-dup
     # replicas (the documented LSH output-size upper bound)
     "llm_minhash_accuracy",
+    # --- r11 roster (manual 8×/10× sweeps in SCALE.md; kept here so
+    # future rounds re-measure them with one command) ---
+    # market basket claims Σ C(basket,2) pair volume: replica ids
+    # offset together so pair families stay disjoint — linear
+    "a26_market_basket",
+    # Theil-Sen claims calendar-bounded per-series pairs: replicated
+    # events keep the SAME event types, so the series count is
+    # constant and only the daily rollup scan grows — near-flat
+    "t21_theilsen_trend",
+    # the near-dup gate claims one signature pass + one band groupBy
+    # (no pair materialization): replicated identical texts make every
+    # copy share bands with the min-id original — the adversarial
+    # all-dup regime, still linear because the gate never joins pairs
+    "t22_near_dup_gate",
+    # FD audit claims one map-combined groupBy per FD; offset ids
+    # multiply group counts linearly
+    "dq_fd_audit",
+    # LPA claims O(E) per fixed round over the vocab²-bounded word
+    # graph — replicated text keeps the graph constant (textrank's
+    # flat-iterations regime)
+    "llm_word_communities",
+    # the HNSW gate claims bounded-collect dense GEMM under the cap
+    # and occupancy-pinned per-bucket GEMM above it; replicas shift
+    # ids only, so vectors repeat and buckets carry exact copies
+    "llm_hnsw_graph",
+    # join-IVM claims retraction anti-join + broadcast delta re-join;
+    # o_custkey and c_custkey offset together so the join keeps 1x
+    # fan-out per replica
+    "a27_incremental_join_refresh",
 ]
 
 
