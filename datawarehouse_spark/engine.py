@@ -105,6 +105,53 @@ class DataWarehouse:
                 print(f"[advisor:{a.rule}] {a.message} ({a.reference})")
         return self.spark.sql(q)
 
+    def sql_qualify(self, q: str) -> DataFrame:
+        """``QUALIFY`` clause (Snowflake / DuckDB / BigQuery — filter on
+        window-function results without a subquery) as a rewrite —
+        Spark's parser has no QUALIFY. The third member of the
+        standard-SQL shim family (sql_match_recognize, sql_hierarchy),
+        and like them it is oracle-compared in tests against DuckDB
+        executing the GENUINE clause text.
+
+        Accepts one top-level ``QUALIFY <predicate>`` optionally
+        followed by top-level ``ORDER BY`` / ``LIMIT``. Semantics:
+        QUALIFY evaluates window functions over the query's
+        post-SELECT result set, so the rewrite projects the query
+        first, computes ``(<predicate>)`` as a column over that
+        projection (aliases in the select list are therefore plain
+        columns — no lateral-alias machinery), filters on it and drops
+        it::
+
+            SELECT ..., row_number() OVER w AS rn FROM t QUALIFY rn <= 3
+            -->
+            SELECT * FROM (
+              SELECT *, (rn <= 3) AS __q FROM (SELECT ... FROM t)
+            ) WHERE __q [ORDER BY/LIMIT tail]  -- then drop __q
+
+        The predicate may reference output columns of the query
+        (including window-function aliases) or contain window
+        expressions directly (``QUALIFY row_number() OVER (...) = 1``,
+        the dedup idiom)."""
+        kw = _find_top_level(q, ("QUALIFY",))
+        if kw is None:
+            raise ValueError("sql_qualify: no top-level QUALIFY clause")
+        head = q[: kw[0]].rstrip()
+        rest = q[kw[1]:]
+        if _find_top_level(rest, ("QUALIFY",)) is not None:
+            raise ValueError("sql_qualify: multiple QUALIFY clauses")
+        tail_kw = _find_top_level(rest, ("ORDER BY", "LIMIT"))
+        if tail_kw is None:
+            pred, tail = rest.strip(), ""
+        else:
+            pred = rest[: tail_kw[0]].strip()
+            tail = rest[tail_kw[0]:].strip()
+        if not pred:
+            raise ValueError("sql_qualify: empty QUALIFY predicate")
+        inner = f"SELECT *, ({pred}) AS __q FROM ({head})"
+        out = self.sql(f"SELECT * FROM ({inner}) WHERE __q {tail}".strip(),
+                       advise=False)
+        return out.drop("__q")
+
     def sql_match_recognize(
         self,
         source: str | DataFrame,
@@ -253,3 +300,40 @@ class DataWarehouse:
         from datawarehouse_spark.operators.skew import key_distribution
 
         return key_distribution(df, *keys)
+
+
+def _find_top_level(s: str, keywords: tuple[str, ...]) -> tuple[int, int] | None:
+    """(start, end) of the FIRST occurrence of any keyword at paren
+    depth 0, outside single/double-quoted literals, on word boundaries
+    (case-insensitive). Multi-word keywords match across any
+    whitespace run. Returns None when absent."""
+    import re
+
+    u = s.upper()
+    depth = 0
+    i = 0
+    n = len(s)
+    pats = [
+        (re.compile(r"\s+".join(map(re.escape, k.split()))), k)
+        for k in (kk.upper() for kk in keywords)
+    ]
+    while i < n:
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != c:
+                j += 1
+            i = j
+        elif depth == 0 and (i == 0 or not (s[i - 1].isalnum()
+                                            or s[i - 1] == "_")):
+            for pat, _k in pats:
+                m = pat.match(u, i)
+                if m and (m.end() == n or not (u[m.end()].isalnum()
+                                               or u[m.end()] == "_")):
+                    return i, m.end()
+        i += 1
+    return None

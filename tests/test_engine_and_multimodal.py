@@ -465,3 +465,46 @@ def test_hnsw_build_empty_and_singleton_corpus(spark):
     )
     levels1, adj1 = similarity.hnsw_build(one)
     assert adj1.count() == 0 and levels1.count() == 1
+
+
+def test_sql_qualify_facade_matches_duckdb(spark, duck, tmp_path):
+    """The QUALIFY shim (r11, third member of the standard-SQL façade
+    family): three idioms — alias-referencing top-k per group, the
+    direct-window dedup idiom, and a QUALIFY with an ORDER BY + LIMIT
+    tail — each compared against DuckDB executing the GENUINE clause
+    text on the same tables."""
+    from tests.oracle_compare import compare_query
+
+    dw = DataWarehouse(spark, base_path=str(tmp_path / "wh"))
+
+    cases = [
+        # top-3 per group, predicate references the window ALIAS
+        ("SELECT o_orderpriority, o_orderkey, "
+         "CAST(row_number() OVER (PARTITION BY o_orderpriority "
+         "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn "
+         "FROM orders QUALIFY rn <= 3"),
+        # dedup idiom: window expression directly in the predicate
+        ("SELECT c_nationkey, c_custkey, c_acctbal FROM customer "
+         "QUALIFY row_number() OVER (PARTITION BY c_nationkey "
+         "ORDER BY c_acctbal DESC, c_custkey) = 1"),
+        # trailing ORDER BY + LIMIT after the QUALIFY predicate
+        ("SELECT o_orderstatus, o_orderkey, "
+         "CAST(rank() OVER (PARTITION BY o_orderstatus "
+         "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS r "
+         "FROM orders QUALIFY r <= 5 ORDER BY o_orderkey LIMIT 12"),
+    ]
+    for q in cases:
+        def fn(spark_, sf_dir, q=q):
+            load_tables(spark_, sf_dir, ("orders", "customer"))
+            return dw.sql_qualify(q)
+
+        ok, msg = compare_query(spark, duck, fn, q, SF_ORACLE)
+        assert ok, f"{msg}\nquery: {q}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no top-level QUALIFY"):
+        dw.sql_qualify("SELECT 1 AS x")
+    with pytest.raises(ValueError, match="no top-level QUALIFY"):
+        # QUALIFY inside a string literal must not count
+        dw.sql_qualify("SELECT 'QUALIFY' AS x FROM orders")
