@@ -152,6 +152,38 @@ class DataWarehouse:
                        advise=False)
         return out.drop("__q")
 
+    def sql_asof_join(
+        self,
+        left: str | DataFrame,
+        right: str | DataFrame,
+        on: str,
+        left_time: str,
+        right_time: str,
+    ) -> DataFrame:
+        """``ASOF JOIN`` (DuckDB / QuestDB / kdb+ — "most recent right
+        row at or before my time") as a table function — the fourth
+        standard-SQL-family shim: Spark's parser has no ASOF JOIN, so
+        the clause's pieces arrive as arguments and the semantics run
+        as the driver-gate-verified operator (j15,
+        operators/temporal.py::asof_join — union-window plan, one
+        shuffle, no range-join explosion). Equivalent DuckDB::
+
+            SELECT l.*, r.<value cols>
+            FROM left_rel l
+            ASOF LEFT JOIN right_rel r
+              ON l.<on> = r.<on> AND r.<right_time> <= l.<left_time>
+
+        Sources are SQL strings (run through :meth:`sql`) or
+        DataFrames; ``right`` must be one row per (key, time). The
+        façade itself is oracle-compared in tests against DuckDB
+        executing the genuine ASOF JOIN syntax."""
+        ldf = self.sql(left) if isinstance(left, str) else left
+        rdf = self.sql(right) if isinstance(right, str) else right
+        from datawarehouse_spark.operators.temporal import asof_join
+
+        return asof_join(ldf, rdf, on=on, left_time=left_time,
+                         right_time=right_time)
+
     def sql_match_recognize(
         self,
         source: str | DataFrame,

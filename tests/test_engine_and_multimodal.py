@@ -508,3 +508,48 @@ def test_sql_qualify_facade_matches_duckdb(spark, duck, tmp_path):
     with pytest.raises(ValueError, match="no top-level QUALIFY"):
         # QUALIFY inside a string literal must not count
         dw.sql_qualify("SELECT 'QUALIFY' AS x FROM orders")
+
+
+def test_sql_asof_join_facade_matches_duckdb_asof(spark, duck, tmp_path):
+    """The ASOF JOIN shim (r11, fourth façade-family member): each
+    user's purchase joins the most recent click at-or-before it —
+    compared against DuckDB executing the GENUINE `ASOF LEFT JOIN`
+    syntax on the same event slices."""
+    from tests.oracle_compare import compare_query
+
+    dw = DataWarehouse(spark, base_path=str(tmp_path / "wh"))
+    left_sql = (
+        "SELECT user_id, event_id AS purchase_id, "
+        "unix_micros(ts) AS p_ts_us FROM events "
+        "WHERE event_type = 'purchase'"
+    )
+    # one row per (user, time): keep the max click id on ts ties
+    right_sql = (
+        "SELECT user_id, unix_micros(ts) AS c_ts_us, "
+        "MAX(event_id) AS click_id FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id, unix_micros(ts)"
+    )
+
+    def fn(spark_, sf_dir):
+        load_tables(spark_, sf_dir, ("events",))
+        return dw.sql_asof_join(
+            left_sql, right_sql,
+            on="user_id", left_time="p_ts_us", right_time="c_ts_us",
+        )
+
+    oracle = f"""
+    WITH l AS (
+      SELECT user_id, event_id AS purchase_id,
+             epoch_us(ts) AS p_ts_us FROM events
+      WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, epoch_us(ts) AS c_ts_us,
+             MAX(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+    )
+    SELECT l.user_id, l.purchase_id, l.p_ts_us, r.c_ts_us, r.click_id
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND r.c_ts_us <= l.p_ts_us
+    """
+    ok, msg = compare_query(spark, duck, fn, oracle, SF_ORACLE)
+    assert ok, msg
