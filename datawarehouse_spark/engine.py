@@ -132,6 +132,12 @@ class DataWarehouse:
         (including window-function aliases) or contain window
         expressions directly (``QUALIFY row_number() OVER (...) = 1``,
         the dedup idiom)."""
+        if "__q" in q:
+            raise ValueError(
+                "sql_qualify: the query text contains '__q', which the "
+                "rewrite reserves for its filter column — rename it "
+                "(same loud-failure convention as asof_join's _t/_tag)"
+            )
         kw = _find_top_level(q, ("QUALIFY",))
         if kw is None:
             raise ValueError("sql_qualify: no top-level QUALIFY clause")
@@ -341,7 +347,9 @@ def _find_top_level(s: str, keywords: tuple[str, ...]) -> tuple[int, int] | None
     whitespace run. Returns None when absent."""
     import re
 
-    u = s.upper()
+    # ASCII-only uppercase: full str.upper() can CHANGE LENGTH
+    # ('ß'→'SS') and desynchronize keyword offsets from s
+    u = "".join(c.upper() if c.isascii() else c for c in s)
     depth = 0
     i = 0
     n = len(s)
@@ -356,8 +364,18 @@ def _find_top_level(s: str, keywords: tuple[str, ...]) -> tuple[int, int] | None
         elif c == ")":
             depth -= 1
         elif c in ("'", '"'):
+            # honor backslash escapes AND SQL doubled-quote escapes —
+            # a keyword inside a literal must never match
             j = i + 1
-            while j < n and s[j] != c:
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == c:
+                    if j + 1 < n and s[j + 1] == c:
+                        j += 2
+                        continue
+                    break
                 j += 1
             i = j
         elif depth == 0 and (i == 0 or not (s[i - 1].isalnum()

@@ -1473,7 +1473,9 @@ def _topm_rows(S: "np.ndarray", ids: "np.ndarray", k: int) -> list:
     occurs outside the head (a tie spill — then an id outside the head
     could outrank an id inside), that row falls back to the full
     lexsort, so the selection is bit-identical to the naive form on
-    every input."""
+    every NaN-free input (the ==-count guard cannot see NaN, since
+    NaN != NaN — callers pin NaN scores to -inf first, which also
+    matches how the naive lexsort ordered them: worst)."""
     n, mm = S.shape
     if k >= mm or mm <= k + 64:
         return [np.lexsort((ids, -S[i]))[:k] for i in range(n)]
@@ -1588,6 +1590,10 @@ def hnsw_build(
                         q_ids = q_all[s0:s0 + 1024]
                         nq = np.linalg.norm(Q, axis=1, keepdims=True)
                         S = np.round((Q @ M.T) / (nq * norms.T), 6)
+                        # zero-norm vectors yield NaN cosine rows; pin
+                        # to -inf ("worst") so the argpartition kernel
+                        # stays exact (NaN defeats its ==-count guard)
+                        S[np.isnan(S)] = -np.inf
                         S[q_ids[:, None] == ids[None, :]] = -np.inf
                         sel = _topm_rows(S, ids, k_l)
                         src = np.repeat(q_ids, [len(x) for x in sel])
@@ -1638,6 +1644,7 @@ def hnsw_build(
                          dtype=np.float64)
             norms = np.linalg.norm(M, axis=1, keepdims=True)
             S = np.round((M @ M.T) / (norms * norms.T), 6)
+            S[np.isnan(S)] = -np.inf
             np.fill_diagonal(S, -np.inf)
             k_b = min(m, len(ids) - 1)
             sel = _topm_rows(S, ids, k_b)

@@ -258,12 +258,13 @@ class SnapshotTable:
         sibling of sources/io.py::compact_small_files).
 
         Scale shape: one read of the current file set, one count, one
-        range exchange (or coalesce), one write; file count =
-        ceil(rows / target_rows_per_file) per partition value, so a
-        micro-batch-fragmented table collapses to row-proportional
-        files. Partitioned tables rewrite per partition value through
-        the normal _stage path (dir-encoded), preserving partition
-        pruning."""
+        range (or hash) exchange, one write; total file count ≈
+        ceil(rows / target_rows_per_file), so a micro-batch-fragmented
+        table collapses to row-proportional files. Partitioned tables
+        range-partition on (partition value, cluster key) so each
+        output split holds one value (boundary splits at most two —
+        ≤ one extra file per value) and oversized values still split;
+        the rewrite preserves dir-encoded partition pruning."""
         from pyspark.sql import functions as F
 
         from datawarehouse_spark.operators.layout import zorder_key
@@ -273,15 +274,39 @@ class SnapshotTable:
         cur = self.read(v)
         n = cur.count()
         n_files = max(1, -(-n // int(target_rows_per_file)))
+        zdrop: list[str] = []
         if zorder_by:
-            keyed = zorder_key(cur, zorder_by, out_col="__zo")
-            packed = (
-                keyed.repartitionByRange(n_files, F.col("__zo"))
-                .sortWithinPartitions("__zo")
-                .drop("__zo", *[f"z{i + 1}" for i in range(len(zorder_by))])
+            cur = zorder_key(cur, zorder_by, out_col="__zo")
+            zdrop = ["__zo"] + [f"z{i + 1}" for i in range(len(zorder_by))]
+        if self.partition_col:
+            # RANGE over (partition value, cluster key): each Spark
+            # partition then holds ONE value (boundary partitions at
+            # most two), so _stage's partitionBy split adds at most
+            # one extra file per value instead of fanning every value
+            # across every Spark partition; oversized values still
+            # split across range boundaries (equal leading keys are
+            # separable on the second key)
+            second = F.col("__zo") if zorder_by else F.xxhash64(
+                *[F.col(c) for c in cur.columns]
             )
+            packed = cur.repartitionByRange(
+                n_files, F.col(self.partition_col), second
+            )
+            if zorder_by:
+                packed = packed.sortWithinPartitions(
+                    self.partition_col, "__zo"
+                )
+        elif zorder_by:
+            packed = cur.repartitionByRange(
+                n_files, F.col("__zo")
+            ).sortWithinPartitions("__zo")
         else:
-            packed = cur.coalesce(n_files)
+            # repartition, not coalesce: coalesce can only SHRINK the
+            # partition count, silently ignoring the target when the
+            # snapshot reads into fewer splits than n_files
+            packed = cur.repartition(n_files)
+        if zdrop:
+            packed = packed.drop(*zdrop)
         self._commit(v + 1, self._stage(packed), m["schema"])
         return v + 1
 

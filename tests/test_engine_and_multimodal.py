@@ -553,3 +553,27 @@ def test_sql_asof_join_facade_matches_duckdb_asof(spark, duck, tmp_path):
     """
     ok, msg = compare_query(spark, duck, fn, oracle, SF_ORACLE)
     assert ok, msg
+
+
+def test_sql_qualify_guards(spark, tmp_path):
+    """r11 review fixes: reserved __q name raises loudly; QUALIFY
+    inside an escaped-quote literal is not treated as the clause; the
+    scanner's keyword offsets survive non-ASCII text (upper() length
+    changes must not desynchronize positions)."""
+    import pytest
+
+    dw = DataWarehouse(spark, base_path=str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="__q"):
+        dw.sql_qualify(
+            "SELECT o_orderkey, 1 AS __q FROM orders "
+            "QUALIFY row_number() OVER (ORDER BY o_orderkey) <= 3"
+        )
+    load_tables(spark, SF_ORACLE, ("orders",))
+    # backslash-escaped quote inside the literal + non-ASCII chars
+    # before the real clause keyword
+    out = dw.sql_qualify(
+        "SELECT o_orderkey, 'straße don\\'t QUALIFY me' AS note, "
+        "CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn "
+        "FROM orders QUALIFY rn <= 2"
+    ).collect()
+    assert len(out) == 2 and all("QUALIFY me" in r["note"] for r in out)

@@ -2059,3 +2059,23 @@ def test_topm_rows_matches_full_lexsort_under_ties():
     got2 = _topm_rows(S2, ids, 6)
     for i in range(len(S2)):
         assert (want2[i] == got2[i]).all()
+
+
+def test_hnsw_build_zero_norm_vector_edges_deterministic(spark):
+    """r11 review fix: a zero-norm embedding yields NaN cosines; both
+    kernels pin NaN to -inf so the zero vector ranks WORST (never
+    chosen over a real neighbor) and the build stays deterministic —
+    run twice, identical edges, and the zero vector's own edges still
+    exist (every candidate ties at -inf, min-id tie-break)."""
+    from datawarehouse_spark.operators import similarity
+
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1)])
+            for i in range(40)] + [(99, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, adj1 = similarity.hnsw_build(emb, m=4, max_level=2)
+    _, adj2 = similarity.hnsw_build(emb, m=4, max_level=2)
+    e1 = sorted(tuple(r) for r in adj1.collect())
+    e2 = sorted(tuple(r) for r in adj2.collect())
+    assert e1 == e2 and len(e1) > 0
+    # the zero vector still gets out-edges (ties broken by min id)
+    assert any(src == 99 for _, src, _ in e1)

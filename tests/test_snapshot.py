@@ -425,3 +425,40 @@ def test_optimize_zorder_tightens_file_zone_maps(spark, tmp_path):
     assert t.read(v).count() == 4096
     assert t.read(v).select(F.sum("x"), F.sum("y")).collect() == \
         t.read(v - 1).select(F.sum("x"), F.sum("y")).collect()
+
+
+def test_optimize_partitioned_compacts_per_value(spark, tmp_path):
+    """r11 review fix: on a PARTITIONED table, optimize must compact
+    (≈ one file per partition value at this size, never value-count ×
+    spark-partition-count fan-out) and content/pruning must survive.
+    Also pins that the unpartitioned path can INCREASE the file count
+    to meet the row target (repartition, not coalesce)."""
+    from datawarehouse_spark.sources.snapshot import SnapshotTable
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}", f"d{i % 5}") for i in range(1000)],
+        "k long, v string, dt string",
+    )
+    t = SnapshotTable.create(
+        spark, df.repartition(16), str(tmp_path / "popt"),
+        partition_col="dt",
+    )
+    n_before = len(t._manifest(t.current_version())["files"])
+    assert n_before >= 40  # 16 spark partitions × 5 values, fragmented
+    v = t.optimize()
+    files = t._manifest(v)["files"]
+    # ≈ 1 file per value (+ boundary splits): must be a real collapse
+    assert len(files) <= 10, files
+    assert {e["partition"] for e in files} == {f"d{i}" for i in range(5)}
+    assert t.read(v).count() == 1000
+    assert t.read(v).filter(F.col("dt") == "d3").count() == 200
+
+    # unpartitioned: one input split must still SPLIT to meet target
+    one = SnapshotTable.create(
+        spark,
+        spark.range(10_000).select(F.col("id").alias("k")).coalesce(1),
+        str(tmp_path / "sopt"),
+    )
+    v2 = one.optimize(target_rows_per_file=2_500)
+    assert len(one._manifest(v2)["files"]) == 4
+    assert one.read(v2).count() == 10_000
