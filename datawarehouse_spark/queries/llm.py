@@ -59,8 +59,9 @@ NGRAM_MAX_SHINGLE_FREQ = 100
 
 # capped shingle self-join → near-dup pairs, as a reusable CTE chain
 # ending in `pairs` (shared by llm_ngram_near_dup and the cluster
-# resolution oracle).
-_DUCK_NGRAM_CTES = f"""
+# resolution oracle; threshold-parametrized for llm_lsh_scurve).
+def _duck_ngram_ctes(threshold: float = 0.3) -> str:
+    return f"""
     sh0 AS (
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
     ), capped AS (
@@ -78,9 +79,12 @@ _DUCK_NGRAM_CTES = f"""
       FROM inter
       JOIN sizes sa ON doc_a = sa.doc_id
       JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE (i * 1.0 / (sa.n + sb.n - i)) >= 0.3
+      WHERE (i * 1.0 / (sa.n + sb.n - i)) >= {threshold!r}
     )
 """
+
+
+_DUCK_NGRAM_CTES = _duck_ngram_ctes(0.3)
 
 # SimHash recomputation in SQL: parse the first 16 md5 hex digits into
 # two 32-bit halves, bit-vote over all token occurrences, reassemble the
@@ -3603,3 +3607,104 @@ def t22_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), so it is strictly cheaper than the LSH candidate path."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.near_dup_replay(t["documents"])
+
+
+#: theoretical LSH candidate probability for 4 bands × 2 rows at true
+#: Jaccard s: P = 1 − (1 − s²)⁴ — computed ONCE in Python and injected
+#: verbatim into both engines at each decile-band boundary
+_SCURVE_P = {
+    bi: (
+        round(1.0 - (1.0 - (bi / 10.0) ** 2) ** 4, 6),
+        round(1.0 - (1.0 - ((bi + 1) / 10.0) ** 2) ** 4, 6),
+    )
+    for bi in range(0, 10)
+}
+
+
+@query(
+    "llm_lsh_scurve",
+    oracle=f"""
+    WITH {_DUCK_SIG_CTES}, {_duck_ngram_ctes(0.05)},
+    bands AS (
+      SELECT doc_id, 0 AS bi,
+             CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS bk FROM sig
+      UNION ALL SELECT doc_id, 1,
+             CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2,
+             CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3,
+             CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    tagged AS (
+      SELECT LEAST(CAST(FLOOR(p.jaccard * 10) AS INT), 9) AS bi,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM pairs p LEFT JOIN cand c
+        ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    )
+    SELECT '0.' || CAST(bi AS VARCHAR) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 6) AS recall,
+           CASE bi {" ".join(f"WHEN {bi} THEN {lo!r}" for bi, (lo, _) in _SCURVE_P.items())} END AS expect_lo,
+           CASE bi {" ".join(f"WHEN {bi} THEN {hi!r}" for bi, (_, hi) in _SCURVE_P.items())} END AS expect_hi
+    FROM tagged GROUP BY bi
+    """,
+)
+def llm_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve evaluation — the dedup-pipeline QA measurement:
+    recall of the MinHash-LSH candidate generator (4 bands × 2 rows)
+    against the EXACT near-dup pair set, per true-Jaccard decile band,
+    next to the theoretical candidate probability 1−(1−s²)⁴ at the
+    band edges (Python-computed literals injected into both engines).
+    This is the empirical probability curve behind every banding
+    parameter choice in the dedup family — measured on the corpus
+    itself and hash-verified exactly (the md5mix signatures are
+    deterministic in both engines, llm_minhash_accuracy's convention).
+
+    Scale shape: composes two already-linear pipelines (capped shingle
+    pair join; signature → banding) plus one pair-keyed left join and
+    a ≤7-row rollup — no new join shapes, no pair² anywhere."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    # threshold 0.05, NOT the dedup family's 0.3: the curve's
+    # informative region is where recall is LOW — the fixture's only
+    # sub-threshold pairs live in the 0.0x decile
+    exact = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.05, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+    sig = dedup.minhash_signature(docs)
+    cand = dedup.lsh_candidates(sig).withColumn("_hit", F.lit(1))
+    bi = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    tagged = (
+        exact.select("doc_a", "doc_b", bi.alias("bi"))
+        .join(cand, ["doc_a", "doc_b"], "left")
+    )
+    lo_case = F.lit(None).cast("double")
+    hi_case = F.lit(None).cast("double")
+    for b, (lo, hi) in _SCURVE_P.items():
+        lo_case = F.when(F.col("bi") == b, F.lit(lo)).otherwise(lo_case)
+        hi_case = F.when(F.col("bi") == b, F.lit(hi)).otherwise(hi_case)
+    return (
+        tagged.groupBy("bi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint")
+            .alias("n_hit"),
+        )
+        .select(
+            F.concat(F.lit("0."), F.col("bi").cast("string")).alias("band"),
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") * 1.0 / F.col("n_exact"), 6)
+            .alias("recall"),
+            lo_case.alias("expect_lo"),
+            hi_case.alias("expect_hi"),
+            F.col("bi"),
+        )
+        .drop("bi")
+    )

@@ -472,6 +472,11 @@ SUITES: dict[str, list[Member]] = {
         # ...and its per-document fertility rollup (train-then-measure)
         ("llm_tokenizer_fertility",
          [], ["doc_id", "n_words", "n_syms", "fertility"]),
+        # LSH S-curve evaluation (r11): observed candidate recall per
+        # true-Jaccard decile vs the theoretical 1−(1−s²)⁴ band edges
+        # — the measurement behind every banding parameter choice
+        ("llm_lsh_scurve", ["band"],
+         ["n_exact", "n_hit", "recall", "expect_lo", "expect_hi"]),
     ],
     # LLM dedup pair generation / blocking / graph resolution (the
     # pair-join heavy third of the old suite_text_metrics; absorbs the
