@@ -132,11 +132,15 @@ class DataWarehouse:
         (including window-function aliases) or contain window
         expressions directly (``QUALIFY row_number() OVER (...) = 1``,
         the dedup idiom)."""
-        if "__q" in q:
+        if "__q" in q.lower():
+            # lower(): Spark resolves column names case-insensitively
+            # by default, so an alias __Q would collide with the
+            # injected __q just as surely as the exact spelling
             raise ValueError(
-                "sql_qualify: the query text contains '__q', which the "
-                "rewrite reserves for its filter column — rename it "
-                "(same loud-failure convention as asof_join's _t/_tag)"
+                "sql_qualify: the query text contains '__q' (any "
+                "case), which the rewrite reserves for its filter "
+                "column — rename it (same loud-failure convention as "
+                "asof_join's _t/_tag)"
             )
         kw = _find_top_level(q, ("QUALIFY",))
         if kw is None:

@@ -23,12 +23,15 @@ The pattern (zipWithIndex re-expressed on DataFrames):
 (resolve_n_blocks): on local[32] that is 32 range blocks; on a
 1000-executor cluster whatever ``spark.sql.shuffle.partitions`` says —
 the per-block sort is as parallel as every other shuffle in the job
-instead of a fixed 8-way fan. The triangular offset join is
-n_blocks², so the resolver caps at 4096 (≤16.7M joined rows — still a
-broadcast-sized offset table; at 100 TB that is ~25 GB per block
-through a spillable per-partition sort, and the escape hatch is
-passing an explicit larger ``n_blocks`` once a two-level offset lift
-is warranted).
+instead of a fixed 8-way fan. The offset lift is a triangular
+self-join (n_blocks² pairs) up to ONE_LEVEL_MAX_BLOCKS=4096 blocks;
+past that ``block_offsets`` switches to a TWO-LEVEL lift — blocks
+group into ~√n super-blocks, the super-block totals take the
+triangular join, and each block adds only its same-super-block
+predecessors — so the pair volume is O(n_blocks^1.5) and the resolver
+cap rises to 4096² (16.7M blocks ≈ 4 KB/block at 100 TB; the
+practical ceiling is now the shuffle-partition count itself, not the
+lift).
 
 Callers: x5_rfm_segmentation (exact NTILE quintiles), x8_abc_pareto
 (global_cumsum), dq_equiheight_histogram (operators/layout.py),
@@ -38,14 +41,22 @@ sorted_neighborhood_pairs (operators/dedup.py), curriculum_phases
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-#: Ceiling for the auto-sized block count: keeps the triangular
-#: offset self-join ≤ 4096² ≈ 16.7M rows (sub-second, broadcastable)
-#: while leaving per-block sorts spillable at any realistic scale.
-MAX_AUTO_BLOCKS = 4096
+#: Largest block count the SINGLE-level triangular lift handles
+#: (4096² ≈ 16.7M joined pairs — sub-second, broadcastable); past it
+#: block_offsets takes the two-level lift automatically.
+ONE_LEVEL_MAX_BLOCKS = 4096
+
+#: Ceiling for the auto-sized block count. With the two-level lift the
+#: pair volume at the ceiling is ~(4096²)^1.5 / √· — bounded by the
+#: same 16.7M-pair budget per level — so the cap is now just a sanity
+#: rail (a session would need >16.7M shuffle partitions to hit it).
+MAX_AUTO_BLOCKS = ONE_LEVEL_MAX_BLOCKS**2
 
 #: Internal working columns — global_rank/global_cumsum refuse input
 #: frames that already carry one of these (a silent withColumn
@@ -58,8 +69,9 @@ def resolve_n_blocks(df: DataFrame, n_blocks: int | None = None) -> int:
     choice, else the session's configured shuffle parallelism
     (``spark.sql.shuffle.partitions``, which session.get_spark sizes
     to the core count locally and recommend_shuffle_partitions sizes
-    from input volume on a cluster), capped at MAX_AUTO_BLOCKS so the
-    triangular offset join stays trivial."""
+    from input volume on a cluster). The MAX_AUTO_BLOCKS cap is a
+    sanity rail only — past ONE_LEVEL_MAX_BLOCKS the offset lift
+    switches to the two-level form automatically (block_offsets)."""
     if n_blocks is not None:
         if int(n_blocks) < 1:
             raise ValueError(f"n_blocks must be >= 1, got {n_blocks}")
@@ -87,24 +99,77 @@ def block_offsets(
     c: str = "_c",
     off_col: str = "_off",
     total_col: str | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Cumulative EXCLUSIVE prefix sums over a block-count table —
-    (blk, off) where off = Σ counts of strictly-smaller blocks — via a
-    triangular left self-join instead of a global running-sum window.
-    The input is n_blocks rows by construction, so the O(n_blocks²)
-    join is trivial and the output broadcasts. With ``total_col`` the
-    grand total (Σ all counts) rides along on every row, replacing the
-    unbounded-following window variant. Sums keep the count column's
-    own exact type (bigint counts stay bigint; decimal byte/revenue
-    totals stay decimal — global_cumsum relies on this)."""
-    a = cnt.select(F.col(blk).alias("_ra"))
-    b = cnt.select(F.col(blk).alias("_rb"), F.col(c).alias("_cb"))
-    off = (
-        a.join(b, F.col("_rb") < F.col("_ra"), "left")
-        .groupBy("_ra")
-        .agg(F.coalesce(F.sum("_cb"), F.lit(0)).alias(off_col))
-        .withColumnRenamed("_ra", blk)
-    )
+    (blk, off) where off = Σ counts of strictly-smaller blocks — with
+    no global running-sum window anywhere. The input is n_blocks rows
+    by construction, so the lift is trivial and the output broadcasts.
+    With ``total_col`` the grand total (Σ all counts) rides along on
+    every row, replacing the unbounded-following window variant. Sums
+    keep the count column's own exact type (bigint counts stay bigint;
+    decimal byte/revenue totals stay decimal — global_cumsum relies on
+    this).
+
+    Lift strategy: a triangular left self-join (n² pairs) while
+    ``n_blocks`` ≤ ONE_LEVEL_MAX_BLOCKS (or is unknown); past that, a
+    TWO-LEVEL lift — blocks group into super-blocks of g = ⌈√n⌉, the
+    (n/g ≈ √n)-row super-block totals take the triangular join, and
+    each block's offset is its super-block's offset plus the
+    triangular sum of its same-super-block predecessors (an equi-join
+    on the super-block id, so n·g ≈ n^1.5 pairs instead of n²). The
+    two-level path needs INTEGER block ids (both internal callers use
+    dense partition indexes); exactness is property-tested against
+    the single-level form (tests/test_properties.py)."""
+    two_level = n_blocks is not None and n_blocks > ONE_LEVEL_MAX_BLOCKS
+    if two_level:
+        g = math.isqrt(int(n_blocks) - 1) + 1
+        sb = cnt.withColumn("_sb", (F.col(blk) / F.lit(g)).cast("bigint"))
+        # level 1: triangular lift over ~√n super-block totals
+        sbt = sb.groupBy("_sb").agg(F.sum(c).alias("_sc"))
+        a1 = sbt.select(F.col("_sb").alias("_sa"))
+        b1 = sbt.select(F.col("_sb").alias("_sbb"), "_sc")
+        soff = (
+            a1.join(b1, F.col("_sbb") < F.col("_sa"), "left")
+            .groupBy("_sa")
+            .agg(F.coalesce(F.sum("_sc"), F.lit(0)).alias("_soff"))
+        )
+        # level 0: same-super-block predecessors only — equi-join on
+        # the super-block id bounds the pair fan-out to g per block
+        a0 = sb.select("_sb", F.col(blk).alias("_ra"))
+        b0 = sb.select(
+            F.col("_sb").alias("_sb2"),
+            F.col(blk).alias("_rb"),
+            F.col(c).alias("_cb"),
+        )
+        ioff = (
+            a0.join(
+                b0,
+                (F.col("_sb2") == F.col("_sb"))
+                & (F.col("_rb") < F.col("_ra")),
+                "left",
+            )
+            .groupBy("_sb", "_ra")
+            .agg(F.coalesce(F.sum("_cb"), F.lit(0)).alias("_ioff"))
+        )
+        off = (
+            ioff.join(
+                F.broadcast(soff), F.col("_sb") == F.col("_sa"), "inner"
+            )
+            .select(
+                F.col("_ra").alias(blk),
+                (F.col("_ioff") + F.col("_soff")).alias(off_col),
+            )
+        )
+    else:
+        a = cnt.select(F.col(blk).alias("_ra"))
+        b = cnt.select(F.col(blk).alias("_rb"), F.col(c).alias("_cb"))
+        off = (
+            a.join(b, F.col("_rb") < F.col("_ra"), "left")
+            .groupBy("_ra")
+            .agg(F.coalesce(F.sum("_cb"), F.lit(0)).alias(off_col))
+            .withColumnRenamed("_ra", blk)
+        )
     if total_col is not None:
         tot = cnt.agg(F.sum(c).alias(total_col))
         off = off.crossJoin(F.broadcast(tot))
@@ -158,7 +223,8 @@ def global_rank(
         )
     )
     cnt = local.groupBy("_blk").agg(F.count(F.lit(1)).alias("_c"))
-    off = block_offsets(cnt, "_blk", "_c", total_col=total_col)
+    off = block_offsets(cnt, "_blk", "_c", total_col=total_col,
+                        n_blocks=nb)
     return (
         local.join(F.broadcast(off), "_blk")
         .withColumn(rank_col, (F.col("_rn") + F.col("_off")).cast("bigint"))
@@ -198,7 +264,8 @@ def global_cumsum(
         "_cum_in", F.sum(F.col(value)).over(w_cum)
     ).localCheckpoint(eager=True)
     tot = local.groupBy("_blk").agg(F.sum(F.col(value)).alias("_c"))
-    off = block_offsets(tot, "_blk", "_c", total_col=total_col)
+    off = block_offsets(tot, "_blk", "_c", total_col=total_col,
+                        n_blocks=nb)
     return (
         local.join(F.broadcast(off), "_blk")
         .withColumn(cum_col, F.col("_off") + F.col("_cum_in"))

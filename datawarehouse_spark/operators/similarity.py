@@ -1494,6 +1494,15 @@ def _topm_rows(S: "np.ndarray", ids: "np.ndarray", k: int) -> list:
     return out
 
 
+# Hard ceiling on hnsw_build's dense_layer_cap: the dense branch
+# collects (id, vector) for the whole layer to the driver, so the cap
+# IS the driver-memory bound — 32768 × (8B id + ~128×8B vector) ≈
+# 34 MB, the largest model-sized collect the repo allows
+# (tests/test_collect_lint.py cites this constant). A caller asking
+# for more gets a loud failure, not a silent OOM risk.
+MAX_DENSE_LAYER_CAP = 32768
+
+
 def hnsw_build(
     corpus: DataFrame,
     m: int = 6,
@@ -1504,6 +1513,7 @@ def hnsw_build(
     dim: int | None = None,
     dense_layer_cap: int = 4096,
     level_src: Column | None = None,
+    require_dense: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the layered neighbor graph. Returns ``(levels, adj)``:
     ``levels`` = (id, lvl) with lvl the count of trailing zero bits of
@@ -1532,7 +1542,27 @@ def hnsw_build(
     quadratic (the r11 8× sweep measured exactly that: 15.5× at 8×
     data before auto-sizing, at-linear after); with occupancy pinned,
     candidates are n·occupancy — linear. Edge selection is one window
-    over candidate edges keyed by (lvl, src)."""
+    over candidate edges keyed by (lvl, src).
+
+    ``require_dense=True`` turns a would-be LSH-branch layer into a
+    loud ValueError instead — for callers (the driver gate) whose
+    cross-engine oracle replays the dense build and must never
+    silently diverge when the corpus outgrows ``dense_layer_cap``."""
+    if dense_layer_cap > MAX_DENSE_LAYER_CAP:
+        raise ValueError(
+            f"hnsw_build: dense_layer_cap={dense_layer_cap} exceeds "
+            f"MAX_DENSE_LAYER_CAP={MAX_DENSE_LAYER_CAP} — the dense "
+            "branch collects the layer to the driver, and this "
+            "ceiling is the documented bound of that collect"
+        )
+    id_dtype = dict(corpus.dtypes).get(id_col)
+    if id_dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"hnsw_build: id column {id_col!r} has type {id_dtype!r}; "
+            "the GEMM kernels and the (src long, dst long) adjacency "
+            "schema require an integral id — cast or map string ids "
+            "to integers first (e.g. a dense rank or xxhash64)"
+        )
     h = (F.xxhash64(F.col(id_col).cast("string"))
          if level_src is None else level_src)
     lvl = F.lit(max_level)
@@ -1559,6 +1589,15 @@ def hnsw_build(
         # level draw shrinks layers 2x per level, so only the deep
         # layers of a big corpus ever take the LSH branch); the count
         # is one bounded job per layer, max_level+1 of them total
+        if n_l > dense_layer_cap and require_dense:
+            raise ValueError(
+                f"hnsw_build: layer {l} holds {n_l} vectors > "
+                f"dense_layer_cap={dense_layer_cap} and "
+                "require_dense=True — the caller's oracle replays the "
+                "dense build, so switching to the LSH branch here "
+                "would silently diverge; raise the cap (≤ "
+                f"{MAX_DENSE_LAYER_CAP}) or re-verify on a sub-slice"
+            )
         if n_l <= dense_layer_cap:
             # FAISS-style model-sized structure: the capped layer's
             # (id, vector) matrix collects to the driver (bounded by
@@ -1569,7 +1608,17 @@ def hnsw_build(
             # own top-m directly -- no pair-set shuffle, no window.
             # np.round(..., 6) before ranking keeps the rank ties and
             # the selected edges identical to the SQL/window form (the
-            # cosine_pairs cross-engine convention).
+            # cosine_pairs cross-engine convention). Residual risk,
+            # documented: the BLAS GEMM accumulates in a different
+            # order than DuckDB's sequential list_cosine_similarity,
+            # and np.round is half-to-even while DuckDB's round() is
+            # half-away-from-zero — a cosine landing within ~1 ulp of
+            # a 0.5e-6 boundary could round to a different 6th decimal
+            # and flip an edge-selection tie. Never observed across
+            # the sf0.01/0.1/1 sweeps (the fixture's float32-sourced
+            # embeddings don't produce such boundary values); if it
+            # ever fires, recompute the boundary rows with the
+            # sequential dot_cols convention.
             rows = members.select(id_col, vec_col).collect()
             ids = np.array([r[0] for r in rows], dtype=np.int64)
             M = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -1683,6 +1732,9 @@ def hnsw_topk(
     max_level: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    level_src: Column | None = None,
+    dense_layer_cap: int = 4096,
+    require_dense: bool = False,
 ) -> DataFrame:
     """Layered beam search over the :func:`hnsw_build` graph — the
     HNSW search phase: start every query at the deterministic entry
@@ -1700,7 +1752,9 @@ def hnsw_topk(
     localCheckpoint'ed so lineage stays flat. No stage ever touches
     more than frontier·m candidate rows per query."""
     levels, adj = hnsw_build(
-        corpus, m=m, max_level=max_level, id_col=id_col, vec_col=vec_col
+        corpus, m=m, max_level=max_level, id_col=id_col, vec_col=vec_col,
+        level_src=level_src, dense_layer_cap=dense_layer_cap,
+        require_dense=require_dense,
     )
     entry = (
         levels.orderBy(F.desc("lvl"), F.asc(id_col)).limit(1)

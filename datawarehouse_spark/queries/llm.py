@@ -3553,13 +3553,16 @@ def llm_hnsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     # dense_layer_cap pinned ABOVE the fixture ladder (sf1 = 20k
-    # vectors): the oracle replays the dense branch, so the gated
-    # variant must never silently switch to the LSH branch at a bigger
-    # driver sf — production callers keep the 4096 default, and the
-    # LSH branch has its own 8x-sweep + lsh-branch tests (SCALE.md)
+    # vectors): the oracle replays the dense branch, and
+    # require_dense=True ENFORCES the pin — a driver sf whose layer 0
+    # outgrows the cap fails loudly instead of silently switching to
+    # the LSH branch while the oracle still replays dense. Production
+    # callers keep the 4096 default, and the LSH branch has its own
+    # 8x-sweep + lsh-branch tests (SCALE.md).
     _, adj = similarity.hnsw_build(
         emb, m=6, max_level=3, level_src=F.col("vec_id"),
-        dense_layer_cap=32768)
+        dense_layer_cap=similarity.MAX_DENSE_LAYER_CAP,
+        require_dense=True)
     return adj.select(F.col("lvl").cast("int").alias("lvl"), "src", "dst")
 
 

@@ -276,6 +276,25 @@ class SnapshotTable:
         n_files = max(1, -(-n // int(target_rows_per_file)))
         zdrop: list[str] = []
         if zorder_by:
+            # zorder_key injects __zo plus z1..zN scratch columns via
+            # withColumn, which silently REPLACES a same-named user
+            # column (case-insensitively, under Spark's default
+            # resolution) — and the post-pack drop would then delete
+            # the user's data from the committed version. Loud failure
+            # instead, same convention as sql_qualify's __q guard and
+            # rank.py's _guard_internal_collisions.
+            reserved = {"__zo"} | {
+                f"z{i + 1}" for i in range(len(zorder_by))
+            }
+            hit = [c for c in cur.columns if c.lower() in reserved]
+            if hit:
+                raise ValueError(
+                    "optimize(zorder_by=...): table columns "
+                    f"{hit} collide with the Z-order scratch names "
+                    f"{sorted(reserved)} — rename them first (the "
+                    "rewrite would otherwise drop the user column's "
+                    "data from the new version)"
+                )
             cur = zorder_key(cur, zorder_by, out_col="__zo")
             zdrop = ["__zo"] + [f"z{i + 1}" for i in range(len(zorder_by))]
         if self.partition_col:

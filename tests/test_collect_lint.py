@@ -43,9 +43,12 @@ ALLOWED: dict[tuple[str, str], str] = {
         "LIMIT 1 best merge pair per BPE round — one row",
     ("operators/similarity.py", "hnsw_build"):
         "dense-layer (id, vector) matrix, collected ONLY when the "
-        "layer population ≤ dense_layer_cap (4096 default) — the "
-        "count() guard right above the collect IS the bound; "
-        "over-cap layers take the distributed LSH-bucket branch",
+        "layer population ≤ dense_layer_cap (4096 default; "
+        "MAX_DENSE_LAYER_CAP=32768 ENFORCED by a ValueError at the "
+        "top of hnsw_build, so the largest possible collect is "
+        "~34 MB) — the count() guard right above the collect IS the "
+        "bound; over-cap layers take the distributed LSH-bucket "
+        "branch",
 }
 
 

@@ -467,6 +467,40 @@ def test_hnsw_build_empty_and_singleton_corpus(spark):
     assert adj1.count() == 0 and levels1.count() == 1
 
 
+def test_hnsw_build_guards(spark):
+    """r12 hardening (r11 advice): (a) dense_layer_cap above the
+    enforced MAX_DENSE_LAYER_CAP ceiling raises — the written
+    collect-lint bound is a real assertion, not aspiration; (b) a
+    non-integral id column raises a clear error naming the constraint
+    instead of crashing inside the int64 GEMM kernels; (c)
+    require_dense=True fails loudly when a layer outgrows the cap
+    instead of silently switching to the LSH branch (the gated
+    query's oracle replays the dense build)."""
+    import pytest
+
+    from datawarehouse_spark.operators import similarity
+
+    few = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="MAX_DENSE_LAYER_CAP"):
+        similarity.hnsw_build(
+            few, dense_layer_cap=similarity.MAX_DENSE_LAYER_CAP + 1
+        )
+    strs = spark.createDataFrame(
+        [(str(i), [float(i), 1.0]) for i in range(8)],
+        "vec_id string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        similarity.hnsw_build(strs)
+    with pytest.raises(ValueError, match="require_dense"):
+        similarity.hnsw_build(
+            few, dense_layer_cap=0, require_dense=True,
+            level_src=F.col("vec_id"),
+        )
+
+
 def test_sql_qualify_facade_matches_duckdb(spark, duck, tmp_path):
     """The QUALIFY shim (r11, third member of the standard-SQL façade
     family): three idioms — alias-referencing top-k per group, the
@@ -566,6 +600,14 @@ def test_sql_qualify_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="__q"):
         dw.sql_qualify(
             "SELECT o_orderkey, 1 AS __q FROM orders "
+            "QUALIFY row_number() OVER (ORDER BY o_orderkey) <= 3"
+        )
+    # r12: Spark resolves columns case-insensitively by default, so an
+    # upper-case alias collides with the injected __q just the same —
+    # the guard must be case-insensitive too
+    with pytest.raises(ValueError, match="__q"):
+        dw.sql_qualify(
+            "SELECT o_orderkey, 1 AS __Q FROM orders "
             "QUALIFY row_number() OVER (ORDER BY o_orderkey) <= 3"
         )
     load_tables(spark, SF_ORACLE, ("orders",))

@@ -828,6 +828,64 @@ def test_global_rank_autosizes_blocks_to_session_parallelism(spark):
     assert out.agg(F.min("grn"), F.max("grn")).first() == (1, n)
 
 
+def test_block_offsets_two_level_lift_matches_brute_force(spark):
+    """r12 (r11 ask #7): past ONE_LEVEL_MAX_BLOCKS block_offsets takes
+    the two-level lift (√n super-blocks triangular + same-super-block
+    predecessors) — its exclusive prefix sums must be bit-identical to
+    the brute-force python scan, including for sparse/non-contiguous
+    block ids and at non-square counts (off-by-one territory of the
+    ⌈√n⌉ grouping)."""
+    import random
+
+    from datawarehouse_spark.operators.rank import (
+        ONE_LEVEL_MAX_BLOCKS,
+        block_offsets,
+    )
+
+    rng = random.Random(12)
+    # n_blocks just over the threshold and deliberately non-square;
+    # sparse ids (gaps) prove the lift doesn't assume contiguity
+    n = ONE_LEVEL_MAX_BLOCKS + 37
+    ids = sorted(rng.sample(range(3 * n), 500))
+    cnts = [rng.randrange(0, 10**6) for _ in ids]
+    cnt = spark.createDataFrame(
+        list(zip(ids, cnts)), "_blk long, _c long"
+    )
+    got = {
+        r["_blk"]: r["_off"]
+        for r in block_offsets(cnt, n_blocks=n, total_col="tot").collect()
+    }
+    run, want = 0, {}
+    for b, c in zip(ids, cnts):
+        want[b] = run
+        run += c
+    assert got == want
+    tot = block_offsets(cnt, n_blocks=n, total_col="tot") \
+        .select("tot").distinct().collect()
+    assert [r["tot"] for r in tot] == [sum(cnts)]
+
+
+def test_global_rank_past_one_level_threshold(spark):
+    """global_rank with an explicit n_blocks above ONE_LEVEL_MAX_BLOCKS
+    (the old hard cap) routes through the two-level lift end-to-end and
+    still produces the exact global enumeration — the r11 escape hatch
+    is now a first-class path, no manual override semantics."""
+    from datawarehouse_spark.operators.rank import (
+        ONE_LEVEL_MAX_BLOCKS,
+        global_rank,
+    )
+
+    df = spark.range(6_000).withColumn("v", (F.col("id") * 37) % 4999)
+    out = global_rank(
+        df, [F.asc("v"), F.asc("id")],
+        n_blocks=ONE_LEVEL_MAX_BLOCKS + 100,
+    ).collect()
+    got = {r["id"]: r["grn"] for r in out}
+    order = sorted(((r["v"], r["id"]) for r in out))
+    want = {vid: i + 1 for i, (_, vid) in enumerate(order)}
+    assert got == want
+
+
 def test_global_rank_rejects_internal_column_collisions(spark):
     """Input frames already carrying an internal working name must be
     refused loudly — a silent withColumn overwrite + drop would

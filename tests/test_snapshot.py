@@ -427,6 +427,34 @@ def test_optimize_zorder_tightens_file_zone_maps(spark, tmp_path):
         t.read(v - 1).select(F.sum("x"), F.sum("y")).collect()
 
 
+def test_optimize_zorder_reserved_name_guard(spark, tmp_path):
+    """r12 hardening (r11 advice, medium): a table column named __zo
+    (or z1..zN — any case, Spark resolves case-insensitively) would be
+    silently REPLACED by zorder_key's scratch columns and then dropped
+    from the committed rewrite — data loss. The guard raises instead,
+    and the table is left at its original version."""
+    rows = spark.range(0, 16).select(
+        F.col("id").alias("x"),
+        (F.col("id") * 2).alias("__zo"),
+    )
+    t = SnapshotTable.create(spark, rows, str(tmp_path / "guard"))
+    v0 = t.current_version()
+    with pytest.raises(ValueError, match="__zo"):
+        t.optimize(zorder_by=["x"])
+    # case-insensitive: Z1 collides with the z1 scratch name
+    rows2 = spark.range(0, 16).select(
+        F.col("id").alias("x"), F.col("id").alias("Z1")
+    )
+    t2 = SnapshotTable.create(spark, rows2, str(tmp_path / "guard2"))
+    with pytest.raises(ValueError, match="Z1"):
+        t2.optimize(zorder_by=["x"])
+    assert t.current_version() == v0
+    # plain bin-packing (no zorder_by) is unaffected by the name
+    v1 = t.optimize(target_rows_per_file=16)
+    assert t.read(v1).columns == ["x", "__zo"]
+    assert t.read(v1).agg(F.sum("__zo")).collect()[0][0] == 240
+
+
 def test_optimize_partitioned_compacts_per_value(spark, tmp_path):
     """r11 review fix: on a PARTITIONED table, optimize must compact
     (≈ one file per partition value at this size, never value-count ×

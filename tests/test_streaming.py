@@ -1111,3 +1111,70 @@ def test_streaming_near_dup_gate_matches_batch_replay(spark, tmpdir):
         for r in spark.read.parquet(f"{out_dir}/epoch=*").collect()
     }
     assert got == want
+
+
+def test_near_dup_verified_gate_and_precision_audit(spark):
+    """r12 (r11 verdict ask #3): quantify and close the unverified
+    gate's false-drop trade. Three code paths must agree on the same
+    corpus: (a) near_dup_gate_precision's n_flagged equals the
+    unverified replay's dup count (flagged ⟺ larger side of some
+    band-sharing pair); (b) the VERIFY-THEN-DROP twin drops exactly
+    the n_verified docs (a drop now requires an exact Jaccard ≥ τ
+    smaller-id band partner — false drops are zero by construction);
+    (c) verified drops are a strict subset of unverified drops when
+    the gate has band-level false positives. Multi-batch increments
+    with accumulated registries must replay to the batch twin exactly
+    (the incremental-safety contract of the unverified gate, carried
+    over)."""
+    from datawarehouse_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") < 40)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    train = docs.unionByName(near).localCheckpoint(eager=True)
+
+    prec = dedup.near_dup_gate_precision(train, tau=0.5).collect()[0]
+    plain = {
+        r["doc_id"]: r["dup_near"]
+        for r in dedup.near_dup_replay(train).collect()
+    }
+    ver = {
+        r["doc_id"]: r["dup_near"]
+        for r in dedup.near_dup_replay_verified(train, tau=0.5).collect()
+    }
+    n_plain = sum(plain.values())
+    n_ver = sum(ver.values())
+    assert prec["n_flagged"] == n_plain > 0
+    assert prec["n_verified"] == n_ver > 0
+    # the injected near-dups guarantee true positives; the fixture's
+    # band-level false positives guarantee the gap the audit measures
+    assert {d for d, v in ver.items() if v} <= \
+        {d for d, v in plain.items() if v}
+    assert abs(
+        prec["false_drop_rate"] - (1 - n_ver / n_plain)
+    ) < 1e-12
+
+    # incremental parity: 3 id-ordered batches, registries accumulated
+    ids = sorted(plain)
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    batches = [
+        train.filter(F.col("doc_id") < cut1),
+        train.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        train.filter(F.col("doc_id") >= cut2),
+    ]
+    band_reg, sh_reg, got = None, None, {}
+    for b in batches:
+        dec, nb, sh = dedup.near_dup_increment_verified(
+            b, band_reg, sh_reg, tau=0.5
+        )
+        got.update({r["doc_id"]: r["dup_near"] for r in dec.collect()})
+        nb = nb.localCheckpoint(eager=True)
+        sh = sh.localCheckpoint(eager=True)
+        band_reg = nb if band_reg is None else band_reg.unionByName(nb)
+        sh_reg = sh if sh_reg is None else sh_reg.unionByName(sh)
+    assert got == ver
