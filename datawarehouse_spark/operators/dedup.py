@@ -27,6 +27,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def tokens_col(text: str = "text") -> Column:
@@ -413,6 +414,115 @@ def dup_span_kept_ranges(
             F.count(F.lit(1)).alias("n_kept"),
         )
         .drop("g")
+    )
+    if cached is not None:
+        try:
+            spans = spans.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+    return spans
+
+
+def exact_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 50,
+    persist: bool = True,
+) -> DataFrame:
+    """EXACT duplicated-substring spans ≥ ``min_len`` tokens —
+    the industry-standard exact corpus dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed Spark-native. Their suffix-array machinery is a
+    shared-memory construct; the distributed identity that replaces it:
+    a token span of length ≥ L occurs twice in the corpus **iff** each
+    of its length-L windows occurs at ≥ 2 (doc, pos) sites, so the
+    union of duplicated L-windows IS the exact duplicated-substring
+    coverage — no suffix order needed, only positional window
+    fingerprints. (This finds a superset of whole-substring repeats —
+    a position is covered when SOME length-L window through it
+    repeats, which is precisely the "drop every duplicated span"
+    cleaning rule of the paper.)
+
+    Output: one row per MAXIMAL duplicated span —
+    ``(id, span_start, span_end, span_len)``, token positions 0-based
+    inclusive (the dual of :func:`dup_span_kept_ranges`, which emits
+    the KEPT ranges of its shingle-approximate sibling). Documents
+    with no duplicated span emit nothing; within-document repeats
+    count (a doc repeating its own 50-token block is deduplicated,
+    exactly as in the paper).
+
+    Exactness: md5 over the joined window text — cross-engine
+    deterministic (the fingerprint convention), collision odds
+    ~n²/2¹²⁸. The shingle-approximate sibling flags positions covered
+    by corpus-frequent n-grams (n=3) — commonplace PHRASES — while
+    this flags only verbatim ≥L-token repeats; both exist because
+    they answer different cleaning questions.
+
+    Scale shape: strictly linear, NO self-join — the same
+    frequency-agg + join-back shape as :func:`dup_span_coverage`. The
+    hash stage concatenates L tokens per position (an L× CPU constant,
+    map-side only — 16-byte digests shuffle, never window text); at
+    the 100 TB regime swap the md5 for a per-partition rolling
+    (Rabin-Karp) hash via mapInPandas to drop the constant — the
+    shuffle/agg shape is unchanged. Interval merge is one per-doc
+    gaps-and-islands window (bounded by document length, never
+    global)."""
+    toks = F.split(F.col(text), " ")
+    win = F.when(
+        F.size(toks) >= min_len,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(min_len)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, min_len))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sites = df.select(
+        F.col(id_col), F.posexplode(win).alias("pos", "h")
+    )
+    cached = None
+    if persist:
+        sites = cached = sites.persist()
+    # ≥2 SITES (doc, pos) — within-doc repeats are duplicates too
+    dup_h = (
+        sites.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    # merge overlapping windows: same length L ⇒ sorted starts chain
+    # into one span iff the start step ≤ L; islands via the classic
+    # start − row_number trick on the SCALED gap flag is overkill —
+    # a running "new island" flag + prefix sum does it in one window
+    w = W.partitionBy(id_col).orderBy("pos")
+    starts = (
+        sites.join(dup_h, "h")
+        .select(id_col, "pos")
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("pos") - F.lag("pos", 1).over(w) <= F.lit(min_len),
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = (
+        starts.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(min_len - 1)).cast("bigint")
+            .alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
     )
     if cached is not None:
         try:

@@ -1458,10 +1458,11 @@ def sq8_quantize(
 # algorithm; this is the Spark-native re-expression: a deterministic
 # geometric LEVEL draw, per-layer M-nearest adjacency built from
 # bounded candidate sets, and a layered BEAM search that descends the
-# hierarchy greedy-first exactly like HNSW's search phase. Honest
-# status: TESTS-ONLY (recall + structure properties, like the early
-# ANN rounds) — beam search's data-dependent iteration order has no
-# deterministic unrolled-SQL form to hash-gate yet.
+# hierarchy greedy-first exactly like HNSW's search phase. Both halves
+# are driver-gated (llm_hnsw_graph r11, llm_hnsw_search r12): with the
+# beam width, step count, entry point and tie order pinned, the search
+# is a fixed (max_level+1)·steps-stage program, so the DuckDB oracle
+# replays it exactly — the same unroll trick as LPA/PageRank/BPE.
 
 def _topm_rows(S: "np.ndarray", ids: "np.ndarray", k: int) -> list:
     """Per-row top-``k`` column indices of score matrix ``S``, ordered

