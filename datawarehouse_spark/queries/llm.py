@@ -3780,6 +3780,56 @@ def t22_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_replay(t["documents"])
 
 
+@query(
+    "t23_near_dup_gate_verified",
+    oracle=f"""
+    WITH {_DUCK_SIG_CTES},
+    bands AS (
+      SELECT doc_id, 0 AS bi,
+             CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR) AS bk FROM sig
+      UNION ALL SELECT doc_id, 1,
+             CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 2,
+             CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL SELECT doc_id, 3,
+             CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= 0.5
+    )
+    SELECT d.doc_id, v.doc_id IS NOT NULL AS dup_near,
+           v.doc_id IS NULL AS keep
+    FROM documents d LEFT JOIN verified v USING (doc_id)
+    """,
+)
+def t23_near_dup_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23 — batch twin of the VERIFY-THEN-DROP streaming near-dup
+    gate (operators/dedup.py::near_dup_increment_verified): a document
+    is dropped only when some band-sharing smaller-id partner ALSO
+    passes an exact shingle-Jaccard ≥ 0.5 check, so LSH band
+    collisions nominate but never decide — closing t22's measured 20%
+    band-level false-drop rate (near_dup_gate_precision, COVERAGE.md)
+    at the cost of carrying doc shingles as gate state. Multi-batch
+    registry parity is differential-tested in tests/test_streaming.py.
+
+    Scale shape: banding bounds the candidate pairs (never all-pairs);
+    the verify is an in-row array_intersect over shingle arrays joined
+    by id — one extra shuffle-by-id vs t22, still linear."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.near_dup_replay_verified(t["documents"], tau=0.5)
+
+
 #: theoretical LSH candidate probability for 4 bands × 2 rows at true
 #: Jaccard s: P = 1 − (1 − s²)⁴ — computed ONCE in Python and injected
 #: verbatim into both engines at each decile-band boundary

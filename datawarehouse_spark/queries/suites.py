@@ -701,6 +701,9 @@ SUITES: dict[str, list[Member]] = {
         # keep-first-by-id at the LSH-band level; stream≡batch replay
         # parity incl. kill-restart in test_streaming.py
         ("t22_near_dup_gate", ["dup_near", "keep"], ["doc_id"]),
+        # verify-then-drop twin (r12): band collision nominates, exact
+        # Jaccard >= 0.5 decides — t22's false-drop closer
+        ("t23_near_dup_gate_verified", ["dup_near", "keep"], ["doc_id"]),
     ],
     # multimodal catalog + frame sampling + Arrow feature extraction
     # (mm_feature_extraction folded in for r9 — the registry must fit
