@@ -1888,7 +1888,7 @@ def near_dup_increment_verified(
         )
         .withColumn("keep", ~F.col("dup_near"))
     )
-    return decisions, nb, sh.withColumnRenamed("_arr", "_arr")
+    return decisions, nb, sh
 
 
 def near_dup_replay_verified(

@@ -103,25 +103,31 @@ def pagerank_oracle_sql(pairs_cte: str, n_iters: int = 10) -> str:
     """
     blocks = [
         pairs_cte,
-        """edges AS (
+        # MATERIALIZED is load-bearing (same note as kcore_oracle_sql):
+        # DuckDB inlines plain CTEs, and with ten chained r{i} levels
+        # each referencing deg/edges/g, inlining re-evaluates the
+        # expensive pairs chain a multiplicative number of times — at
+        # the sf1 slice this spilled >79 GB of temp and died (r12
+        # sweep); materialized, each relation computes once
+        """edges AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION ALL
           SELECT doc_b AS src, doc_a AS dst FROM pairs
         )""",
-        """deg AS (
+        """deg AS MATERIALIZED (
           SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1
         )""",
-        "g AS (SELECT COUNT(*) AS n FROM deg)",
+        "g AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg)",
         # CAST(... AS DOUBLE) everywhere: DuckDB types bare numeric
         # literals as DECIMAL, and decimal division would diverge from
         # Spark's IEEE double arithmetic
-        """r0 AS (
+        """r0 AS MATERIALIZED (
           SELECT node, CAST(1.0 AS DOUBLE) / g.n AS r
           FROM deg CROSS JOIN g
         )""",
     ]
     for i in range(1, n_iters + 1):
-        blocks.append(f"""r{i} AS (
+        blocks.append(f"""r{i} AS MATERIALIZED (
           SELECT d.node,
                  (CAST({BASE!r} AS DOUBLE) / g.n)
                    + CAST({DAMPING!r} AS DOUBLE)
@@ -409,10 +415,10 @@ def triangle_oracle_sql(pairs_cte: str) -> str:
     form slack. ``pairs_cte`` must end in ``pairs(doc_a, doc_b)``."""
     return f"""
     WITH {pairs_cte},
-    e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    e AS MATERIALIZED (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
     und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-    deg AS (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY 1),
-    orient AS (
+    deg AS MATERIALIZED (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY 1),
+    orient AS MATERIALIZED (
       SELECT CASE WHEN (da.d, e.a) < (db.d, e.b)
                   THEN e.a ELSE e.b END AS u,
              CASE WHEN (da.d, e.a) < (db.d, e.b)

@@ -61,20 +61,26 @@ NGRAM_MAX_SHINGLE_FREQ = 100
 # ending in `pairs` (shared by llm_ngram_near_dup and the cluster
 # resolution oracle; threshold-parametrized for llm_lsh_scurve).
 def _duck_ngram_ctes(threshold: float = 0.3) -> str:
+    # MATERIALIZED on the multiply-referenced relations (sh0 2x,
+    # shc 3x, sizes 2x, pairs 2x+ in the graph oracles): DuckDB
+    # inlines plain CTEs, re-running the shingle explode/self-join
+    # per reference — at the sf1 slice the inlined pagerank chain
+    # spilled >79 GB and died (r12); one evaluation each, like the
+    # kcore/lpa oracles
     return f"""
-    sh0 AS (
+    sh0 AS MATERIALIZED (
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
     ), capped AS (
       SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_SHINGLE_FREQ}
-    ), shc AS (
+    ), shc AS MATERIALIZED (
       SELECT sh0.doc_id, sh0.s FROM sh0 JOIN capped USING (s)
-    ), sizes AS (
+    ), sizes AS MATERIALIZED (
       SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
       FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT doc_a, doc_b, (i * 1.0 / (sa.n + sb.n - i)) AS jaccard
       FROM inter
       JOIN sizes sa ON doc_a = sa.doc_id
