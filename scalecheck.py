@@ -309,6 +309,12 @@ OPS = [
     # fan-out per replica
     "a27_incremental_join_refresh",
     # --- r12 roster ---
+    # the verify-then-drop gate adds an exact-Jaccard check over the
+    # band-bounded candidate pairs: replicated identical texts are the
+    # all-dup adversarial regime (every copy collides with the min-id
+    # original AND verifies at J=1), so candidates grow with the dup
+    # family sizes — the documented trade vs t22's band-only decision
+    "t23_near_dup_gate_verified",
     # exact substring dedup claims linear positional-window hashing +
     # one frequency agg (no self-join); the replica suffix token makes
     # cross-replica windows distinct while within-replica repeats

@@ -168,6 +168,51 @@ TRIAGE: dict[str, dict[str, str]] = {
         "line would still overflow (the parsed:null failure mode of "
         "r8/r9), complementing the pinned registry-size test.",
     },
+    # --- round 12 triage ---
+    "datawarehouse_spark/sources/snapshot.py:277": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/sources/snapshot.py",
+        "fix_pattern": r"collide with the Z-order scratch names",
+        "note": "optimize(zorder_by=...) raises on a case-insensitive "
+        "collision with __zo/z1..zN before touching the table; tested "
+        "with planted __zo and Z1 columns "
+        "(test_optimize_zorder_reserved_name_guard).",
+    },
+    "datawarehouse_spark/engine.py:135": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/engine.py",
+        "fix_pattern": r'"__q" in q\.lower\(\)',
+        "note": "sql_qualify's reserved-name guard lowercases the query "
+        "text, matching Spark's case-insensitive column resolution; "
+        "tested with an __Q alias.",
+    },
+    "datawarehouse_spark/operators/similarity.py:1592": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/similarity.py",
+        "fix_pattern": r"Residual risk,\n            # documented",
+        "note": "the GEMM-vs-sequential rounding-boundary risk is "
+        "documented at the dense kernel with the recovery recipe "
+        "(recompute boundary rows with dot_cols); never observed "
+        "across the sf0.01/0.1/1 sweeps.",
+    },
+    "datawarehouse_spark/queries/llm.py:3562": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/queries/llm.py",
+        "fix_pattern": r"require_dense=True",
+        "note": "hnsw_build(require_dense=True) raises loudly when any "
+        "layer would take the LSH branch; the gated queries pin it so "
+        "the dense-branch oracle can never silently diverge at a "
+        "bigger driver sf (test_hnsw_build_guards).",
+    },
+    "datawarehouse_spark/operators/similarity.py:1574": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/similarity.py",
+        "fix_pattern": r"require an integral id",
+        "note": "hnsw_build validates the id column dtype up front and "
+        "raises naming the constraint (int64 GEMM kernels + long "
+        "adjacency schema) instead of crashing in the pandas kernels; "
+        "string-id corpus tested (test_hnsw_build_guards).",
+    },
 }
 
 FINDING_RE = re.compile(r"^- \*\*(\w+)\*\* ([\w./_-]+):(\d+) — ")
