@@ -197,6 +197,15 @@ SUITES: dict[str, list[Member]] = {
           "max_rate", "min_rate", "disc_sign", "qty_mod"]),
         ("f8_decode_coalesce", ["status_desc", "pri_or_default", "is_open"],
          ["o_orderkey"]),
+        # LSH S-curve evaluation (r11): observed candidate recall per
+        # true-Jaccard decile vs the theoretical 1−(1−s²)⁴ band edges.
+        # Moved here from suite_corpus_stats in r12 PURELY for line
+        # balance (that line hit 14.8 s against the 13 s watch ceiling
+        # after absorbing the BPE trio; this line idled at 0.5 s) —
+        # same precedent as llm_domain_overlap's r8 move. The suite
+        # union keeps it row-level hash-verified regardless of home.
+        ("llm_lsh_scurve", ["band"],
+         ["n_exact", "n_hit", "recall", "expect_lo", "expect_hi"]),
     ],
     # §2.8 date arithmetic / date parts / JSON access
     "suite_dates_json": [
@@ -472,11 +481,6 @@ SUITES: dict[str, list[Member]] = {
         # ...and its per-document fertility rollup (train-then-measure)
         ("llm_tokenizer_fertility",
          [], ["doc_id", "n_words", "n_syms", "fertility"]),
-        # LSH S-curve evaluation (r11): observed candidate recall per
-        # true-Jaccard decile vs the theoretical 1−(1−s²)⁴ band edges
-        # — the measurement behind every banding parameter choice
-        ("llm_lsh_scurve", ["band"],
-         ["n_exact", "n_hit", "recall", "expect_lo", "expect_hi"]),
     ],
     # LLM dedup pair generation / blocking / graph resolution (the
     # pair-join heavy third of the old suite_text_metrics; absorbs the
