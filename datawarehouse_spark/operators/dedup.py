@@ -468,17 +468,7 @@ def exact_dup_spans(
     shuffle/agg shape is unchanged. Interval merge is one per-doc
     gaps-and-islands window (bounded by document length, never
     global)."""
-    toks = F.split(F.col(text), " ")
-    win = F.when(
-        F.size(toks) >= min_len,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - F.lit(min_len)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, min_len))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sites = df.select(
-        F.col(id_col), F.posexplode(win).alias("pos", "h")
-    )
+    sites = _window_sites(df, id_col, text, min_len)
     cached = None
     if persist:
         sites = cached = sites.persist()
@@ -489,14 +479,43 @@ def exact_dup_spans(
         .select("h")
     )
     # merge overlapping windows: same length L ⇒ sorted starts chain
-    # into one span iff the start step ≤ L; islands via the classic
-    # start − row_number trick on the SCALED gap flag is overkill —
-    # a running "new island" flag + prefix sum does it in one window
+    # into one span iff the start step ≤ L (_merge_flagged_spans)
+    spans = _merge_flagged_spans(
+        sites.join(dup_h, "h").select(id_col, "pos"), id_col, min_len
+    )
+    if cached is not None:
+        try:
+            spans = spans.localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
+    return spans
+
+
+def _window_sites(df: DataFrame, id_col: str, text: str,
+                  min_len: int) -> DataFrame:
+    """(id, pos, h) positional L-window md5 sites — the unit of state
+    for the exact-substring gates (the windowing half of
+    :func:`exact_dup_spans`, factored out for the incremental form)."""
+    toks = F.split(F.col(text), " ")
+    win = F.when(
+        F.size(toks) >= min_len,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(min_len)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, min_len))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.posexplode(win).alias("pos", "h"))
+
+
+def _merge_flagged_spans(flagged: DataFrame, id_col: str,
+                         min_len: int) -> DataFrame:
+    """Merge flagged window-start positions into maximal token spans —
+    the gaps-and-islands tail shared by :func:`exact_dup_spans` and
+    the keep-first/incremental variants (same-length windows chain
+    iff the start step ≤ L)."""
     w = W.partitionBy(id_col).orderBy("pos")
     starts = (
-        sites.join(dup_h, "h")
-        .select(id_col, "pos")
-        .withColumn(
+        flagged.withColumn(
             "_new",
             F.when(
                 F.col("pos") - F.lag("pos", 1).over(w) <= F.lit(min_len),
@@ -505,12 +524,10 @@ def exact_dup_spans(
         )
         .withColumn(
             "_isl",
-            F.sum("_new").over(
-                w.rowsBetween(W.unboundedPreceding, 0)
-            ),
+            F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
         )
     )
-    spans = (
+    return (
         starts.groupBy(id_col, "_isl")
         .agg(
             F.min("pos").cast("bigint").alias("span_start"),
@@ -524,11 +541,82 @@ def exact_dup_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
-    if cached is not None:
-        try:
-            spans = spans.localCheckpoint(eager=True)
-        finally:
-            cached.unpersist()
+
+
+def exact_span_increment(
+    new: DataFrame,
+    window_registry: DataFrame | None,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the STREAMING exact-substring dedup gate —
+    the Lee et al. 2021 cleaning rule as an ingestion stream: a token
+    position is flagged when some L-window through it was already seen
+    at a strictly-earlier site (an earlier epoch's registry entry, or
+    a smaller ``(doc_id, pos)`` within this batch), so the FIRST
+    occurrence of every ≥L-token substring survives and every later
+    verbatim copy is marked for removal. The keep-first-in-replay-order
+    discipline is the same as the exact-fingerprint and near-dup band
+    gates (streaming/corpus.py, :func:`near_dup_increment`), applied
+    at substring granularity — the registry of distinct window hashes
+    is the only state.
+
+    Returns ``(spans, new_windows)``: the batch's maximal duplicated
+    spans ``(id, span_start, span_end, span_len)`` (docs with nothing
+    flagged emit no rows), and the distinct not-previously-registered
+    window-hash rows ``(h)`` to append. ALL batch windows register
+    (flagged ones too), so replay order within the registry never
+    matters and the batch twin is one increment over the whole corpus
+    with an empty registry (:func:`exact_dup_spans_keep_first`).
+
+    Scale shape per batch: one window pass over the BATCH (linear ×
+    the L hashing constant, md5 digests shuffle — never window text),
+    one min-site groupBy over batch windows, one anti/semi join
+    against the registry keyed on the 32-char hash, one per-doc
+    interval-merge window — linear in the batch, never the corpus."""
+    sites = _window_sites(new, id_col, text, min_len).localCheckpoint(
+        eager=True
+    )
+    first = sites.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")))
+        .alias("_f")
+    )
+    flags = sites.join(first, "h").withColumn(
+        "_dup",
+        (F.col(id_col) > F.col("_f.i"))
+        | ((F.col(id_col) == F.col("_f.i")) & (F.col("pos") > F.col("_f.p"))),
+    )
+    if window_registry is not None:
+        reg = window_registry.select("h").distinct()
+        flags = flags.join(
+            reg.withColumn("_seen", F.lit(1)), "h", "left"
+        ).withColumn("_dup", F.col("_dup") | F.col("_seen").isNotNull())
+    flagged = flags.filter(F.col("_dup")).select(id_col, "pos")
+    spans = _merge_flagged_spans(flagged, id_col, min_len)
+    new_windows = sites.select("h").distinct()
+    if window_registry is not None:
+        new_windows = new_windows.join(
+            window_registry.select("h").distinct(), "h", "left_anti"
+        )
+    return spans, new_windows
+
+
+def exact_dup_spans_keep_first(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """Batch twin of :func:`exact_span_increment` — the keep-first
+    form of :func:`exact_dup_spans`: spans covering every occurrence
+    EXCEPT the first (in (doc_id, pos) order) of each duplicated
+    ≥L-token substring, i.e. exactly what the training-data cleaner
+    deletes while :func:`exact_dup_spans` reports all duplicated
+    material symmetrically. Literally one increment over the whole
+    corpus with an empty registry — the flag rule lives in one place,
+    so the stream and its differential oracle cannot desynchronize."""
+    spans, _ = exact_span_increment(df, None, id_col, text, min_len)
     return spans
 
 

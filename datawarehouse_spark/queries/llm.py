@@ -685,6 +685,76 @@ def llm_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t24_exact_span_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sites AS MATERIALIZED (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(t[u.i:u.i + {_EXACT_SPAN_L - 1}], ' '))
+               AS h
+      FROM toks, UNNEST(range(1, len(t) - {_EXACT_SPAN_L} + 2)) AS u(i)
+      WHERE len(t) >= {_EXACT_SPAN_L}
+    ),
+    fst AS MATERIALIZED (
+      SELECT h, doc_id AS fi, pos AS fp FROM (
+        SELECT h, doc_id, pos,
+               row_number() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rn
+        FROM sites
+      ) WHERE rn = 1
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.pos
+      FROM sites s JOIN fst f USING (h)
+      WHERE s.doc_id > f.fi OR (s.doc_id = f.fi AND s.pos > f.fp)
+    ),
+    st AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos)
+                  <= {_EXACT_SPAN_L} THEN 0 ELSE 1 END AS nw
+      FROM flagged
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM st
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_EXACT_SPAN_L - 1} AS span_end,
+           MAX(pos) + {_EXACT_SPAN_L - 1} - MIN(pos) + 1 AS span_len
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def t24_exact_span_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24 — batch twin of the STREAMING exact-substring dedup gate
+    (operators/dedup.py::exact_span_increment): the Lee et al. 2021
+    cleaning rule as an ingestion stream — a token position is flagged
+    when some ≥20-token window through it was already seen at a
+    strictly-earlier (epoch, doc, pos) site, so the FIRST occurrence
+    of every duplicated substring survives and later verbatim copies
+    emit removal spans. Completes the streaming gate family: exact doc
+    (fingerprint registry), near-dup doc (band registry, t22),
+    verified near-dup (t23), exact SUBSTRING (window-hash registry,
+    this gate) — llm_exact_dup_spans is the symmetric all-occurrences
+    report, this is what the cleaner deletes. Multi-batch registry
+    parity is differential-tested in tests/test_streaming.py.
+
+    Scale shape: identical to llm_exact_dup_spans (linear window pass,
+    min-site agg, registry anti-join, per-doc interval merge) — the
+    keep-first decision adds one lexicographic (doc, pos) comparison,
+    never a pair set."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.exact_dup_spans_keep_first(
+        t["documents"], min_len=_EXACT_SPAN_L
+    )
+
+
+@query(
     "llm_stratified_sample",
     oracle="""
     SELECT doc_id, lang,

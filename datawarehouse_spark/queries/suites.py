@@ -239,6 +239,14 @@ SUITES: dict[str, list[Member]] = {
         # Spark's last(ignorenulls) vs SQL's IGNORE NULLS
         ("w14_locf_ignore_nulls", ["event_type"],
          ["event_id", "user_id", "filled"]),
+        # verify-then-drop near-dup gate twin (r12): band collision
+        # nominates, exact Jaccard >= 0.5 decides — t22's false-drop
+        # closer. Lives HERE purely for line balance (the gate family
+        # t22/t23/t24 costs ~11.7 s together and pushed
+        # suite_streaming_batch against the 13 s ceiling; this line
+        # idled at ~1 s) — same precedent as llm_lsh_scurve's r12 move;
+        # the suite union keeps it row-level hash-verified either way.
+        ("t23_near_dup_gate_verified", ["dup_near", "keep"], ["doc_id"]),
     ],
     # §2.5 windows: window≡groupby pair, ranking, lag/lead, explicit
     # frames, ROWID-style dedupe (S13)
@@ -705,9 +713,11 @@ SUITES: dict[str, list[Member]] = {
         # keep-first-by-id at the LSH-band level; stream≡batch replay
         # parity incl. kill-restart in test_streaming.py
         ("t22_near_dup_gate", ["dup_near", "keep"], ["doc_id"]),
-        # verify-then-drop twin (r12): band collision nominates, exact
-        # Jaccard >= 0.5 decides — t22's false-drop closer
-        ("t23_near_dup_gate_verified", ["dup_near", "keep"], ["doc_id"]),
+        # exact-substring gate (r12): keep-first Lee-et-al spans with a
+        # window-hash registry as the only state — the substring-
+        # granular member of the gate family
+        ("t24_exact_span_gate", [],
+         ["doc_id", "span_start", "span_end", "span_len"]),
     ],
     # multimodal catalog + frame sampling + Arrow feature extraction
     # (mm_feature_extraction folded in for r9 — the registry must fit

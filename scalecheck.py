@@ -320,6 +320,9 @@ OPS = [
     # cross-replica windows distinct while within-replica repeats
     # survive verbatim — work grows exactly R×
     "llm_exact_dup_spans",
+    # keep-first twin (the t24 streaming gate's batch form): same
+    # window pass + a min-site agg instead of a count — same claim
+    "t24_exact_span_gate",
     # HNSW beam search claims (max_level+1)·steps bounded frontier
     # joins; replicated vectors grow the graph/build linearly while
     # the query set stays pinned (vec_id < 8), so the beam stages are

@@ -1178,3 +1178,57 @@ def test_near_dup_verified_gate_and_precision_audit(spark):
         band_reg = nb if band_reg is None else band_reg.unionByName(nb)
         sh_reg = sh if sh_reg is None else sh_reg.unionByName(sh)
     assert got == ver
+
+
+def test_exact_span_gate_increment_matches_batch_twin(spark):
+    """r12 — the exact-substring dedup gate's incremental-safety
+    contract: 3 id-ordered batches with the window-hash registry
+    accumulated across epochs must reproduce exactly the batch twin's
+    keep-first spans (first occurrence survives, later verbatim copies
+    flagged), and the gate must discriminate (some docs with spans,
+    some without). Hand-check on the first batch: with an empty
+    registry the smallest-id copy of each injected block emits no
+    span."""
+    from datawarehouse_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    # verbatim copies of early docs at high ids → cross-epoch repeats
+    copies = (
+        docs.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    train = docs.unionByName(copies).localCheckpoint(eager=True)
+
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.exact_dup_spans_keep_first(
+            train, min_len=20
+        ).collect()
+    }
+    assert want, "fixture must contain ≥20-token verbatim repeats"
+    flagged_docs = {d for d, *_ in want}
+    # keep-first: every injected copy whose source is ≥20 tokens is
+    # fully flagged; the low-id originals of those copies are not
+    # (unless they repeat corpus material themselves)
+    assert any(d >= 1_000_000 for d in flagged_docs)
+
+    ids = sorted({r["doc_id"] for r in train.select("doc_id").collect()})
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    batches = [
+        train.filter(F.col("doc_id") < cut1),
+        train.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        train.filter(F.col("doc_id") >= cut2),
+    ]
+    reg, got = None, set()
+    for b in batches:
+        spans, new_w = dedup.exact_span_increment(b, reg, min_len=20)
+        got |= {
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in spans.collect()
+        }
+        new_w = new_w.localCheckpoint(eager=True)
+        reg = new_w if reg is None else reg.unionByName(new_w)
+    assert got == want
