@@ -1232,3 +1232,114 @@ def test_exact_span_gate_increment_matches_batch_twin(spark):
         new_w = new_w.localCheckpoint(eager=True)
         reg = new_w if reg is None else reg.unionByName(new_w)
     assert got == want
+
+
+def test_streaming_exact_span_gate_kill_restart(spark, tmpdir):
+    """r12 — the exact-substring gate as an incremental foreachBatch
+    pipeline with KILL-RESTART replay parity (the t24 sibling of the
+    near-dup gate test above): per epoch, window hashes seen in
+    strictly-earlier epochs come from a SnapshotTable registry, a
+    mid-stream kill after the epoch's writes forces a replay, and the
+    accumulated spans after restart must equal
+    dedup.exact_dup_spans_keep_first row for row (idempotent because
+    decisions only consult strictly-earlier epochs and the registry
+    upsert is keyed by hash)."""
+    import os
+
+    from datawarehouse_spark.operators import dedup
+    from datawarehouse_spark.sources.snapshot import SnapshotTable
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    copies = (
+        docs.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    train = docs.unionByName(copies).localCheckpoint(eager=True)
+
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.exact_dup_spans_keep_first(
+            train, min_len=20
+        ).collect()
+    }
+    assert want and any(d >= 1_000_000 for d, *_ in want)
+
+    ids = sorted({r["doc_id"] for r in train.select("doc_id").collect()})
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    chunks = [
+        train.filter(F.col("doc_id") < cut1),
+        train.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        train.filter(F.col("doc_id") >= cut2),
+    ]
+    src = f"{tmpdir}/es_src"
+    os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        staged = f"{tmpdir}/es_stage{i}"
+        ch.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    reg_path = f"{tmpdir}/es_registry"
+    out_dir = f"{tmpdir}/es_out"
+    kill_flag = f"{tmpdir}/es_kill"
+    open(kill_flag, "w").close()
+
+    def ingest(batch_df, epoch_id):
+        ss = batch_df.sparkSession
+        e = int(epoch_id)
+        has_reg = os.path.isdir(os.path.join(reg_path, "_manifests"))
+        seen = None
+        if has_reg:
+            seen = (
+                SnapshotTable(ss, reg_path).read()
+                .filter(F.col("epoch") < e)
+                .select("h")
+            )
+        spans, new_w = dedup.exact_span_increment(
+            batch_df, seen, min_len=20
+        )
+        spans.write.mode("overwrite").parquet(f"{out_dir}/epoch={e}")
+        tagged = new_w.select("h", F.lit(e).alias("epoch"))
+        if has_reg:
+            SnapshotTable(ss, reg_path).upsert(tagged, key="h")
+        else:
+            SnapshotTable.create(ss, tagged, reg_path)
+        if e == 1 and os.path.exists(kill_flag):
+            raise RuntimeError("injected mid-stream kill after writes")
+
+    def run():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{tmpdir}/es_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run()
+    try:
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass
+    finally:
+        q.stop()
+    assert q.exception() is not None, "the injected kill must fire"
+    os.remove(kill_flag)
+    q2 = run()
+    try:
+        q2.awaitTermination(180)
+    finally:
+        q2.stop()
+    assert q2.exception() is None
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in spark.read.parquet(f"{out_dir}/epoch=*").collect()
+    }
+    assert got == want
