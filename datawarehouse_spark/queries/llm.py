@@ -3901,7 +3901,13 @@ def t23_near_dup_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: banding bounds the candidate pairs (never all-pairs);
     the verify is an in-row array_intersect over shingle arrays joined
-    by id — one extra shuffle-by-id vs t22, still linear."""
+    by id — one extra shuffle-by-id vs t22, still linear. At fixture
+    scale AQE broadcasts the checkpointed band/shingle relations
+    (runtime-sized: their actual bytes are under the threshold — at a
+    real corpus size the same runtime stats exceed it and the joins
+    plan as shuffle joins automatically); three concurrent broadcasts
+    do need a non-toy driver (the sf1 verification used 16g — a 1g
+    default-driver session OOMs building them)."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.near_dup_replay_verified(t["documents"], tau=0.5)
 

@@ -229,6 +229,120 @@ class SnapshotTable:
                 last = exc
         raise last
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        update_set: dict[str, str] | None = None,
+        update_when: str | None = None,
+        delete_when: str | None = None,
+        insert_unmatched: bool = True,
+        max_retries: int = 3,
+    ) -> int:
+        """Full ``MERGE INTO`` (Delta/Iceberg/ANSI semantics — the
+        general form of :meth:`upsert`, which is
+        ``merge(src, key)`` with whole-row replacement):
+
+        * WHEN MATCHED [AND ``delete_when``] THEN DELETE — evaluated
+          first, like Delta's clause ordering;
+        * WHEN MATCHED [AND ``update_when``] THEN UPDATE SET — either
+          ``update_set`` (target column → SQL expression over the
+          aliases ``t`` and ``s``, unlisted columns keep ``t``'s
+          value) or, with ``update_set=None``, whole-row replacement
+          by the source row;
+        * WHEN NOT MATCHED THEN INSERT (``insert_unmatched``) — the
+          source row, which must then carry every target column.
+
+        The source must be UNIQUE on ``on`` — multiple source matches
+        for one target row make MERGE nondeterministic, so that is a
+        loud ValueError exactly as Delta raises. Expressed as ONE
+        full-outer join + projection over the touched file set (the
+        same manifest partition pruning and optimistic-retry contract
+        as :meth:`upsert`: on partitioned tables the source must carry
+        the partition column and keys must not move partitions).
+        Target rows matched by no source row and source rows matched
+        by no target row ride through the same join — no second pass,
+        no window."""
+        from pyspark.sql import functions as F
+
+        n_src = source.count()
+        n_keys = source.select(on).distinct().count()
+        if n_keys != n_src:
+            raise ValueError(
+                f"merge: source has {n_src} rows but {n_keys} distinct "
+                f"{on!r} keys — MERGE requires a unique source key "
+                "(multiple matches per target row are nondeterministic; "
+                "pre-aggregate the source)"
+            )
+        last: ConcurrentCommitError | None = None
+        for _ in range(max_retries + 1):
+            v = self.current_version()
+            m = self._manifest(v)
+            if self.partition_col:
+                parts = {
+                    str(r[0])
+                    for r in
+                    source.select(self.partition_col).distinct().collect()
+                }
+                touched = [e for e in m["files"]
+                           if str(e["partition"]) in parts]
+                kept = [e for e in m["files"]
+                        if str(e["partition"]) not in parts]
+            else:
+                touched, kept = m["files"], []
+            if touched:
+                cur = self.spark.read.parquet(
+                    *[os.path.join(self._ddir, e["file"]) for e in touched]
+                )
+            else:
+                cur = self.spark.createDataFrame([], self.read(v).schema)
+            cols = cur.columns
+            j = (
+                cur.withColumn("_t", F.lit(1)).alias("t")
+                .join(
+                    source.withColumn("_s", F.lit(1)).alias("s"),
+                    F.col(f"t.{on}") == F.col(f"s.{on}"),
+                    "full_outer",
+                )
+            )
+            matched = F.col("t._t").isNotNull() & F.col("s._s").isNotNull()
+            del_cond = matched & (
+                F.expr(delete_when) if delete_when else F.lit(False)
+            )
+            upd_cond = matched & (
+                F.expr(update_when) if update_when else F.lit(True)
+            )
+            out_cols = []
+            for c in cols:
+                if update_set is None:
+                    upd_val = F.col(f"s.{c}")
+                else:
+                    upd_val = (
+                        F.expr(update_set[c]) if c in update_set
+                        else F.col(f"t.{c}")
+                    )
+                val = (
+                    F.when(upd_cond, upd_val)
+                    .when(F.col("t._t").isNotNull(), F.col(f"t.{c}"))
+                    .otherwise(F.col(f"s.{c}"))  # source-only insert
+                )
+                out_cols.append(val.alias(c))
+            keep_row = (
+                # matched rows survive unless deleted; target-only rows
+                # always survive; source-only rows survive iff inserting
+                F.when(matched, ~del_cond)
+                .when(F.col("t._t").isNotNull(), F.lit(True))
+                .otherwise(F.lit(insert_unmatched))
+            )
+            merged = j.filter(keep_row).select(*out_cols)
+            entries = kept + self._stage(merged)
+            try:
+                self._commit(v + 1, entries, m["schema"])
+                return v + 1
+            except ConcurrentCommitError as exc:
+                last = exc
+        raise last
+
     def delete(self, predicate) -> int:
         """DELETE WHERE predicate — full logical rewrite expressed as a
         new snapshot; at scale, pre-prune to touched partitions with a

@@ -490,3 +490,86 @@ def test_optimize_partitioned_compacts_per_value(spark, tmp_path):
     v2 = one.optimize(target_rows_per_file=2_500)
     assert len(one._manifest(v2)["files"]) == 4
     assert one.read(v2).count() == 10_000
+
+
+def test_merge_full_clause_semantics(spark, tmp_path):
+    """r12 — full MERGE INTO on SnapshotTable (the general form of
+    upsert): WHEN MATCHED AND cond DELETE, WHEN MATCHED UPDATE SET
+    with expressions over both aliases (unlisted columns keep the
+    target value), WHEN NOT MATCHED INSERT; delete beats update (Delta
+    clause order); a non-unique source key raises; prior versions stay
+    readable (time travel untouched)."""
+    rows = [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")]
+    t = SnapshotTable.create(
+        spark,
+        spark.createDataFrame(rows, "k long, val long, tag string"),
+        str(tmp_path / "mrg"),
+    )
+    v0 = t.current_version()
+    src = spark.createDataFrame(
+        [(2, 5, "B"), (3, -1, "C"), (9, 90, "i")],
+        "k long, val long, tag string",
+    )
+    v1 = t.merge(
+        src, on="k",
+        update_set={"val": "t.val + s.val"},   # tag NOT listed -> keeps t
+        delete_when="s.val < 0",               # kills k=3
+        insert_unmatched=True,                 # inserts k=9
+    )
+    got = {(r.k, r.val, r.tag) for r in t.read(v1).collect()}
+    assert got == {
+        (1, 10, "a"),       # target-only: untouched
+        (2, 25, "b"),       # matched update: 20+5, tag kept
+        (9, 90, "i"),       # source-only: inserted
+        (4, 40, "d"),
+    }
+    # time travel: v0 content intact
+    assert t.read(v0).count() == 4
+
+    # whole-row replacement form + no insert + update_when guard
+    src2 = spark.createDataFrame(
+        [(1, 111, "A"), (4, 444, "D"), (7, 7, "g")],
+        "k long, val long, tag string",
+    )
+    v2 = t.merge(src2, on="k", update_when="t.val >= 40",
+                 insert_unmatched=False)
+    got2 = {(r.k, r.val, r.tag) for r in t.read(v2).collect()}
+    assert got2 == {
+        (1, 10, "a"),       # matched but guard false: kept
+        (2, 25, "b"),
+        (9, 90, "i"),
+        (4, 444, "D"),      # matched, guard true: whole-row replaced
+    }                        # k=7 not inserted
+
+    import pytest
+    dup = spark.createDataFrame(
+        [(1, 1, "x"), (1, 2, "y")], "k long, val long, tag string"
+    )
+    with pytest.raises(ValueError, match="unique source key"):
+        t.merge(dup, on="k")
+
+
+def test_merge_partitioned_prunes_untouched_partitions(spark, tmp_path):
+    """Partitioned MERGE rewrites only the partitions the source
+    touches — the untouched partition's data files survive
+    byte-identical (same manifest entries), the upsert contract."""
+    rows = [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, "d2", 40)]
+    t = SnapshotTable.create(
+        spark,
+        spark.createDataFrame(rows, "k long, dt string, val long"),
+        str(tmp_path / "mrgp"),
+        partition_col="dt",
+    )
+    v0 = t.current_version()
+    before = {e["file"] for e in t._manifest(v0)["files"]
+              if str(e["partition"]) == "d2"}
+    src = spark.createDataFrame(
+        [(1, "d1", 11), (5, "d1", 50)], "k long, dt string, val long"
+    )
+    v1 = t.merge(src, on="k")
+    after = {e["file"] for e in t._manifest(v1)["files"]
+             if str(e["partition"]) == "d2"}
+    assert after == before, "untouched partition must not be rewritten"
+    got = {(r.k, r.dt, r.val) for r in t.read(v1).collect()}
+    assert got == {(1, "d1", 11), (2, "d1", 20), (5, "d1", 50),
+                   (3, "d2", 30), (4, "d2", 40)}
