@@ -443,6 +443,44 @@ class SnapshotTable:
         self._commit(v + 1, self._stage(packed), m["schema"])
         return v + 1
 
+    def restore(self, version: int) -> int:
+        """``RESTORE TABLE ... TO VERSION AS OF v`` (Delta 2.x): commit
+        a NEW version whose file set is exactly ``version``'s — a
+        forward-rolling rollback, so history is preserved (the bad
+        versions stay time-travelable until ``vacuum``) and pinned
+        readers are untouched. Fails loudly if ``version``'s manifest
+        has already been vacuumed away (same boundary as time
+        travel)."""
+        m = self._manifest(version)  # raises FileNotFoundError if gone
+        v = self.current_version()
+        self._commit(v + 1, m["files"], m["schema"])
+        return v + 1
+
+    def clone(self, dest_path: str, version: int | None = None
+              ) -> "SnapshotTable":
+        """SHALLOW CLONE (Delta/Iceberg snapshot export): a new table
+        whose v1 manifest references the SOURCE's data files by
+        absolute path — zero data copied, so cloning a 100 TB table is
+        one manifest write. The clone then evolves independently
+        (its own commits stage files into its own directory).
+
+        The Delta caveat applies verbatim and is the documented
+        contract: ``vacuum`` on the SOURCE deletes files a shallow
+        clone may still reference — vacuum only consults the source's
+        own manifests. Deep-copy (``create(spark, src.read(), ...)``)
+        when the source's retention is not under your control."""
+        m = self._manifest(version or self.current_version())
+        entries = [
+            {**e, "file": os.path.join(self._ddir, e["file"])}
+            for e in m["files"]
+        ]
+        dst = SnapshotTable(self.spark, dest_path,
+                            partition_col=self.partition_col)
+        os.makedirs(dst._mdir, exist_ok=True)
+        os.makedirs(dst._ddir, exist_ok=True)
+        dst._commit(1, entries, m["schema"])
+        return dst
+
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Drop manifests older than the last `retain_last` versions and
         delete data files no retained manifest references. Only here do

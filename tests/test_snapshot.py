@@ -573,3 +573,44 @@ def test_merge_partitioned_prunes_untouched_partitions(spark, tmp_path):
     got = {(r.k, r.dt, r.val) for r in t.read(v1).collect()}
     assert got == {(1, "d1", 11), (2, "d1", 20), (5, "d1", 50),
                    (3, "d2", 30), (4, "d2", 40)}
+
+
+def test_restore_rolls_forward_to_old_version(spark, tmp_path):
+    """r12 — RESTORE TABLE TO VERSION AS OF v: a NEW version with v's
+    exact file set, so the rollback itself is time-travelable and the
+    rolled-back (bad) versions stay readable until vacuum."""
+    t = _mk(spark, tmp_path)
+    t.delete(F.col("k") < 50)              # v2: the "bad" write
+    assert t.read().count() == 50
+    v3 = t.restore(1)
+    assert v3 == 3
+    assert t.read().count() == 100         # v1 content is back
+    assert t.read(version=2).count() == 50  # the bad version survives
+    t.vacuum(retain_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.restore(2)                        # vacuumed-away → loud
+
+
+def test_shallow_clone_zero_copy_and_independent_evolution(spark, tmp_path):
+    """r12 — SHALLOW CLONE: the clone's v1 references the source's
+    files by absolute path (zero data copied — its own data dir starts
+    empty), reads identically, and then evolves independently (its
+    upsert stages files into its OWN directory; the source is
+    untouched). The documented Delta caveat holds: vacuum on the
+    SOURCE kills files the clone references."""
+    t = _mk(spark, tmp_path)
+    c = t.clone(str(tmp_path / "clone"))
+    assert c.read().count() == 100
+    assert glob.glob(os.path.join(c._ddir, "*.parquet")) == []
+    # independent evolution
+    c.upsert(spark.createDataFrame(
+        [(10, "CLONED", "d1")], "k long, v string, dt string"), "k")
+    assert c.read().filter(F.col("k") == 10).first()["v"] == "CLONED"
+    assert t.read().filter(F.col("k") == 10).first()["v"] == "v10"
+    assert glob.glob(os.path.join(c._ddir, "*.parquet"))  # own files now
+    # caveat: source vacuum after a source rewrite kills clone-v1 refs
+    t.upsert(spark.createDataFrame(
+        [(11, "NEW", "d1")], "k long, v string, dt string"), "k")
+    t.vacuum(retain_last=1)
+    with pytest.raises(Exception):
+        c.read(version=1).filter(F.col("dt") == "d1").count()
