@@ -22,13 +22,20 @@ after timing, exit non-zero if any query ran >2x its previous time AND
 above the noise floor (0.75 s default, $SPARK_GRAFT_CHECK_FLOOR) — see
 ``check_regressions`` for the envelope rationale.
 
-IDLE-RUN PROTOCOL: numbers are only comparable between runs taken in
-an otherwise-idle container — a second Spark JVM (pytest, a driver
-sweep) inflates individual queries 2-4x via CPU/page-cache contention.
-Before diagnosing any cross-round regression, `pgrep -f SparkSubmit`
-must come back empty and the bench rerun alone; r2's apparent t6
-1.9x / exact-dedup 1.65x "regressions" both reversed under this
-protocol (r3 idle: t6 0.407s, exact_dedup 0.297s).
+IDLE-RUN PROTOCOL (mechanical since r13): numbers are only comparable
+between runs taken in an otherwise-idle container — a second Spark JVM
+(pytest, a driver sweep) inflates individual queries 2-4x via
+CPU/page-cache contention. The protocol is now enforced IN the
+artifact, not just in this docstring: every run samples the 1-minute
+load average and scans /proc for foreign java/pytest processes before
+AND after timing, and when either check trips the emitted JSON carries
+`"contended": true` (plus the evidence in the committed .benchmarks
+copy) so a polluted capture can never masquerade as a comparable one
+(the r12 artifact of record was exactly such a capture — 24.25 s on a
+line that measures 12.4 s idle). r2's apparent t6 1.9x / exact-dedup
+1.65x "regressions" both reversed under this protocol (r3 idle: t6
+0.407s, exact_dedup 0.297s). Set SPARK_GRAFT_BENCH_STRICT_IDLE=1 to
+refuse (exit 3) instead of mark.
 
 KNOWN SERIES BREAK (r5→r6): llm_minhash_lsh_candidates /
 llm_ngram_near_dup / llm_dedup_keep rose 1.5-4x in r6 because their
@@ -152,6 +159,57 @@ def check_regressions(
     return bad
 
 
+def contention_probe() -> dict:
+    """One sample of the host-contention evidence: 1-minute load
+    average and every OTHER java/pytest process visible in /proc
+    (this bench's own JVM is a child of this process and is excluded
+    by parent-pid walk). Pure /proc reads — no subprocess, no pgrep
+    dependency — so the probe itself costs ~nothing and cannot hang."""
+    me = os.getpid()
+    children = set()
+    # walk /proc once to map ppid -> pids, then collect our subtree
+    ppid_of: dict[int, int] = {}
+    names: dict[int, str] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        pid = int(d)
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().split()
+            names[pid] = parts[1].strip("()")
+            ppid_of[pid] = int(parts[3])
+        except OSError:
+            continue
+    frontier = {me}
+    while frontier:
+        children |= frontier
+        frontier = {
+            p for p, pp in ppid_of.items() if pp in children
+        } - children
+    foreign = sorted(
+        f"{pid}:{names[pid]}"
+        for pid in names
+        if pid not in children
+        and ("java" in names[pid] or "pytest" in names[pid])
+    )
+    load1 = os.getloadavg()[0]
+    return {"load1": round(load1, 2), "foreign": foreign}
+
+
+def contended(probes: list[dict]) -> bool:
+    """A capture is contended iff a FOREIGN java/pytest process was
+    visible at any probe point. Load average is stamped as evidence
+    but deliberately not a trigger: the bench's own local[32] JVM
+    drives load1 far past any fixed threshold, and when the round
+    driver runs bench right after its correctness sweep the backward-
+    looking load1 is still elevated even though the sweep's JVM is
+    gone — both would false-positive. A concurrent JVM (the r12
+    failure mode) is the thing that actually skews timings 2-4x, and
+    it is exactly what the /proc scan sees."""
+    return any(p["foreign"] for p in probes)
+
+
 def bench_set() -> list[tuple[str, object]]:
     """Every driver registry entry (suites count as one line each) plus
     the legacy fine-grained headline queries not covered by a driver
@@ -250,6 +308,14 @@ def main() -> None:
             only = set(a.split("=", 1)[1].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    probes = [contention_probe()]
+    if probes[0]["foreign"] and os.environ.get("SPARK_GRAFT_BENCH_STRICT_IDLE"):
+        print(
+            "bench: REFUSING contended capture (strict idle): foreign "
+            f"processes {probes[0]['foreign']}",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
     from datawarehouse_spark.session import get_spark
 
     spark = get_spark(app_name="dw-bench")
@@ -290,6 +356,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    probes.append(contention_probe())
+    is_contended = contended(probes)
+    if is_contended:
+        print(
+            "bench: WARNING capture is CONTENDED — foreign java/pytest "
+            f"seen: {sorted(set(sum((p['foreign'] for p in probes), [])))}"
+            " — timings are NOT comparable to idle captures",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     if members:
@@ -313,6 +388,10 @@ def main() -> None:
             "queries": timings,
             "sf": sf_val,
         }
+    if is_contended:
+        # stdout stays compact in the clean case: the flag appears
+        # ONLY when tripped, so its absence asserts an idle capture
+        out["contended"] = True
     print(compact_line(out))
     # Persist the full line in-repo (full-registry runs only — never
     # --only subsets or --members attribution runs): the committed
@@ -322,7 +401,9 @@ def main() -> None:
         os.makedirs(".benchmarks", exist_ok=True)
         tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "latest")
         with open(f".benchmarks/bench_{tag}.json", "w") as fh:
-            fh.write(json.dumps(out) + "\n")
+            # the committed copy always carries the full idle evidence
+            # (start/end load + foreign-process lists), not just the flag
+            fh.write(json.dumps(dict(out, idle_probes=probes)) + "\n")
     spark.stop()
     if check_path is not None:
         floor = float(os.environ.get("SPARK_GRAFT_CHECK_FLOOR", "0.75"))

@@ -1915,7 +1915,18 @@ def near_dup_increment_verified(
     shingle array as state — corpus-sized, vs the unverified gate's
     band-set-sized state. Scale shape per batch stays linear-in-batch:
     banding bounds candidate pairs, shingles join by id, and the
-    exact check is an in-row array_intersect."""
+    exact check is an in-row array_intersect.
+
+    Replay contract (at-least-once foreachBatch): callers MUST filter
+    both registries to strictly-earlier epochs (``epoch < e``, the
+    t22/t24 convention) so a replayed batch never sees its own killed
+    attempt's committed rows — otherwise a replayed doc's same-batch
+    SMALLER-id partners read as "prior" and flip within-batch ordering
+    decisions. Independently, the partner join self-excludes
+    (``_p != _d``) so a doc can never be dropped for colliding with
+    its own registered bands at Jaccard 1. Both pinned by
+    tests/test_streaming.py::
+    test_streaming_verified_gate_replay_idempotent."""
     nb = near_dup_bands(new, id_col, text, k, band_size).localCheckpoint(
         eager=True
     )
@@ -1934,6 +1945,13 @@ def near_dup_increment_verified(
         .select("_d", "_p")
     )
     if band_registry is not None:
+        # _p != _d: under at-least-once foreachBatch a replayed batch
+        # finds its OWN committed band rows in the registry; without
+        # self-exclusion every replayed doc would partner with itself
+        # at Jaccard 1 >= tau and be spuriously dropped. The filter
+        # makes the gate idempotent under replay regardless of whether
+        # the caller pre-filters the registries to earlier epochs
+        # (tested: test_streaming_verified_gate_replay_idempotent).
         prior_partners = (
             mine.join(
                 band_registry.select(
@@ -1941,6 +1959,7 @@ def near_dup_increment_verified(
                 ),
                 ["band_idx", "band_key"],
             )
+            .filter(F.col("_p") != F.col("_d"))
             .select("_d", "_p")
         )
         partners = batch_partners.unionByName(prior_partners)

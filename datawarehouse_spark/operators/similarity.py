@@ -1723,6 +1723,19 @@ def hnsw_build(
     return levels, adj.localCheckpoint(eager=True)
 
 
+# Hard ceiling on hnsw_topk's query batch: the search broadcasts the
+# FULL query table (id + vector) to every executor and cross-joins it
+# with the entry point — correct and fast for serving-sized batches,
+# a driver/executor memory wall for corpus-sized ones. 65536 ×
+# (8B id + ~128×8B vector) ≈ 68 MB broadcast, the same order as
+# MAX_DENSE_LAYER_CAP's documented collect bound. A bigger query set
+# is a batch-ANN job, not a beam search — use ivf_topk / lsh_ann_topk
+# (shuffle-partitioned, no broadcast) or chunk the queries. Enforced
+# as a loud ValueError (the r12 lesson: written bounds beat
+# aspirational comments); cited in SCALE.md's ANN section.
+MAX_BEAM_QUERIES = 65536
+
+
 def hnsw_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1751,7 +1764,20 @@ def hnsw_topk(
     |queries|·ef frontier against the edge table plus a broadcast
     embedding lookup — (max_level+1)·steps bounded joins total, each
     localCheckpoint'ed so lineage stays flat. No stage ever touches
-    more than frontier·m candidate rows per query."""
+    more than frontier·m candidate rows per query. The query table is
+    BROADCAST (that is what makes each beam step one bounded join), so
+    the batch is capped at ``MAX_BEAM_QUERIES`` — oversized query sets
+    fail loudly with the batch-ANN recipe instead of OOMing an
+    executor."""
+    n_q = queries.count()
+    if n_q > MAX_BEAM_QUERIES:
+        raise ValueError(
+            f"hnsw_topk: {n_q} queries exceeds MAX_BEAM_QUERIES="
+            f"{MAX_BEAM_QUERIES} — beam search broadcasts the query "
+            "table to every executor; for corpus-sized query sets use "
+            "ivf_topk / lsh_ann_topk (shuffle-partitioned) or chunk "
+            "the queries"
+        )
     levels, adj = hnsw_build(
         corpus, m=m, max_level=max_level, id_col=id_col, vec_col=vec_col,
         level_src=level_src, dense_layer_cap=dense_layer_cap,

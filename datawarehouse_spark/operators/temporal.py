@@ -54,7 +54,7 @@ def asof_join(
             f"asof_join: non-key column names must be disjoint; both "
             f"sides have {sorted(overlap)} — rename one side first"
         )
-    reserved = {"_t", "_tag"} & (set(left.columns) | set(right.columns))
+    reserved = {"_t", "_tag", "_rv"} & (set(left.columns) | set(right.columns))
     if reserved:
         raise ValueError(
             f"asof_join: column names {sorted(reserved)} are reserved "

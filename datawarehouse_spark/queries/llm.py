@@ -848,6 +848,82 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sequence_packing(t["documents"], budget=4096, n_shards=8)
 
 
+def _ffd_oracle(group_size: int, budget: int) -> str:
+    """Unrolled first-fit-decreasing oracle (the BPE/PageRank/HNSW
+    unrolled-CTE convention): slot s of every packing group is
+    assigned by joining the previous assignment state's per-group bin
+    loads — first bin that fits, else a new bin. AS MATERIALIZED is
+    load-bearing on every multiply-referenced CTE (the r12 pagerank
+    lesson: DuckDB inlines plain CTEs per reference)."""
+    blocks = [f"""
+    tok AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), items AS MATERIALIZED (
+      SELECT doc_id, n_tokens,
+             CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                   - 1) // {group_size} AS BIGINT) AS grp,
+             CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                   - 1) % {group_size} AS BIGINT) AS slot
+      FROM tok
+    ), a0 AS MATERIALIZED (
+      SELECT grp, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin
+      FROM items WHERE slot = 0
+    )"""]
+    for s in range(1, group_size):
+        blocks.append(f""", l{s} AS MATERIALIZED (
+      SELECT grp, bin, SUM(n_tokens) AS load FROM a{s - 1} GROUP BY 1, 2
+    ), f{s} AS MATERIALIZED (
+      SELECT i.grp, i.doc_id, MIN(l.bin) AS fbin
+      FROM items i JOIN l{s} l
+        ON i.grp = l.grp AND l.load + i.n_tokens <= {budget}
+      WHERE i.slot = {s}
+      GROUP BY 1, 2
+    ), a{s} AS MATERIALIZED (
+      SELECT * FROM a{s - 1}
+      UNION ALL
+      SELECT i.grp, i.doc_id, i.n_tokens,
+             COALESCE(f.fbin, n.nb) AS bin
+      FROM items i
+      LEFT JOIN f{s} f ON f.grp = i.grp AND f.doc_id = i.doc_id
+      JOIN (SELECT grp, MAX(bin) + 1 AS nb FROM l{s} GROUP BY 1) n
+        ON n.grp = i.grp
+      WHERE i.slot = {s}
+    )""")
+    last = group_size - 1
+    blocks.append(f""", occ AS MATERIALIZED (
+      SELECT grp, bin, SUM(n_tokens) AS bin_load,
+             COUNT(*) AS n_in_bin
+      FROM a{last} GROUP BY 1, 2
+    )
+    SELECT a.doc_id, a.n_tokens,
+           a.grp AS pack_grp,
+           CAST(a.grp * {group_size} + a.bin AS BIGINT) AS bin_id,
+           CAST(o.bin_load AS BIGINT) AS bin_load,
+           CAST(o.n_in_bin AS BIGINT) AS n_in_bin,
+           ROUND(o.bin_load * 1.0 / {budget}, 6) AS bin_fill
+    FROM a{last} a JOIN occ o ON a.grp = o.grp AND a.bin = o.bin""")
+    return "WITH " + "".join(blocks)
+
+
+@query("llm_ffd_packing", oracle=_ffd_oracle(group_size=8, budget=128))
+def llm_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware first-fit-decreasing packing (r13, VERDICT r12
+    ask #8): hard 128-token bins, items longest-first within
+    rank-contiguous groups of 8 — the padding-waste-minimizing twin of
+    llm_seq_packing's wrap-around cumsum. The global order comes from
+    the shared block-offset rank (no single-partition sort); the
+    first-fit recurrence is a fixed 7-stage DataFrame unroll, oracle-
+    replayed stage for stage. Output is the per-doc bin-occupancy
+    ledger (bin id, load, fill ratio, docs per bin).
+    See operators/text.py::ffd_packing."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return text.ffd_packing(t["documents"], budget=128, group_size=8)
+
+
 @query(
     "llm_lang_id",
     oracle="""
@@ -2838,23 +2914,100 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_edit_distance_pairs",
+    # r13 (VERDICT r12 ask #5): the oracle now replays the SAME
+    # lossless Pass-Join segment identity the Spark operator uses
+    # (Li, Deng & Feng, PVLDB'11) instead of the naive all-pairs
+    # levenshtein join — candidates from the d+1-segment pigeonhole,
+    # then the exact levenshtein verify — so it runs at FULL sf1
+    # (the naive form extrapolated to ≈2.3 h at 50k keys; this one is
+    # seconds). Losslessness of the rewrite is itself oracle-proven:
+    # tests/test_oracle_parity.py::
+    # test_edit_distance_passjoin_oracle_equals_naive compares this
+    # SQL against the retired naive join row-for-row in DuckDB.
+    # AS MATERIALIZED on the multiply-referenced CTEs is load-bearing
+    # (the r12 pagerank lesson: DuckDB inlines plain CTEs per
+    # reference).
     oracle="""
-    WITH corpus AS (
+    WITH corpus AS MATERIALIZED (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 6000000,
              substr(text, 1, 4) || 'Z' || substr(text, 6)
       FROM documents WHERE doc_id % 50 = 0
-    ), k AS (
-      SELECT doc_id, substr(text, 1, 40) AS key FROM corpus
+    ), ids AS MATERIALIZED (
+      SELECT doc_id AS _id, substr(text, 1, 40) AS key FROM corpus
+    ), keys AS MATERIALIZED (
+      SELECT key, MIN(_id) AS kid, length(key) AS klen
+      FROM ids GROUP BY 1
+    ),
+    -- index side: the d+1 = 3 even segments of every distinct long
+    -- key (cut = 2d+1 = 5), keyed by (index length, slot, piece)
+    idx AS (
+      SELECT kid AS kb, klen AS m, slot,
+             substr(key,
+                    CAST(floor(slot * klen / 3) + 1 AS INT),
+                    CAST(floor((slot + 1) * klen / 3)
+                         - floor(slot * klen / 3) AS INT)) AS piece
+      FROM keys, UNNEST([0, 1, 2]) AS t(slot)
+      WHERE klen >= 5
+    ),
+    -- probe side: for every candidate index length m = klen+dm and
+    -- slot, the substrings at the slot's home position +-d
+    probe AS (
+      SELECT ka, m, slot,
+             substr(key, CAST(st AS INT), CAST(sl AS INT)) AS piece
+      FROM (
+        SELECT kid AS ka, key, klen, slot, klen + dm AS m,
+               floor(slot * (klen + dm) / 3) + 1 + sh AS st,
+               floor((slot + 1) * (klen + dm) / 3)
+                 - floor(slot * (klen + dm) / 3) AS sl
+        FROM keys,
+             UNNEST([-2, -1, 0, 1, 2]) AS t1(dm),
+             UNNEST([0, 1, 2]) AS t2(slot),
+             UNNEST([-2, -1, 0, 1, 2]) AS t3(sh)
+        WHERE klen >= 5
+      )
+      WHERE m >= 5 AND st >= 1 AND st + sl - 1 <= klen
+    ),
+    cand AS (
+      SELECT DISTINCT least(p.ka, i.kb) AS ka,
+                      greatest(p.ka, i.kb) AS kb
+      FROM probe p JOIN idx i
+        ON p.m = i.m AND p.slot = i.slot AND p.piece = i.piece
+      WHERE p.ka <> i.kb
+      UNION
+      SELECT a.kid AS ka, b.kid AS kb
+      FROM keys a JOIN keys b
+        ON a.kid < b.kid AND abs(a.klen - b.klen) <= 2
+      WHERE a.klen < 5 AND b.klen < 5
+    ),
+    kp AS MATERIALIZED (
+      SELECT a.key AS key_a, b.key AS key_b, a.klen AS la, b.klen AS lb,
+             levenshtein(a.key, b.key) AS dist
+      FROM cand c
+      JOIN keys a ON a.kid = c.ka
+      JOIN keys b ON b.kid = c.kb
+      WHERE levenshtein(a.key, b.key) <= 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(length(a.key) AS BIGINT) AS len_a,
-           CAST(length(b.key) AS BIGINT) AS len_b,
-           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
-    FROM k a JOIN k b ON a.doc_id < b.doc_id
-      AND abs(length(a.key) - length(b.key)) <= 2
-    WHERE levenshtein(a.key, b.key) <= 2
+    -- distinct-key matches expanded over duplicate-key groups, lens
+    -- traveling with their ids through the (doc_a, doc_b) order
+    SELECT CASE WHEN ma._id <= mb._id THEN ma._id ELSE mb._id END AS doc_a,
+           CASE WHEN ma._id <= mb._id THEN mb._id ELSE ma._id END AS doc_b,
+           CAST(CASE WHEN ma._id <= mb._id THEN kp.la ELSE kp.lb END
+                AS BIGINT) AS len_a,
+           CAST(CASE WHEN ma._id <= mb._id THEN kp.lb ELSE kp.la END
+                AS BIGINT) AS len_b,
+           CAST(kp.dist AS BIGINT) AS dist
+    FROM kp
+    JOIN ids ma ON ma.key = kp.key_a
+    JOIN ids mb ON mb.key = kp.key_b
+    UNION ALL
+    -- identical-key pairs (distance 0): within-group expansion
+    SELECT x._id AS doc_a, y._id AS doc_b,
+           CAST(length(x.key) AS BIGINT) AS len_a,
+           CAST(length(y.key) AS BIGINT) AS len_b,
+           CAST(0 AS BIGINT) AS dist
+    FROM ids x JOIN ids y ON x.key = y.key AND x._id < y._id
     """,
 )
 def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

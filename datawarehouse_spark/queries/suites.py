@@ -89,6 +89,13 @@ SUITES: dict[str, list[Member]] = {
         ("a12_distinct", ["c_mktsegment"], ["c_nationkey"]),
         ("a17_top_n", ["c_name"], ["c_custkey", "revenue"]),
         ("a20_percentiles", ["o_orderpriority"], ["p50", "p95"]),
+        # two-phase salted hot-key agg (r13 rebalance: was a standalone
+        # driver row since r1; folded here to free a registry slot for
+        # llm_ffd_packing under the 50-entry gate cap — the suite union
+        # keeps it row-level hash-verified, and the salting plan assert
+        # lives in pytest regardless)
+        ("a11_salted_two_phase_agg", ["event_type"],
+         ["pv", "total_value"]),
         # Benford first-digit money-column audit (r10): injected-
         # literal expectations, decimal-string first digit
         ("dq_benford", ["digit"], ["n_d", "freq", "expected", "dev"]),
@@ -285,6 +292,12 @@ SUITES: dict[str, list[Member]] = {
         # sum-minus-self rewrite
         ("w15_exclude_current_row", [],
          ["o_orderkey", "o_custkey", "n", "peer_mean"]),
+        # composite funnel conversion (r13 rebalance: standalone driver
+        # row since r1, folded here — with w9/w10 it completes the
+        # funnel/cohort family — to free a registry slot under the
+        # 50-entry gate cap)
+        ("w8_funnel_conversion", ["c_mktsegment"],
+         ["clickers", "converted"]),
     ],
     # §2.3 core joins: multi-way inner, left outer
     "suite_join_core": [
@@ -322,6 +335,11 @@ SUITES: dict[str, list[Member]] = {
           "lift", "rank"]),
         ("j16_pit_dim_join", ["o_dt", "segment_at_order"],
          ["o_orderkey", "c_custkey", "eff_version"]),
+        # SCD2 dim versioning (r13 rebalance: standalone driver row
+        # since r1, folded next to its consumer j16_pit_dim_join to
+        # free a registry slot under the 50-entry gate cap)
+        ("scd2_dim_versioning", ["c_mktsegment", "is_current"],
+         ["c_custkey", "eff_version"]),
     ],
     # §2.10 pivot / unpivot (X3) + rule/mining tag profiles (X4) —
     # merged into one row to keep the driver registry within the ~50-
@@ -424,12 +442,9 @@ SUITES: dict[str, list[Member]] = {
         ("llm_quality_calibration", ["lang", "is_outlier"],
          ["doc_id", "n_tok", "stop_ratio", "slope", "intercept",
           "resid"]),
-        # label-propagation term communities (r11): which words travel
-        # together — the topic-cluster pass over the word co-occurrence
-        # graph (integer/string-exact LPA; lives here rather than in
-        # suite_graph for line balance — the graph line already carries
-        # the near-dup pair regeneration)
-        ("llm_word_communities", ["term", "community"], ["comm_size"]),
+        # (r13 rebalance: llm_word_communities moved HOME to
+        # suite_graph — the r11 "line balance" reason inverted once
+        # this line hit 10.15 s idle while suite_graph sat at 6.8)
         # (r10 rebalance: the shingle-fingerprint members — winnow,
         # novelty, dup-span coverage — moved to suite_fingerprints,
         # and the corpus-statistics members — zipf, tfidf — to
@@ -524,9 +539,9 @@ SUITES: dict[str, list[Member]] = {
     # every driver line under 16 s while preserving per-member
     # row-level hash verification)
     "suite_dedup_blocking": [
-        # sorted-neighborhood blocking (merge/purge window pairs)
-        ("llm_sorted_neighborhood", [],
-         ["doc_a", "doc_b", "gap", "n_a", "n_b", "inter", "jaccard"]),
+        # (r13 rebalance: sorted-neighborhood moved to the new
+        # suite_pair_blocking — this line measured 12.04 s idle; the
+        # remaining members are the span/edit-distance family)
         # (r10 rebalance: containment pairs moved to suite_minhash_lsh
         # — this was the heaviest driver line at 16.4 s idle / 18.6 s
         # in the r9 capture, one candidate-pair member over budget)
@@ -628,10 +643,10 @@ SUITES: dict[str, list[Member]] = {
         # coarse quantizer is the same unrolled-CTE k-means, so index
         # training AND probe+rerank replay exactly (VERDICT r8 ask #3)
         ("llm_ann_ivf_topk", [], ["q_id", "n_id", "cos", "rank"]),
-        # IVF-PQ on the decimal grid (r9): subspace-k-means codebooks
-        # trained with sub as a data dimension, ADC shortlist + exact
-        # rerank — the full FAISS pipeline under the hash gate
-        ("llm_ann_ivfpq_grid", [], ["q_id", "n_id", "cos", "rank"]),
+        # (r13 rebalance: llm_ann_ivfpq_grid promoted to its own
+        # standalone driver row — the suite measured 11.21 s idle and
+        # IVF-PQ was its 4.7 s heaviest member; as a standalone line a
+        # regression in the heaviest ANN pipeline is attributable)
     ],
     # corpus lifecycle + sketch-membership + eval ops (new in r8):
     # version diffing, Bloom contamination, exact-N sampling, and the
@@ -683,6 +698,10 @@ SUITES: dict[str, list[Member]] = {
         # TextRank keywords (r10): the PageRank engine over the word
         # co-occurrence graph, top-20 by centrality
         ("llm_textrank_keywords", ["term"], ["pr", "rank"]),
+        # label-propagation term communities (r13 rebalance: moved
+        # home from suite_text_quality — integer/string-exact LPA over
+        # the same word co-occurrence graph TextRank walks)
+        ("llm_word_communities", ["term", "community"], ["comm_size"]),
     ],
     # streaming batch twins (r10: four standalone driver rows folded
     # into one line — each stays row-level hash-verified through the
@@ -744,6 +763,10 @@ SUITES: dict[str, list[Member]] = {
         # 8-stage SQL program (entry + per-level beam expansions) —
         # closes the family's last TESTS_ONLY boundary
         ("llm_hnsw_search", [], ["q_id", "n_id", "cos", "rank"]),
+        # resize/resample (r13, the last TESTS_ONLY op graduated): the
+        # Arrow mapInPandas strided-byte pick, hex-projected so the
+        # actual output bytes hash-verify against the DuckDB replay
+        ("mm_resize", ["kind", "payload_hex"], ["media_id", "n_bytes"]),
     ],
     # MinHash pipeline: signatures + LSH banding candidates (merged
     # from two standalone rows in r9 for the same 50-entry reason —
@@ -755,9 +778,20 @@ SUITES: dict[str, list[Member]] = {
          ["mh0", "mh1", "mh2", "mh3", "mh4", "mh5", "mh6", "mh7"],
          ["doc_id"]),
         ("llm_minhash_lsh_candidates", [], ["doc_a", "doc_b"]),
-        # directed containment (quote/subset) pairs (r10 rebalance:
-        # from suite_dedup_blocking — same candidate-pair-generation
-        # family, and this line had the headroom)
+        # (r13 rebalance: llm_containment_pairs moved to the new
+        # suite_pair_blocking — this line measured 11.66 s idle, and
+        # containment was its 4.5 s heaviest member)
+    ],
+    # candidate-pair generation via blocking (r13: split from the
+    # over-budget suite_minhash_lsh / suite_dedup_blocking lines —
+    # 11.66 / 12.04 s idle vs the ~10 s working ceiling; these two are
+    # the same family: bounded pair nomination through a global order
+    # window and through asymmetric shingle containment)
+    "suite_pair_blocking": [
+        # sorted-neighborhood blocking (merge/purge window pairs)
+        ("llm_sorted_neighborhood", [],
+         ["doc_a", "doc_b", "gap", "n_a", "n_b", "inter", "jaccard"]),
+        # directed containment (quote/subset) pairs
         ("llm_containment_pairs", [],
          ["doc_a", "doc_b", "n_a", "n_b", "inter", "containment"]),
     ],
@@ -776,7 +810,7 @@ FINAL_ORDER: list[str] = [
     "suite_agg_basic",
     "suite_cube_rollup",
     "dq_audit",
-    "a11_salted_two_phase_agg",
+    # (r13: a11_salted_two_phase_agg folded into suite_agg_basic)
     "a18_approx_distinct",
     "a19_groupagg_in_subquery",
     "suite_agg_rewrites",
@@ -786,7 +820,7 @@ FINAL_ORDER: list[str] = [
     "suite_dates_json",
     "suite_windows_basic",
     "suite_windows_analytic",
-    "w8_funnel_conversion",
+    # (r13: w8_funnel_conversion folded into suite_windows_analytic)
     "suite_join_core",
     "j1_six_way_star",
     "j4_broadcast_dims",
@@ -794,7 +828,7 @@ FINAL_ORDER: list[str] = [
     "suite_skew_joins",
     "suite_join_misc",
     "j15_asof_join",
-    "scd2_dim_versioning",
+    # (r13: scd2_dim_versioning folded into suite_join_misc)
     "suite_tpch",
     "suite_reshape_profiles",
     "x2_predicate_table_join",
@@ -809,6 +843,9 @@ FINAL_ORDER: list[str] = [
     "suite_corpus_stats",
     "suite_dedup_pairs",
     "suite_dedup_blocking",
+    # candidate-pair blocking strategies (r13: the over-ceiling
+    # members of suite_minhash_lsh / suite_dedup_blocking, rehomed)
+    "suite_pair_blocking",
     "suite_corpus_mix",
     # the end-to-end corpus pipeline is the single heaviest entry (it
     # recomputes the dedup keep-list, contamination scan, repetition,
@@ -820,7 +857,14 @@ FINAL_ORDER: list[str] = [
     "llm_simhash_pairs",
     "llm_dedup_clusters",
     "llm_dedup_keep",
+    # tokenizer-aware first-fit-decreasing packing (r13 stretch, its
+    # own line: 7 fixed unroll stages make it too heavy to fold into
+    # suite_corpus_mix without breaching the working ceiling)
+    "llm_ffd_packing",
     "suite_embeddings",
+    # IVF-PQ, the heaviest ANN pipeline, standalone since r13 (pulled
+    # from suite_embeddings at 11.21 s idle)
+    "llm_ann_ivfpq_grid",
     # PageRank over the near-dup graph — standalone since the r8
     # rebalance (it alone is ~7 s at sf0.1; as its own line a
     # regression is attributable and suite_embeddings stays under the
@@ -843,7 +887,9 @@ DRIVER_GATE_CAP = 50
 
 # Raw queries intentionally NOT in the driver registry (no deterministic
 # SQL oracle possible — verified by dedicated pytest properties instead):
-#   mm_resize (codec stub, roundtrip test). llm_ann_lsh_topk
+#   EMPTY since r13 — mm_resize, the last member, graduated to the
+#   driver gate (hex-projected strided-byte output vs a DuckDB replay;
+#   VERDICT r12 ask #7). History: llm_ann_lsh_topk
 #   graduated to the driver gate in r8 (md5-derived hyperplanes make
 #   the bucket+rerank path oracle-replayable, queries/llm.py::
 #   _lsh_ann_oracle); llm_ann_ivf_topk graduated in r9 (grid-exact
@@ -853,7 +899,7 @@ DRIVER_GATE_CAP = 50
 #   oracle-replayed); the FAISS-shaped cached-index speed variant
 #   stays as a plain function (queries/llm.py::llm_ann_ivfpq_topk)
 #   with recall + cache-invalidation properties in pytest.
-TESTS_ONLY: frozenset[str] = frozenset({"mm_resize"})
+TESTS_ONLY: frozenset[str] = frozenset()
 
 
 def _canon_spark(

@@ -265,6 +265,30 @@ class SnapshotTable:
         no window."""
         from pyspark.sql import functions as F
 
+        # _t/_s are the internal match markers injected below; a user
+        # column of either name would be silently REPLACED by the
+        # withColumn (Spark resolves case-insensitively by default) and
+        # every rewritten row committed with the marker literal — the
+        # same loud-failure rule optimize() applies to its __zo/z* names
+        reserved = {"_t", "_s"}
+        tcols = self.read().columns
+        for side, colset in (("target", tcols), ("source", source.columns)):
+            hit = [c for c in colset if c.lower() in reserved]
+            if hit:
+                raise ValueError(
+                    f"merge: {side} column(s) {hit} collide with merge's "
+                    "internal match markers (_t, _s; case-insensitive) — "
+                    "rename them before merging"
+                )
+        if update_set is not None:
+            unknown = sorted(set(update_set) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"merge: update_set names unknown target column(s) "
+                    f"{unknown} — a typo here would otherwise commit a "
+                    "version with no update applied (Delta raises an "
+                    "unresolved-column error for the same mistake)"
+                )
         n_src = source.count()
         n_keys = source.select(on).distinct().count()
         if n_keys != n_src:

@@ -499,6 +499,17 @@ def test_hnsw_build_guards(spark):
             few, dense_layer_cap=0, require_dense=True,
             level_src=F.col("vec_id"),
         )
+    # (d) r13: the search side's query-batch bound — hnsw_topk
+    # broadcasts the query table, so an over-MAX_BEAM_QUERIES set must
+    # fail loudly (naming the batch-ANN alternatives) BEFORE any build
+    # work, not OOM an executor at scale
+    big_q = spark.range(similarity.MAX_BEAM_QUERIES + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).cast("array<float>")
+        .alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="MAX_BEAM_QUERIES"):
+        similarity.hnsw_topk(few, big_q)
 
 
 def test_sql_qualify_facade_matches_duckdb(spark, duck, tmp_path):

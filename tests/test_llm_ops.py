@@ -2128,3 +2128,56 @@ def test_exact_dup_spans_hand_crafted(spark):
         for r in dedup.exact_dup_spans(docs2, min_len=20).collect()
     }
     assert got2 == {(1, 5, 25, 21), (2, 5, 25, 21)}
+
+
+def test_ffd_packing_hand_check_and_invariants(spark):
+    """r13 (VERDICT r12 ask #8) — first-fit-decreasing packing.
+    Hand-check: 8 docs, budget 10, one packing group (group_size=8).
+    Lengths sorted descending 9,7,6,5,4,3,2,2 pack by first-fit as
+    bins [9],[7,3],[6,4],[5,2,2] — greedy fills the EARLIEST bin with
+    room, so doc len 3 lands next to 7, not 6. Invariants on the
+    fixture corpus: hard budget respected (a bin over budget must be
+    a single oversized item), every doc assigned exactly once, and
+    bin_load / n_in_bin equal the recomputed sums of the members."""
+    from datawarehouse_spark.operators import text as T
+
+    rows = [
+        (1, " ".join(["w"] * 9)),
+        (2, " ".join(["w"] * 7)),
+        (3, " ".join(["w"] * 6)),
+        (4, " ".join(["w"] * 5)),
+        (5, " ".join(["w"] * 4)),
+        (6, " ".join(["w"] * 3)),
+        (7, " ".join(["w"] * 2)),
+        (8, " ".join(["w"] * 2)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_load"], r["n_in_bin"])
+        for r in T.ffd_packing(docs, budget=10, group_size=8).collect()
+    }
+    assert got == {
+        1: (0, 9, 1),          # 9 alone
+        2: (1, 10, 2), 6: (1, 10, 2),   # 7+3 (first fit, not best fit)
+        3: (2, 10, 2), 5: (2, 10, 2),   # 6+4
+        4: (3, 9, 3), 7: (3, 9, 3), 8: (3, 9, 3),  # 5+2+2
+    }
+
+    corpus = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    out = T.ffd_packing(corpus, budget=128, group_size=8).collect()
+    assert len(out) == corpus.count()  # every doc assigned once
+    assert len({r["doc_id"] for r in out}) == len(out)
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for rows_ in by_bin.values():
+        load = rows_[0]["bin_load"]
+        assert load == sum(r["n_tokens"] for r in rows_)
+        assert all(r["n_in_bin"] == len(rows_) for r in rows_)
+        # hard budget: overflow only for a lone oversized item
+        assert load <= 128 or (
+            len(rows_) == 1 and rows_[0]["n_tokens"] > 128
+        )

@@ -123,3 +123,46 @@ def test_standalone_entries_nonempty(spark, name):
     assert QUERIES[name](spark, SF_DRIVER).head(1), (
         f"{name} empty at sf0.01 — fixture drift?"
     )
+
+
+NAIVE_EDIT_DISTANCE_ORACLE = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 6000000,
+             substr(text, 1, 4) || 'Z' || substr(text, 6)
+      FROM documents WHERE doc_id % 50 = 0
+    ), k AS (
+      SELECT doc_id, substr(text, 1, 40) AS key FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(length(a.key) AS BIGINT) AS len_a,
+           CAST(length(b.key) AS BIGINT) AS len_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+      AND abs(length(a.key) - length(b.key)) <= 2
+    WHERE levenshtein(a.key, b.key) <= 2
+"""
+
+
+def test_edit_distance_passjoin_oracle_equals_naive(duck):
+    """r13 (VERDICT r12 ask #5): llm_edit_distance_pairs' registry
+    oracle was rewritten from the naive all-pairs levenshtein join
+    (~2.3 h at sf1) to the same lossless Pass-Join segment identity
+    the Spark operator uses, so the full-registry sf1 sweep can run it
+    at full scale. This pins the rewrite: both SQL forms, executed by
+    DuckDB on the same corpus (with the same typo injection), must
+    produce the identical row multiset — the pigeonhole filter is
+    lossless, so the rewritten oracle is still EXACT."""
+    from datawarehouse_spark.queries import ORACLES_RAW
+
+    naive = duck.execute(
+        f"SELECT * FROM ({NAIVE_EDIT_DISTANCE_ORACLE}) "
+        "ORDER BY doc_a, doc_b"
+    ).fetchall()
+    passjoin = duck.execute(
+        f"SELECT * FROM ({ORACLES_RAW['llm_edit_distance_pairs']}) "
+        "ORDER BY doc_a, doc_b"
+    ).fetchall()
+    assert naive, "fixture must produce edit-distance pairs"
+    assert passjoin == naive

@@ -549,6 +549,45 @@ def test_merge_full_clause_semantics(spark, tmp_path):
         t.merge(dup, on="k")
 
 
+def test_merge_guards_reserved_markers_and_unknown_update_keys(
+    spark, tmp_path
+):
+    """r13 (advisor): (a) a user column named _t or _s — any case —
+    collides with merge's internal match markers (withColumn would
+    silently REPLACE it and commit the marker literal into every
+    rewritten row) and must raise up front, on either side; (b) an
+    update_set key that names no target column is a typo that would
+    otherwise commit a no-op version silently — Delta raises an
+    unresolved-column error, so we raise a ValueError naming the
+    unknown keys."""
+    import pytest
+
+    t = SnapshotTable.create(
+        spark,
+        spark.createDataFrame([(1, 10)], "k long, val long"),
+        str(tmp_path / "mg"),
+    )
+    src_bad = spark.createDataFrame([(1, 5, 1)], "k long, val long, _T long")
+    with pytest.raises(ValueError, match="internal match markers"):
+        t.merge(src_bad, on="k")
+
+    t2 = SnapshotTable.create(
+        spark,
+        spark.createDataFrame([(1, 10, 0)], "k long, val long, _s long"),
+        str(tmp_path / "mg2"),
+    )
+    with pytest.raises(ValueError, match="internal match markers"):
+        t2.merge(spark.createDataFrame([(1, 5, 1)],
+                                       "k long, val long, _s long"), on="k")
+
+    src = spark.createDataFrame([(1, 5)], "k long, val long")
+    with pytest.raises(ValueError, match=r"unknown target column.*vall"):
+        t.merge(src, on="k", update_set={"vall": "s.val"})
+    # and the guard must not reject a legitimate update
+    v = t.merge(src, on="k", update_set={"val": "t.val + s.val"})
+    assert {(r.k, r.val) for r in t.read(v).collect()} == {(1, 15)}
+
+
 def test_merge_partitioned_prunes_untouched_partitions(spark, tmp_path):
     """Partitioned MERGE rewrites only the partitions the source
     touches — the untouched partition's data files survive

@@ -1180,6 +1180,142 @@ def test_near_dup_verified_gate_and_precision_audit(spark):
     assert got == ver
 
 
+def test_streaming_verified_gate_replay_idempotent(spark, tmpdir):
+    """r13 (advisor): the VERIFY-THEN-DROP near-dup gate as an
+    incremental foreachBatch pipeline with KILL-RESTART replay parity
+    — the missing t23 sibling of the t22/t24 kill tests. Both
+    registries (bands AND shingle arrays) live in SnapshotTables, each
+    epoch consults strictly-earlier epochs only (the documented replay
+    contract), a mid-stream kill after the epoch's registry commits
+    forces a replay, and the accumulated decisions after restart must
+    equal dedup.near_dup_replay_verified row for row. This pins BOTH
+    halves of the idempotence story: the epoch filter (a replayed
+    batch must not see its own killed attempt's rows) and the gate's
+    internal _p != _d self-exclusion (a doc must never drop for
+    colliding with its own registered bands at Jaccard 1)."""
+    import os
+
+    from datawarehouse_spark.operators import dedup
+    from datawarehouse_spark.sources.snapshot import SnapshotTable
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    near = (
+        docs.filter(F.col("doc_id") < 40)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    train = docs.unionByName(near).localCheckpoint(eager=True)
+
+    want = {
+        r["doc_id"]: (r["dup_near"], r["keep"])
+        for r in dedup.near_dup_replay_verified(train, tau=0.5).collect()
+    }
+    assert {v[0] for v in want.values()} == {True, False}
+
+    ids = sorted(want)
+    cut1, cut2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    chunks = [
+        train.filter(F.col("doc_id") < cut1),
+        train.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        train.filter(F.col("doc_id") >= cut2),
+    ]
+    src = f"{tmpdir}/vg_src"
+    os.makedirs(src)
+    for i, ch in enumerate(chunks):
+        staged = f"{tmpdir}/vg_stage{i}"
+        ch.coalesce(1).write.parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        os.rename(f"{staged}/{part}", f"{src}/b{i}.parquet")
+
+    band_path = f"{tmpdir}/vg_bands"
+    sh_path = f"{tmpdir}/vg_shingles"
+    out_dir = f"{tmpdir}/vg_out"
+    kill_flag = f"{tmpdir}/vg_kill"
+    open(kill_flag, "w").close()
+
+    def ingest(batch_df, epoch_id):
+        ss = batch_df.sparkSession
+        e = int(epoch_id)
+        has_bands = os.path.isdir(os.path.join(band_path, "_manifests"))
+        has_sh = os.path.isdir(os.path.join(sh_path, "_manifests"))
+        seen_bands = seen_sh = None
+        if has_bands:
+            # strictly-earlier epochs only — the replay contract
+            seen_bands = (
+                SnapshotTable(ss, band_path).read()
+                .filter(F.col("epoch") < e)
+                .select("doc_id", "band_idx", "band_key")
+            )
+        if has_sh:
+            seen_sh = (
+                SnapshotTable(ss, sh_path).read()
+                .filter(F.col("epoch") < e)
+                .select("doc_id", "_arr")
+            )
+        decisions, nb, sh = dedup.near_dup_increment_verified(
+            batch_df, seen_bands, seen_sh, tau=0.5
+        )
+        decisions.write.mode("overwrite").parquet(f"{out_dir}/epoch={e}")
+        nb_tagged = nb.select(
+            "doc_id", "band_idx", "band_key", F.lit(e).alias("epoch"),
+            F.concat_ws(
+                "\x1f", F.col("doc_id").cast("string"),
+                F.col("band_idx").cast("string"), F.col("band_key"),
+            ).alias("bk"),
+        )
+        sh_tagged = sh.select(
+            "doc_id", "_arr", F.lit(e).alias("epoch"),
+            F.col("doc_id").cast("string").alias("bk"),
+        )
+        if has_bands:
+            SnapshotTable(ss, band_path).upsert(nb_tagged, key="bk")
+        else:
+            SnapshotTable.create(ss, nb_tagged, band_path)
+        if has_sh:
+            SnapshotTable(ss, sh_path).upsert(sh_tagged, key="bk")
+        else:
+            SnapshotTable.create(ss, sh_tagged, sh_path)
+        if e == 1 and os.path.exists(kill_flag):
+            raise RuntimeError("injected mid-stream kill after writes")
+
+    def run():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{tmpdir}/vg_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run()
+    try:
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass
+    finally:
+        q.stop()
+    assert q.exception() is not None, "the injected kill must fire"
+
+    os.remove(kill_flag)
+    q2 = run()
+    try:
+        q2.awaitTermination(180)
+    finally:
+        q2.stop()
+    assert q2.exception() is None
+
+    got = {
+        r["doc_id"]: (r["dup_near"], r["keep"])
+        for r in spark.read.parquet(f"{out_dir}/epoch=*").collect()
+    }
+    assert got == want
+
+
 def test_exact_span_gate_increment_matches_batch_twin(spark):
     """r12 — the exact-substring dedup gate's incremental-safety
     contract: 3 id-ordered batches with the window-hash registry
