@@ -883,7 +883,7 @@ def _ffd_oracle(group_size: int, budget: int) -> str:
       WHERE i.slot = {s}
       GROUP BY 1, 2
     ), a{s} AS MATERIALIZED (
-      SELECT * FROM a{s - 1}
+      SELECT grp, doc_id, n_tokens, bin FROM a{s - 1}
       UNION ALL
       SELECT i.grp, i.doc_id, i.n_tokens,
              COALESCE(f.fbin, n.nb) AS bin

@@ -328,6 +328,14 @@ OPS = [
     # the query set stays pinned (vec_id < 8), so the beam stages are
     # constant-size and only the build scales
     "llm_hnsw_search",
+    # --- r13 roster ---
+    # FFD packing claims ONE block-offset global rank (range shuffle,
+    # no single-partition window) + 7 fixed unroll stages whose
+    # per-stage volume is n/group_size rows joined against
+    # ≤ group_size-row per-group bin tables — every stage linear in
+    # the corpus, stage COUNT constant, so the ratio should track the
+    # data ratio with the fixed 8-job overhead amortizing away
+    "llm_ffd_packing",
 ]
 
 

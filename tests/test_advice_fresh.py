@@ -213,6 +213,33 @@ TRIAGE: dict[str, dict[str, str]] = {
         "adjacency schema) instead of crashing in the pandas kernels; "
         "string-id corpus tested (test_hnsw_build_guards).",
     },
+    # --- r13 findings ---
+    "datawarehouse_spark/sources/snapshot.py:301": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/sources/snapshot.py",
+        "fix_pattern": r"internal match markers",
+        "note": "merge() raises up front when either side carries a "
+        "_t/_s column (case-insensitive) instead of silently replacing "
+        "it with the injected marker literal "
+        "(test_merge_guards_reserved_markers_and_unknown_update_keys).",
+    },
+    "datawarehouse_spark/sources/snapshot.py:320": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/sources/snapshot.py",
+        "fix_pattern": r"unknown target column",
+        "note": "merge() validates set(update_set) <= target columns and "
+        "raises naming the unknown keys — a typo'd column no longer "
+        "commits a silent no-op version (same test).",
+    },
+    "datawarehouse_spark/operators/dedup.py:1998": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/dedup.py",
+        "fix_pattern": r'F\.col\("_p"\) != F\.col\("_d"\)',
+        "note": "near_dup_increment_verified's registry partner join "
+        "self-excludes (_p != _d), and the strictly-earlier-epoch "
+        "caller contract is pinned by a kill-restart test "
+        "(test_streaming_verified_gate_replay_idempotent).",
+    },
 }
 
 FINDING_RE = re.compile(r"^- \*\*(\w+)\*\* ([\w./_-]+):(\d+) — ")

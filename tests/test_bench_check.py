@@ -114,3 +114,43 @@ def test_check_flag_fires_end_to_end(tmp_path):
     )
     assert r.returncode == 1, (r.returncode, r.stderr[-500:])
     assert "suite_scan_sort" in r.stderr and "REGRESSIONS" in r.stderr
+
+
+def test_contention_probe_and_flag_semantics():
+    """r13 (VERDICT r12 ask #1a): the idle protocol is mechanical. The
+    probe must (a) never count THIS process tree as foreign — pytest
+    itself contains 'pytest', so self-exclusion failing would flag
+    every capture; (b) report a numeric load average; and contended()
+    must trip on any probe with a foreign process and never on clean
+    probes (load alone is evidence, not a trigger — the bench's own
+    JVM saturates it)."""
+    p = bench.contention_probe()
+    assert isinstance(p["load1"], float)
+    assert all(":" in f for f in p["foreign"])
+    # this pytest process (and any spark JVM it spawned) is OUR tree;
+    # a foreign hit here would be a genuinely concurrent run, which
+    # the suite can't rule out — but self-pids must never appear
+    me = str(os.getpid()) + ":"
+    assert not any(f.startswith(me) for f in p["foreign"])
+    assert bench.contended([{"load1": 31.0, "foreign": []}]) is False
+    assert bench.contended(
+        [{"load1": 0.1, "foreign": []}, {"load1": 0.2, "foreign": ["7:java"]}]
+    ) is True
+
+
+def test_contended_flag_survives_compact_line_trims():
+    """The contended mark must never be trimmed out of the stdout line
+    — its absence asserts an idle capture, so silently dropping it
+    under the tail budget would re-create the r12 artifact problem."""
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": 1.0,
+        "unit": "sec",
+        "legacy_headline_total": 1.0,
+        "queries": {f"q{i:03d}": 0.123456 for i in range(120)},
+        "sf": 0.1,
+        "contended": True,
+    }
+    line = bench.compact_line(out)
+    assert len(line) <= bench.DRIVER_TAIL_BUDGET
+    assert json.loads(line).get("contended") is True
