@@ -469,12 +469,10 @@ SUITES: dict[str, list[Member]] = {
         # fingerprint belongs with the fingerprint diagnostics)
         ("llm_bloom_contamination", [],
          ["doc_id", "n_sh", "n_bloom", "n_exact", "n_fp", "bloom_frac"]),
-        # MinHash sketch-accuracy audit (r10): estimate vs exact
-        # Jaccard per LSH candidate pair — oracle-EXACT because the
-        # md5mix signatures are deterministic in both engines
-        ("llm_minhash_accuracy", [],
-         ["doc_a", "doc_b", "n_match", "est_jaccard", "jaccard",
-          "abs_err"]),
+        # (r13 pass 2: llm_minhash_accuracy moved HOME to
+        # suite_minhash_lsh — this line measured 10.04 s idle, exactly
+        # at the working target with zero r14 headroom, and the
+        # accuracy audit is the MinHash pipeline's own diagnostic)
     ],
     # corpus-level term statistics (r10 rebalance: pulled from the
     # overweight text-quality and corpus-mix lines — these five are
@@ -781,6 +779,14 @@ SUITES: dict[str, list[Member]] = {
         # (r13 rebalance: llm_containment_pairs moved to the new
         # suite_pair_blocking — this line measured 11.66 s idle, and
         # containment was its 4.5 s heaviest member)
+        # MinHash sketch-accuracy audit (r13 pass 2, from
+        # suite_fingerprints): estimate vs exact Jaccard per LSH
+        # candidate pair — the pipeline's own diagnostic, oracle-EXACT
+        # because the md5mix signatures are deterministic in both
+        # engines
+        ("llm_minhash_accuracy", [],
+         ["doc_a", "doc_b", "n_match", "est_jaccard", "jaccard",
+          "abs_err"]),
     ],
     # candidate-pair generation via blocking (r13: split from the
     # over-budget suite_minhash_lsh / suite_dedup_blocking lines —
