@@ -900,3 +900,59 @@ def test_global_rank_rejects_internal_column_collisions(spark):
     df2 = spark.range(10).withColumn("_cum_in", F.lit(1))
     with pytest.raises(ValueError, match="_cum_in"):
         global_cumsum(df2, [F.asc("id")], "_cum_in")
+
+
+# --- r13: first-fit-decreasing packing vs a pure-Python reference ---
+
+FFD_LENS = st.lists(st.integers(min_value=0, max_value=30),
+                    min_size=1, max_size=24)
+
+
+def _ffd_reference(lens: dict[int, int], budget: int, group_size: int):
+    """Literal first-fit-decreasing, the sequential textbook form:
+    sort by (tokens DESC, id), cut into rank-contiguous groups, and
+    within each group place every item into the lowest-numbered bin
+    with room, else open a new one. Returns {id: (global_bin, load)}."""
+    order = sorted(lens, key=lambda i: (-lens[i], i))
+    out = {}
+    for g in range(0, len(order), group_size):
+        bins: list[int] = []
+        members: list[list[int]] = []
+        for i in order[g:g + group_size]:
+            for b, load in enumerate(bins):
+                if load + lens[i] <= budget:
+                    bins[b] += lens[i]
+                    members[b].append(i)
+                    break
+            else:
+                bins.append(lens[i])
+                members.append([i])
+        grp = g // group_size
+        for b, ids in enumerate(members):
+            for i in ids:
+                out[i] = (grp * group_size + b, bins[b])
+    return out
+
+
+@given(lens=FFD_LENS,
+       budget=st.integers(min_value=1, max_value=40),
+       group_size=st.integers(min_value=2, max_value=9))
+@_SETTINGS
+def test_ffd_packing_matches_sequential_reference(spark, lens, budget,
+                                                  group_size):
+    """llm_ffd_packing's distributed unroll (block-offset global rank +
+    fixed per-slot stages) must reproduce the SEQUENTIAL textbook FFD
+    bit-for-bit on arbitrary inputs — including ties (same length →
+    id order), items larger than the budget (own bin), zero-length
+    items, and partial final groups."""
+    from datawarehouse_spark.operators import text as T
+
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(lens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_load"])
+        for r in T.ffd_packing(docs, budget=budget,
+                               group_size=group_size).collect()
+    }
+    want = _ffd_reference(dict(enumerate(lens)), budget, group_size)
+    assert got == want
