@@ -1608,8 +1608,11 @@ def edit_distance_pairs(
       (2d+1)²·(d+1) rows per key — joined on (M, slot, piece hash);
     * the length filter |len(a)-len(b)| <= d holds by construction
       (M = len(b)); keys shorter than ``2d+1`` (segments would go
-      empty) route through a small all-pairs bucket, bounded because
-      both sides of any such pair are short.
+      empty) route through a small fallback bucket joined against
+      every key shorter than ``3d+1`` — bounded because the length
+      filter caps any short key's partner at ``(2d)+d`` chars, and
+      covering the mixed (short, long-enough-to-segment) pairs the
+      pigeonhole branches structurally miss.
 
     Verification is a single JVM ``levenshtein`` per candidate —
     whole-stage codegen, no UDF — so even a piece-hash collision can
@@ -1705,20 +1708,31 @@ def edit_distance_pairs(
         )
         .distinct()
     )
-    # short keys (< 2d+1 chars): both sides of any qualifying pair
-    # are short (length filter), so an all-pairs join within the
-    # short bucket restores losslessness at bounded cost
+    # short keys (< 2d+1 chars): the segment pigeonhole needs d+1
+    # non-empty segments, so short keys never enter probe/idx. Any
+    # qualifying PARTNER of a short key has length <= (cut-1)+d by
+    # the length filter — so the lossless fallback is short × (all
+    # keys shorter than cut+d), still a bounded bucket (both sides
+    # come from a constant-length key domain). NOTE the partner side
+    # deliberately includes keys of length cut..cut+d-1: a (4, 5)
+    # pair is produced by NEITHER pigeonhole branch, and the earlier
+    # both-short form silently dropped it (r13 review finding —
+    # latent on the 40-char fixture keys, pinned by
+    # test_edit_distance_short_long_boundary_pairs).
     sa = keys.filter(F.col("klen") < cut).select(
         F.col("kid").alias("ka"), F.col("klen").alias("la"))
-    sb = keys.filter(F.col("klen") < cut).select(
+    sb = keys.filter(F.col("klen") < cut + d).select(
         F.col("kid").alias("kb"), F.col("klen").alias("lb"))
     short_cand = (
         sa.join(
             sb,
-            (F.col("ka") < F.col("kb"))
+            (F.col("ka") != F.col("kb"))
             & (F.abs(F.col("la") - F.col("lb")) <= F.lit(d)),
         )
-        .select("ka", "kb")
+        .select(
+            F.least("ka", "kb").alias("ka"),
+            F.greatest("ka", "kb").alias("kb"),
+        )
         .distinct()
     )
     ja = keys.select(F.col("kid").alias("ka"), F.col("key").alias("key_a"),

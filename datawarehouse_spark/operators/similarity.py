@@ -1769,10 +1769,12 @@ def hnsw_topk(
     the batch is capped at ``MAX_BEAM_QUERIES`` — oversized query sets
     fail loudly with the batch-ANN recipe instead of OOMing an
     executor."""
-    n_q = queries.count()
-    if n_q > MAX_BEAM_QUERIES:
+    # limit(cap+1).count() answers "is it over the cap" scanning at
+    # most cap+1 rows — a bare count() would execute the full query
+    # plan once for the guard and again for the search
+    if queries.limit(MAX_BEAM_QUERIES + 1).count() > MAX_BEAM_QUERIES:
         raise ValueError(
-            f"hnsw_topk: {n_q} queries exceeds MAX_BEAM_QUERIES="
+            f"hnsw_topk: query set exceeds MAX_BEAM_QUERIES="
             f"{MAX_BEAM_QUERIES} — beam search broadcasts the query "
             "table to every executor; for corpus-sized query sets use "
             "ivf_topk / lsh_ann_topk (shuffle-partitioned) or chunk "

@@ -2976,10 +2976,14 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON p.m = i.m AND p.slot = i.slot AND p.piece = i.piece
       WHERE p.ka <> i.kb
       UNION
-      SELECT a.kid AS ka, b.kid AS kb
+      -- short-key fallback: a short key's qualifying partner is at
+      -- most (cut-1)+d = 6 chars, so join short × (len < cut+d) —
+      -- covering the mixed (4, 5..6) pairs neither pigeonhole branch
+      -- reaches (mirrors the Spark operator's r13 fix)
+      SELECT least(a.kid, b.kid) AS ka, greatest(a.kid, b.kid) AS kb
       FROM keys a JOIN keys b
-        ON a.kid < b.kid AND abs(a.klen - b.klen) <= 2
-      WHERE a.klen < 5 AND b.klen < 5
+        ON a.kid <> b.kid AND abs(a.klen - b.klen) <= 2
+      WHERE a.klen < 5 AND b.klen < 7
     ),
     kp AS MATERIALIZED (
       SELECT a.key AS key_a, b.key AS key_b, a.klen AS la, b.klen AS lb,

@@ -166,3 +166,76 @@ def test_edit_distance_passjoin_oracle_equals_naive(duck):
     ).fetchall()
     assert naive, "fixture must produce edit-distance pairs"
     assert passjoin == naive
+
+
+def test_edit_distance_short_long_boundary_pairs(spark):
+    """r13 review finding: a (len 4, len 5) key pair within distance d
+    is produced by NEITHER Pass-Join pigeonhole branch (short keys
+    can't form d+1 non-empty segments; the probe/index sides carry
+    only len >= 2d+1 keys), and the original both-short fallback
+    dropped it silently — latent on the 40-char fixture keys. The
+    fallback now joins short × (len < 3d+1). Toy corpus with keys
+    'abcd'/'abcde'/'abcdef'/'abcdefgh': expected pairs are every
+    combination within levenshtein 2 across the 4/5/6-length keys,
+    plus none to the 8-length key (distance filter), computed here by
+    brute force as the in-test oracle."""
+    import itertools
+
+    # brute-force levenshtein (tiny inputs)
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from datawarehouse_spark.operators import dedup
+
+    rows = [(1, "abcd"), (2, "abcde"), (3, "abcdef"), (4, "abcdefgh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dedup.edit_distance_pairs(docs, max_dist=2).collect()
+    }
+    texts = dict(rows)
+    want = {
+        (a, b, lev(texts[a], texts[b]))
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if abs(len(texts[a]) - len(texts[b])) <= 2
+        and lev(texts[a], texts[b]) <= 2
+    }
+    assert (1, 2, 1) in want  # the boundary pair that was dropped
+    assert got == want
+
+
+def test_edit_distance_passjoin_oracle_short_keys():
+    """Oracle-side twin of the boundary fix: the Pass-Join SQL must
+    equal the naive SQL on a corpus CONTAINING short texts (the
+    committed fixture's keys are all 40 chars, so the registry parity
+    test can never exercise the short bucket)."""
+    import duckdb
+
+    from datawarehouse_spark.queries import ORACLES_RAW
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE documents AS SELECT * FROM (VALUES
+          (1, 'abcd'), (2, 'abcde'), (3, 'abcdef'), (4, 'abcdefgh'),
+          (50, 'abc'), (100, 'xyzw'),
+          (5, 'a much longer document text that exceeds forty characters easily for key tests'),
+          (6, 'a much longer document text that exceeds forty characters easilx for key tests')
+        ) AS t(doc_id, text)
+    """)
+    naive = con.execute(
+        f"SELECT * FROM ({NAIVE_EDIT_DISTANCE_ORACLE}) ORDER BY 1, 2"
+    ).fetchall()
+    passjoin = con.execute(
+        f"SELECT * FROM ({ORACLES_RAW['llm_edit_distance_pairs']}) "
+        "ORDER BY 1, 2"
+    ).fetchall()
+    assert any(r[2] < 5 or r[3] < 5 for r in naive), \
+        "corpus must exercise the short-key bucket"
+    assert passjoin == naive
