@@ -397,7 +397,15 @@ def ffd_packing(df: DataFrame, id_col: str = "doc_id",
                 F.coalesce("_fbin", "_nb").cast("bigint").alias("bin"),
             )
         )
-        assign = assign.unionByName(chosen).localCheckpoint(eager=True)
+        assign = assign.unionByName(chosen)
+        # checkpoint every OTHER stage (and the last): each
+        # un-checkpointed stage references `assign` twice (the loads
+        # branch and the union branch), so skipping one checkpoint
+        # doubles that stage's subtree once — bounded — while halving
+        # the number of eager jobs, which dominate the operator's
+        # fixture-scale cost
+        if s % 2 == 0 or s == group_size - 1:
+            assign = assign.localCheckpoint(eager=True)
     occupancy = assign.groupBy("grp", "bin").agg(
         F.sum("n_tokens").alias("bin_load"),
         F.count(F.lit(1)).alias("n_in_bin"),
