@@ -138,6 +138,65 @@ def test_contention_probe_and_flag_semantics():
     ) is True
 
 
+def test_settle_returns_immediately_when_idle(monkeypatch):
+    """r14 (VERDICT r13 ask #1): an idle host must cost the settle loop
+    nothing — one probe, no sleep, so --only iteration stays fast."""
+    monkeypatch.setattr(
+        bench, "contention_probe",
+        lambda: {"load1": 0.1, "foreign": []},
+    )
+    probes = bench.settle(max_wait=120.0, interval=0.01)
+    assert len(probes) == 1 and not probes[0]["foreign"]
+
+
+def test_settle_waits_out_contender(monkeypatch):
+    """A contender that exits mid-settle: the loop must keep probing
+    until TWO consecutive clean probes (absorbing the JVM shutdown
+    race) and return the full probe trail as evidence."""
+    seq = iter([["7:java"], ["7:java"], [], []])
+    monkeypatch.setattr(
+        bench, "contention_probe",
+        lambda: {"load1": 1.0, "foreign": next(seq, [])},
+    )
+    probes = bench.settle(max_wait=60.0, interval=0.01)
+    assert len(probes) == 4
+    assert probes[0]["foreign"] and not probes[-1]["foreign"]
+    assert not probes[-2]["foreign"]  # double-clean before returning
+
+
+def test_settle_bounded_when_contender_persists(monkeypatch):
+    """A contender that outlives the budget: settle must give up at
+    max_wait and return (the contended-stamping path then applies) —
+    never hang the bench."""
+    monkeypatch.setattr(
+        bench, "contention_probe",
+        lambda: {"load1": 9.0, "foreign": ["7:java"]},
+    )
+    import time as _t
+
+    t0 = _t.monotonic()
+    probes = bench.settle(max_wait=0.05, interval=0.01)
+    assert _t.monotonic() - t0 < 5.0
+    assert all(p["foreign"] for p in probes)
+
+
+def test_probe_sampler_sees_mid_window_contender(monkeypatch):
+    """ADVICE r13 (bench.py:162): endpoint-only sampling missed a
+    contender living entirely inside the bench window. The background
+    sampler must append probes during the timed region."""
+    monkeypatch.setattr(
+        bench, "contention_probe",
+        lambda: {"load1": 2.0, "foreign": ["9:java"]},
+    )
+    probes: list[dict] = []
+    import time as _t
+
+    with bench.ProbeSampler(probes, interval=0.02):
+        _t.sleep(0.2)
+    assert len(probes) >= 2, probes
+    assert bench.contended(probes) is True
+
+
 def test_contended_flag_survives_compact_line_trims():
     """The contended mark must never be trimmed out of the stdout line
     — its absence asserts an idle capture, so silently dropping it
