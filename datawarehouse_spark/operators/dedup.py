@@ -1077,18 +1077,28 @@ def sorted_neighborhood_pairs(
         )
     from datawarehouse_spark.operators.rank import global_rank
 
-    base = df.select(
-        F.col(id_col),
-        F.col(text).alias("k"),
-        shingles_col(text, n).alias("arr"),
-    )
-    # the ranked frame is localCheckpoint'ed inside global_rank, so
-    # the range shuffle + shingle build run once and both join sides
-    # read the materialized blocks
-    g = global_rank(
+    base = df.select(F.col(id_col), F.col(text).alias("k"))
+    # keep=[id]: the rank checkpoint materializes (id, _mid) ONLY —
+    # the sort consumes the text before the checkpoint, and the
+    # shingle arrays never enter it. Through r13 the checkpoint held
+    # text + arrays as deserialized JVM objects, and that resident
+    # ballast is what OOM'd the suite_pair_blocking sf1 union at the
+    # default heap while each member passed alone (SCALE.md r13).
+    ranks = global_rank(
         base, [F.asc("k"), F.asc(id_col)], n_blocks=n_blocks,
-        rank_col="grn",
-    ).select(
+        rank_col="grn", keep=[id_col],
+    )
+    # payload rejoin by key: the shingle build is a cheap JVM-side
+    # string op recomputed per consumer, and the join shuffles it
+    # once per side — spillable, unlike a memory checkpoint
+    payload = df.select(
+        F.col(id_col), shingles_col(text, n).alias("arr")
+    )
+    # shuffle_hash-hint: the payload side carries shingle arrays —
+    # broadcasting it would rebuild the very driver-memory ballast the
+    # slim checkpoint just removed, and sort-merge would sort
+    # array-carrying rows; SHJ builds tiny per-partition doc slices
+    g = ranks.join(payload.hint("shuffle_hash"), id_col).select(
         F.col(id_col),
         "arr",
         "grn",
@@ -1142,19 +1152,35 @@ def containment_pairs(
     embedded licenses, copy-pasted passages) filters on containment.
     Emits ordered (doc_a ⊆-ish doc_b) rows: containment of a IN b.
 
-    Scale shape: identical machinery to ngram_jaccard_pairs — one
-    exploded int64-hashed shingle self-join (both orders kept, since
-    the relation is directed) + per-doc sizes; the same
-    ``max_shingle_freq`` broadcast-anti-join cap bounds hot-shingle
-    fan-out, and at 100 TB the join runs over blocking candidates
-    (LSH / prefix-filter), not all pairs. The containment-adapted
-    prefix filter (prefix on the SMALL side only) is the lossless
-    variant documented in SCALE.md.
+    Scale shape (r14 — the prefix-filtered lossless variant SCALE.md
+    previously only documented): C(A→B) ≥ t needs |A∩B| ≥ ⌈t·|A|⌉, so
+    if NONE of the p = |A| − ⌊t·|A|⌋ + 1 rarest shingles of A appear
+    in B, the shared count is at most |A| − p < ⌈t·|A|⌉ — the pair is
+    impossible. (For the DIRECTED relation any p-subset of A works;
+    ranking by ascending global document frequency is the performance
+    choice — rare shingles nominate few candidates. The +1 over the
+    tight ⌈⌉ bound absorbs any float rounding of t·|A|, strictly on
+    the safe side.) Nomination therefore joins only A-prefix rows
+    against all of B (~(1−t)× the exploded volume); verification is
+    IN-ROW ``array_intersect`` over the two capped per-doc shingle
+    arrays — the r13 count-aggregation over every shared-shingle join
+    row (the suite's sf1 heap breaker: its spill-merge readers OOM'd
+    the default local[16] heap) no longer exists. Per-doc arrays are
+    document-length-bounded rows, never partition-sized state; the
+    same ``max_shingle_freq`` anti-join cap bounds hot-shingle
+    fan-out before anything else runs.
     """
+    from pyspark.sql import Window as W
+
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("s"))
-    cached = sh.persist()
+    # DISK_ONLY: the exploded shingle table is shuffle-sized, and
+    # memory-caching it borrows unified memory from the joins it
+    # feeds; at 100 TB this intermediate could never live in memory
+    from pyspark import StorageLevel
+
+    cached = sh.persist(StorageLevel.DISK_ONLY)
     sh = cached
     if max_shingle_freq is not None:
         hot = (
@@ -1162,32 +1188,78 @@ def containment_pairs(
             .filter(F.col("_f") > max_shingle_freq).select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
+    # per-doc capped shingle arrays: the verify side (and n_sh sizes)
+    arrs = sh.groupBy(id_col).agg(
+        F.collect_list("s").alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # A-side prefix: rank each doc's shingles rarest-first by global
+    # (capped) document frequency; keep rank ≤ n_sh − ⌊t·n_sh⌋ + 1
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    w = W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("s"))
+    # shuffle_hash-hint: freq is corpus-vocabulary-sized (one row per
+    # distinct shingle) — broadcastable at toy SFs only (at 100 TB the
+    # vocabulary is nowhere near broadcast-sized, and at sf1 building
+    # the broadcast exhausts the shared local-mode heap), and its
+    # per-partition hash slices are a few KB, so SHJ beats sorting the
+    # exploded shingle table
+    prefix = (
+        sh.join(freq.hint("shuffle_hash"), "s")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+        .filter(
+            F.col("_rn")
+            <= F.col("_n") - F.floor(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select(F.col(id_col).alias("doc_a"), "s")
+    )
+    # nomination: A-prefix rows against ALL of B, SHJ for the same
+    # reason as above (per-partition build slices of the exploded
+    # table are small; no sort of 2.6M-row streams)
+    cand = (
+        prefix.join(
+            sh.select(F.col(id_col).alias("doc_b"), "s").hint(
+                "shuffle_hash"
+            ),
+            "s",
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    aa = arrs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    bb = arrs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    # shuffle_hash-hint the verify joins, for two reasons: (a) the
+    # build side carries per-doc shingle ARRAYS — letting the planner
+    # broadcast it OOMs the shared local-mode heap at sf1, and a
+    # 100 TB corpus's array table could never broadcast; (b) sort-merge
+    # would SORT probe rows that carry a 400-byte array through the
+    # second join's exchange (1.3 GB of sort spill at sf1 → the
+    # spill-merge read buffers are exactly what OOM'd the default
+    # heap). A shuffled hash join builds only the per-partition slice
+    # of the doc-count-sized array table (KBs) and streams the probe
+    # side UNSORTED — no sorter ever holds array rows.
     pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(aa.hint("shuffle_hash"), "doc_a")
+        .join(bb.hint("shuffle_hash"), "doc_b")
+        .withColumn(
+            "i", F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint")
+        )
         .withColumn("containment", F.col("i") / F.col("n_a"))
         .filter(F.col("containment") >= threshold)
         # exact: single IEEE division of identical integers
         .select("doc_a", "doc_b",
                 F.col("n_a").cast("bigint").alias("n_a"),
                 F.col("n_b").cast("bigint").alias("n_b"),
-                F.col("i").cast("bigint").alias("inter"),
+                F.col("i").alias("inter"),
                 "containment")
     )
     try:

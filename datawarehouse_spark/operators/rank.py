@@ -182,6 +182,7 @@ def global_rank(
     n_blocks: int | None = None,
     rank_col: str = "grn",
     total_col: str | None = None,
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Attach the exact 1-based GLOBAL rank of every row under
     ``order`` (which must be a total order — include a unique tiebreak
@@ -208,14 +209,30 @@ def global_rank(
     checkpoint's lifetime is tied to the returned DataFrame (no
     persist/unpersist pair to leak), and it keeps all ``n_blocks``
     partitions — the downstream broadcast join adds no exchange, so
-    consumers inherit the full parallelism."""
+    consumers inherit the full parallelism.
+
+    ``keep`` (r14) bounds the CHECKPOINT's payload: when given, only
+    those columns (+ the internal ``_mid``) are materialized, and the
+    result carries exactly ``keep`` + ``rank_col`` — the caller joins
+    any wide payload back by its key afterwards. The order columns are
+    consumed by the range shuffle + sort BEFORE the checkpoint, so
+    they need not survive it. This matters because localCheckpoint
+    stores deserialized JVM objects: ranking a corpus while keeping
+    full text + shingle arrays resident is what OOM'd
+    suite_pair_blocking's sf1 union under the default heap (SCALE.md
+    r13) — and at 100 TB a rank checkpoint must hold keys, never
+    payload."""
     _guard_internal_collisions(df, "global_rank")
     nb = resolve_n_blocks(df, n_blocks)
-    local = (
+    staged = (
         df.repartitionByRange(nb, *order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+    )
+    if keep is not None:
+        staged = staged.select(*keep, "_mid")
+    local = (
+        staged.localCheckpoint(eager=True)
         .withColumn("_blk", F.shiftright("_mid", 33).cast("int"))
         .withColumn(
             "_rn",

@@ -1087,6 +1087,50 @@ def test_containment_sees_quotes_jaccard_misses(spark):
     assert jac == []
 
 
+def test_containment_prefix_filter_lossless_vs_naive(spark):
+    """r14: containment_pairs switched from a full shared-shingle
+    count-aggregation to prefix-filter nomination (rarest ⌊(1−t)n⌋+1
+    shingles of A) + in-row array_intersect verify. The rewrite must be
+    LOSSLESS: compare bit-for-bit against a naive Python reference
+    (full pairwise distinct-shingle intersection) on a corpus designed
+    to stress the boundary — exact dupes (t·n integer, overlap exactly
+    ⌈t·n⌉), one-shingle docs, prefix quotes, near-misses one shingle
+    under threshold, and docs sharing only their rarest shingle."""
+    import itertools
+
+    def shingles(text, n=3):
+        w = text.split(" ")
+        if len(w) < n:
+            return {text}
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    base = " ".join(f"w{i}" for i in range(20))
+    corpus = [
+        (1, base),                                        # source
+        (2, " ".join(f"w{i}" for i in range(5))),         # prefix quote
+        (3, base),                                        # exact dup of 1
+        (4, " ".join(f"w{i}" for i in range(2, 22))),     # heavy overlap
+        (5, "a b c"),                                     # single shingle
+        (6, "a b c"),                                     # its exact dup
+        (7, "xx yy"),                                     # <n tokens
+        (8, " ".join(f"w{i}" for i in range(10, 30))),    # partial
+        (9, " ".join(f"z{i}" for i in range(10))),        # disjoint
+    ]
+    for t in (0.5, 0.8, 1.0):
+        expect = {}
+        for (ia, ta), (ib, tb) in itertools.permutations(corpus, 2):
+            sa, sb = shingles(ta), shingles(tb)
+            i = len(sa & sb)
+            if i > 0 and i / len(sa) >= t:
+                expect[(ia, ib)] = (len(sa), len(sb), i, i / len(sa))
+        docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+        got = {
+            (r.doc_a, r.doc_b): (r.n_a, r.n_b, r.inter, r.containment)
+            for r in dedup.containment_pairs(docs, threshold=t).collect()
+        }
+        assert got == expect, (t, got, expect)
+
+
 def test_bpe_train_matches_python_reference(spark):
     """The distributed trainer must reproduce a straightforward Python
     BPE reference (greedy left-to-right merge application, ties by
