@@ -2927,12 +2927,28 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AS MATERIALIZED on the multiply-referenced CTEs is load-bearing
     # (the r12 pagerank lesson: DuckDB inlines plain CTEs per
     # reference).
+    # r14 (VERDICT r13 ask #3): the corpus additionally injects a
+    # deterministic SHORT-KEY family (lengths 3-7, variant picked by
+    # doc_id) on BOTH engines, so the short-key fallback branch —
+    # where the r13 (len 4, len 5-6) hole hid, structurally
+    # unreachable from the uniform 40-char fixture keys — is
+    # hash-verified by the driver gate every round, not only in
+    # pytest (the llm_pii_redact injection precedent). The family
+    # yields dist 1-2 pairs at the exact (klen < cut, klen < cut+d)
+    # boundary: (4,5) (4,6) (3,4) (4,4) fallback pairs, (5,6) (6,7)
+    # pigeonhole pairs at the cut, and Δlen>2 negatives; 40-char real
+    # keys cannot reach any of them through the |Δlen| <= 2 filter.
     oracle="""
     WITH corpus AS MATERIALIZED (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 6000000,
              substr(text, 1, 4) || 'Z' || substr(text, 6)
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 7000000,
+             (['abcd','abcde','abcdef','axcd','abc','abcdefg'])
+               [CAST((doc_id // 50) % 6 AS INT) + 1]
       FROM documents WHERE doc_id % 50 = 0
     ), ids AS MATERIALIZED (
       SELECT doc_id AS _id, substr(text, 1, 40) AS key FROM corpus
@@ -3035,7 +3051,19 @@ def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, 6)"),
         ).alias("text"),
     )
-    corpus = docs.select("doc_id", "text").unionByName(typo)
+    # deterministic short-key family (r14): keeps the short-key
+    # fallback branch non-vacuous under the driver gate — the oracle
+    # injects the identical rows
+    shorts = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(7000000)).alias("doc_id"),
+        F.expr(
+            "element_at(array('abcd','abcde','abcdef','axcd','abc',"
+            "'abcdefg'), cast((doc_id div 50) % 6 as int) + 1)"
+        ).alias("text"),
+    )
+    corpus = (
+        docs.select("doc_id", "text").unionByName(typo).unionByName(shorts)
+    )
     return dedup.edit_distance_pairs(corpus, max_dist=2)
 
 

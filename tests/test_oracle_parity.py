@@ -132,6 +132,15 @@ NAIVE_EDIT_DISTANCE_ORACLE = """
       SELECT doc_id + 6000000,
              substr(text, 1, 4) || 'Z' || substr(text, 6)
       FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      -- r14: the registry oracle injects a deterministic short-key
+      -- family so the fallback branch is driver-verified; the naive
+      -- twin must mirror it for the equality tests to compare the
+      -- same corpus
+      SELECT doc_id + 7000000,
+             (['abcd','abcde','abcdef','axcd','abc','abcdefg'])
+               [CAST((doc_id // 50) % 6 AS INT) + 1]
+      FROM documents WHERE doc_id % 50 = 0
     ), k AS (
       SELECT doc_id, substr(text, 1, 40) AS key FROM corpus
     )
