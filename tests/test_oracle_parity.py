@@ -72,19 +72,25 @@ def test_oracle_parity(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_ORACLE)
-    assert df.count() >= 0
-
-
-@pytest.mark.parametrize("name", sorted(TESTS_ONLY))
-def test_tests_only_queries_run(spark, name):
-    """Raw queries kept out of the driver registry (no deterministic
-    oracle) must still execute; their semantics are property-tested in
-    tests/test_llm_ops.py / test_engine_and_multimodal.py."""
-    df = QUERIES_RAW[name](spark, SF_ORACLE)
-    assert df.count() >= 0
+def test_no_rows_only_or_tests_only_queries():
+    """r14 (VERDICT r13 ask #5): since mm_resize graduated (r13) every
+    registry query has a DuckDB oracle and no raw query sits outside
+    the driver registry without one. Through r13 this was expressed as
+    two parametrized run-only tests whose parameter sets were EMPTY —
+    the good outcome, but it surfaced as a perpetual '2 skipped' in
+    every round's report. Assert the emptiness directly instead: a
+    future oracle-less query now fails loudly here (add the oracle, or
+    document the exception in COVERAGE.md and amend this guard),
+    and the suite reports zero skips."""
+    rows_only = sorted(set(QUERIES) - set(ORACLES))
+    assert not rows_only, (
+        f"registry queries without a DuckDB oracle: {rows_only} — "
+        "every driver entry must be hash-verifiable (oracle_sql)"
+    )
+    assert not sorted(TESTS_ONLY), (
+        f"raw queries outside the driver registry: {sorted(TESTS_ONLY)}"
+        " — graduate them into a registry entry with an oracle"
+    )
 
 
 @pytest.mark.parametrize(
