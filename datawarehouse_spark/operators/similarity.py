@@ -1769,10 +1769,17 @@ def hnsw_topk(
     the batch is capped at ``MAX_BEAM_QUERIES`` — oversized query sets
     fail loudly with the batch-ANN recipe instead of OOMing an
     executor."""
-    # limit(cap+1).count() answers "is it over the cap" scanning at
-    # most cap+1 rows — a bare count() would execute the full query
-    # plan once for the guard and again for the search
-    if queries.limit(MAX_BEAM_QUERIES + 1).count() > MAX_BEAM_QUERIES:
+    # The cap guard materializes limit(cap+1) ONCE (bounded — at most
+    # cap+1 rows hit the checkpoint) and the search reads the same
+    # materialization: the upstream query plan executes exactly once
+    # total. (ADVICE r13: the former limit(cap+1).count() probe
+    # re-executed an expensive un-cached upstream prefix once before
+    # the search.) When the guard passes, limit(cap+1) returned EVERY
+    # query row, so substituting the checkpointed frame is lossless.
+    bounded = queries.limit(MAX_BEAM_QUERIES + 1).localCheckpoint(
+        eager=True
+    )
+    if bounded.count() > MAX_BEAM_QUERIES:
         raise ValueError(
             f"hnsw_topk: query set exceeds MAX_BEAM_QUERIES="
             f"{MAX_BEAM_QUERIES} — beam search broadcasts the query "
@@ -1780,6 +1787,7 @@ def hnsw_topk(
             "ivf_topk / lsh_ann_topk (shuffle-partitioned) or chunk "
             "the queries"
         )
+    queries = bounded
     levels, adj = hnsw_build(
         corpus, m=m, max_level=max_level, id_col=id_col, vec_col=vec_col,
         level_src=level_src, dense_layer_cap=dense_layer_cap,

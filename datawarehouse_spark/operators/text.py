@@ -356,6 +356,20 @@ def ffd_packing(df: DataFrame, id_col: str = "doc_id",
     bin_fill = load/budget)."""
     if group_size < 2:
         raise ValueError("ffd_packing: group_size must be >= 2")
+    # reject inputs whose columns collide with the operator's working
+    # names (ADVICE r13): an input column named e.g. 'bin' or 'grp'
+    # would be silently shadowed — same contract as global_rank /
+    # asof_join / SnapshotTable.merge
+    _ffd_internal = (
+        "n_tokens", "grp", "slot", "bin", "_r", "_load", "_nb", "_fbin",
+        "bin_load", "n_in_bin", "bin_fill", "pack_grp", "bin_id",
+    )
+    clash = [c for c in _ffd_internal if c in df.columns and c != id_col]
+    if clash:
+        raise ValueError(
+            f"ffd_packing: input columns {clash} collide with internal "
+            f"working names {_ffd_internal}; rename them first"
+        )
     from datawarehouse_spark.operators.rank import global_rank
 
     toks = df.select(F.col(id_col), bpe_token_count(text).alias("n_tokens"))

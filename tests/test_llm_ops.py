@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
@@ -2214,6 +2215,12 @@ def test_ffd_packing_hand_check_and_invariants(spark):
     out = T.ffd_packing(corpus, budget=128, group_size=8).collect()
     assert len(out) == corpus.count()  # every doc assigned once
     assert len({r["doc_id"] for r in out}) == len(out)
+
+    # ADVICE r13: input columns colliding with internal working names
+    # must be rejected, not silently shadowed
+    bad = docs.withColumn("bin", F.lit(1))
+    with pytest.raises(ValueError, match="collide with internal"):
+        T.ffd_packing(bad, budget=10, group_size=8)
     by_bin: dict[int, list] = {}
     for r in out:
         by_bin.setdefault(r["bin_id"], []).append(r)
