@@ -429,6 +429,7 @@ def exact_dup_spans(
     text: str = "text",
     min_len: int = 50,
     persist: bool = True,
+    impl: str = "md5",
 ) -> DataFrame:
     """EXACT duplicated-substring spans ≥ ``min_len`` tokens —
     the industry-standard exact corpus dedup of Lee et al. 2021
@@ -460,15 +461,30 @@ def exact_dup_spans(
     they answer different cleaning questions.
 
     Scale shape: strictly linear, NO self-join — the same
-    frequency-agg + join-back shape as :func:`dup_span_coverage`. The
-    hash stage concatenates L tokens per position (an L× CPU constant,
-    map-side only — 16-byte digests shuffle, never window text); at
-    the 100 TB regime swap the md5 for a per-partition rolling
-    (Rabin-Karp) hash via mapInPandas to drop the constant — the
-    shuffle/agg shape is unchanged. Interval merge is one per-doc
-    gaps-and-islands window (bounded by document length, never
-    global)."""
-    sites = _window_sites(df, id_col, text, min_len)
+    frequency-agg + join-back shape as :func:`dup_span_coverage`.
+    ``impl`` selects the window-fingerprint stage (the kmeans_assign
+    gemm|sql precedent; both are property-tested span-identical):
+
+    * ``impl="md5"`` (default, the oracle-parity twin): concatenate L
+      tokens per position and md5 — an L× CPU constant per token,
+      JVM-side, cross-engine replayable.
+    * ``impl="rolling"`` (the 100 TB constant-factor path): one Arrow
+      mapInPandas pass computes a Rabin-Karp rolling hash over FNV-1a
+      token hashes — O(1) per window after the per-token pass instead
+      of O(L), via vectorized uint64 wraparound arithmetic
+      (H_i = (P_{i+L} − P_i)·B⁻ⁱ with P the B-weighted prefix sums;
+      B odd ⇒ invertible mod 2⁶⁴). Only 16-hex-char digests leave the
+      worker — the shuffle/agg shape downstream is unchanged.
+
+    Interval merge is one per-doc gaps-and-islands window (bounded by
+    document length, never global)."""
+    if impl not in ("md5", "rolling"):
+        raise ValueError(
+            f"exact_dup_spans: impl must be 'md5' or 'rolling', got "
+            f"{impl!r}"
+        )
+    sites_fn = _window_sites if impl == "md5" else _window_sites_rolling
+    sites = sites_fn(df, id_col, text, min_len)
     cached = None
     if persist:
         sites = cached = sites.persist()
@@ -505,6 +521,82 @@ def _window_sites(df: DataFrame, id_col: str, text: str,
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col), F.posexplode(win).alias("pos", "h"))
+
+
+def _window_sites_rolling(df: DataFrame, id_col: str, text: str,
+                          min_len: int) -> DataFrame:
+    """(id, pos, h) positional L-window sites via a Rabin-Karp rolling
+    hash — the constant-factor twin of :func:`_window_sites` (md5 pays
+    an O(L) concatenate+digest per position; this pays O(1) per window
+    after one FNV-1a pass per token). One Arrow mapInPandas pass per
+    partition, no shuffle: per document, token hashes t_j feed
+    B-weighted prefix sums P_k = Σ_{j<k} t_j·Bʲ (uint64 wraparound ≡
+    mod 2⁶⁴), and window i's canonical value is
+    (P_{i+L} − P_i)·B⁻ⁱ = Σ_j t_{i+j}·Bʲ — position-independent, so
+    equal windows hash equal everywhere. B is the (odd, hence
+    invertible mod 2⁶⁴) FNV prime. Emitted as 16-hex-char strings so
+    the output schema matches the md5 form exactly; collision odds
+    ~n²/2⁶⁴ vs md5's n²/2¹²⁸ — the documented trade for dropping the
+    L× constant at 100 TB. Span-level equality with the md5 impl is
+    property-tested (tests/test_llm_ops.py) and the rolling registry
+    entry hash-verifies against the md5-window DuckDB oracle."""
+    import pandas as pd
+
+    L = min_len
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pos int, h string"
+    src = df.select(id_col, text)
+
+    def gen(batches):
+        import numpy as np
+
+        MASK = (1 << 64) - 1
+        FNV_OFF, FNV_P = 0xCBF29CE484222325, 0x100000001B3
+        B = np.uint64(FNV_P)
+        BINV = np.uint64(pow(FNV_P, -1, 1 << 64))
+        cache: dict[str, int] = {}
+
+        def tok_hash(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = FNV_OFF
+                for byte in tok.encode("utf-8"):
+                    h = ((h ^ byte) * FNV_P) & MASK
+                cache[tok] = h
+            return h
+
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            hs: list = []
+            for rid, txt in zip(pdf[id_col], pdf[text]):
+                toks = txt.split(" ")
+                n = len(toks)
+                if n < L:
+                    continue
+                t = np.array([tok_hash(x) for x in toks], dtype=np.uint64)
+                pw = np.ones(n, dtype=np.uint64)
+                if n > 1:
+                    pw[1:] = np.cumprod(
+                        np.full(n - 1, B, dtype=np.uint64))
+                pref = np.zeros(n + 1, dtype=np.uint64)
+                pref[1:] = np.cumsum(t * pw)
+                m = n - L + 1
+                inv = np.ones(m, dtype=np.uint64)
+                if m > 1:
+                    inv[1:] = np.cumprod(
+                        np.full(m - 1, BINV, dtype=np.uint64))
+                h = (pref[L:L + m] - pref[:m]) * inv
+                ids.extend([rid] * m)
+                poss.extend(range(m))
+                hs.extend(f"{x:016x}" for x in h)
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "pos": pd.Series(poss, dtype="int32"),
+                "h": pd.Series(hs, dtype="object"),
+            })
+
+    return src.mapInPandas(gen, schema=out_schema)
 
 
 def _merge_flagged_spans(flagged: DataFrame, id_col: str,

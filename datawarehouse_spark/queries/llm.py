@@ -630,10 +630,11 @@ def llm_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXACT_SPAN_L = 20  # fixture docs are 10-99 tokens; production = 50
 
-
-@query(
-    "llm_exact_dup_spans",
-    oracle=f"""
+# shared by llm_exact_dup_spans and its rolling-hash impl twin: the
+# oracle is deliberately the md5-window form for BOTH — the rolling
+# Spark path must reproduce the md5 path's spans exactly (fingerprint
+# values never reach the output), so one SQL verifies both impls
+_EXACT_SPAN_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ),
@@ -665,8 +666,10 @@ _EXACT_SPAN_L = 20  # fixture docs are 10-99 tokens; production = 50
            MAX(pos) + {_EXACT_SPAN_L - 1} AS span_end,
            MAX(pos) + {_EXACT_SPAN_L - 1} - MIN(pos) + 1 AS span_len
     FROM isl GROUP BY doc_id, g
-    """,
-)
+    """
+
+
+@query("llm_exact_dup_spans", oracle=_EXACT_SPAN_ORACLE)
 def llm_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT duplicated-substring spans (Lee et al. 2021's
     suffix-array dedup, Spark-native): maximal token ranges covered by
@@ -682,6 +685,27 @@ def llm_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/dedup.py::exact_dup_spans."""
     t = load_tables(spark, sf_dir, ("documents",))
     return dedup.exact_dup_spans(t["documents"], min_len=_EXACT_SPAN_L)
+
+
+@query("llm_exact_dup_spans_rolling", oracle=_EXACT_SPAN_ORACLE)
+def llm_exact_dup_spans_rolling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The rolling-hash impl of exact-substring dedup (r14, VERDICT
+    r13 ask #4): identical spans to llm_exact_dup_spans, but the
+    window-fingerprint stage is a Rabin-Karp rolling hash over FNV-1a
+    token hashes in one Arrow mapInPandas pass — O(1) per window
+    instead of md5's O(L) concatenate+digest, the constant that
+    dominates at 100 TB (L=50 in Lee et al. 2021's setting). The
+    oracle is deliberately the md5-window SQL: fingerprints never
+    reach the output, so hash-verifying the rolling path against the
+    md5 replay proves the impls span-identical every round (the
+    byte-equality is additionally property-tested in pytest).
+    See operators/dedup.py::_window_sites_rolling."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    return dedup.exact_dup_spans(
+        t["documents"], min_len=_EXACT_SPAN_L, impl="rolling"
+    )
 
 
 @query(

@@ -554,6 +554,12 @@ SUITES: dict[str, list[Member]] = {
         # remover above
         ("llm_exact_dup_spans",
          [], ["doc_id", "span_start", "span_end", "span_len"]),
+        # the rolling-hash impl twin (r14): same spans via Rabin-Karp
+        # mapInPandas fingerprints, hash-verified against the SAME
+        # md5-window oracle — the driver gate proves the 100 TB
+        # constant-factor path span-identical every round
+        ("llm_exact_dup_spans_rolling",
+         [], ["doc_id", "span_start", "span_end", "span_len"]),
         # typo-tolerant key matching (Ed-Join, r9): lossless q-gram
         # prefix + length filter before the levenshtein verify
         ("llm_edit_distance_pairs", [],

@@ -336,6 +336,14 @@ OPS = [
     # the corpus, stage COUNT constant, so the ratio should track the
     # data ratio with the fixed 8-job overhead amortizing away
     "llm_ffd_packing",
+    # --- r14 roster ---
+    # the rolling-hash impl twin claims the SAME linear window-pass +
+    # frequency-agg shape as llm_exact_dup_spans with the O(L) md5
+    # constant replaced by O(1) Rabin-Karp updates in one mapInPandas
+    # pass — the replica suffix token keeps cross-replica windows
+    # distinct, so work grows exactly R× and the ratio should sit at
+    # or under the md5 twin's
+    "llm_exact_dup_spans_rolling",
 ]
 
 

@@ -1088,6 +1088,57 @@ def test_containment_sees_quotes_jaccard_misses(spark):
     assert jac == []
 
 
+def test_exact_dup_spans_rolling_equals_md5(spark):
+    """r14 (VERDICT r13 ask #4): the Rabin-Karp rolling-hash window
+    stage must reproduce the md5-window stage's spans EXACTLY — same
+    (id, span_start, span_end, span_len) multiset — on (a) a crafted
+    corpus stressing the boundaries (doc exactly L tokens, doc of
+    L-1 tokens emitting nothing, within-doc self-repeat, cross-doc
+    verbatim copy at different offsets, overlapping windows chaining
+    into one maximal span) and (b) the fixture corpus at oracle SF."""
+    from datawarehouse_spark.operators.dedup import exact_dup_spans
+
+    L = 5
+    block = " ".join(f"b{i}" for i in range(L))          # the repeat
+    filler1 = " ".join(f"u{i}" for i in range(7))
+    filler2 = " ".join(f"v{i}" for i in range(3))
+    rows = [
+        (1, f"{block} {filler1} {block}"),               # self-repeat
+        (2, f"{filler2} {block}"),                       # copy, offset 3
+        (3, block),                                      # exactly L tokens
+        (4, " ".join(f"w{i}" for i in range(L - 1))),    # too short
+        (5, f"{block} extra {block} extra2"),            # chained overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def spans(impl):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in exact_dup_spans(docs, min_len=L, impl=impl).collect()
+        )
+
+    md5_spans, rolling_spans = spans("md5"), spans("rolling")
+    assert md5_spans, "crafted corpus must produce duplicated spans"
+    assert rolling_spans == md5_spans
+
+    corpus = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+
+    def corpus_spans(impl):
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_len)
+            for r in exact_dup_spans(
+                corpus, min_len=20, impl=impl
+            ).collect()
+        )
+
+    fixture_md5 = corpus_spans("md5")
+    assert fixture_md5, "fixture must produce duplicated spans"
+    assert corpus_spans("rolling") == fixture_md5
+
+    with pytest.raises(ValueError, match="impl must be"):
+        exact_dup_spans(docs, min_len=L, impl="sha1")
+
+
 def test_containment_prefix_filter_lossless_vs_naive(spark):
     """r14: containment_pairs switched from a full shared-shingle
     count-aggregation to prefix-filter nomination (rarest ⌊(1−t)n⌋+1
