@@ -560,6 +560,36 @@ def test_ivfpq_index_cache_refreshes_on_inplace_rewrite(spark, tmp_path):
     assert not np.allclose(np.array(cents1), np.array(cents2))
 
 
+def test_ivfpq_cached_path_equals_fresh_index(spark):
+    """r14 (VERDICT r13 ask #7): the cached-index IVF-PQ speed variant
+    is the one registry-adjacent surface without a DuckDB oracle (its
+    index is float-trained by design — see the COVERAGE.md rationale).
+    Its replayable reference is the UNCACHED deterministic path: index
+    training is md5-sampled + farthest-point-init + fixed-iteration
+    Lloyd, so a fresh index from the same data is bit-identical, and
+    the cached query's output must equal (1) its own second, cache-hit
+    invocation and (2) a direct ivfpq_topk call with a freshly trained
+    index under the same parameters — pinning both the cache and the
+    search path against a deterministic in-engine oracle."""
+    from datawarehouse_spark.operators import similarity
+    from datawarehouse_spark.queries import llm
+
+    out1 = sorted(
+        map(tuple, llm.llm_ann_ivfpq_topk(spark, SF_ORACLE).collect())
+    )
+    assert out1, "fixture must produce IVF-PQ results"
+    out2 = sorted(
+        map(tuple, llm.llm_ann_ivfpq_topk(spark, SF_ORACLE).collect())
+    )
+    assert out2 == out1  # cache hit replays exactly
+    emb = load_tables(spark, SF_ORACLE, ("embeddings",))["embeddings"]
+    fresh = similarity.ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=5, n_cells=16, n_probe=4, m=8, ksub=16,
+    )
+    assert sorted(map(tuple, fresh.collect())) == out1
+
+
 def test_importance_weights_n_buckets_consistency(spark):
     """n_buckets drives BOTH the hex-prefix key width and the smoothing
     constant; non-power-of-16 values are rejected (the silent-skew bug
