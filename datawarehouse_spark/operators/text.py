@@ -325,7 +325,8 @@ def sequence_packing(df: DataFrame, id_col: str = "doc_id",
 
 def ffd_packing(df: DataFrame, id_col: str = "doc_id",
                 text: str = "text", budget: int = 128,
-                group_size: int = 8) -> DataFrame:
+                group_size: int = 8,
+                tokens_col: str | None = None) -> DataFrame:
     """First-fit-decreasing sequence packing within bounded packing
     groups — the tokenizer-aware twin of :func:`sequence_packing`
     (VERDICT r12 ask #8). Where sequence_packing wraps a running
@@ -353,7 +354,13 @@ def ffd_packing(df: DataFrame, id_col: str = "doc_id",
 
     Output carries the bin-occupancy ledger per doc: (id, n_tokens,
     pack_grp, bin_id global across groups, bin_load, n_in_bin,
-    bin_fill = load/budget)."""
+    bin_fill = load/budget).
+
+    ``tokens_col`` (r14): when given, item sizes come from that
+    (already-computed, bigint-castable) column instead of
+    ``bpe_token_count(text)`` — the composition hook that lets a
+    chunker feed its own piece sizes into the packer
+    (llm_batch_prep's chunk ∘ FFD pipeline)."""
     if group_size < 2:
         raise ValueError("ffd_packing: group_size must be >= 2")
     # reject inputs whose columns collide with the operator's working
@@ -372,7 +379,15 @@ def ffd_packing(df: DataFrame, id_col: str = "doc_id",
         )
     from datawarehouse_spark.operators.rank import global_rank
 
-    toks = df.select(F.col(id_col), bpe_token_count(text).alias("n_tokens"))
+    if tokens_col is None:
+        toks = df.select(
+            F.col(id_col), bpe_token_count(text).alias("n_tokens")
+        )
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        )
     ranked = global_rank(
         toks, order=[F.desc("n_tokens"), F.asc(id_col)], rank_col="_r"
     )

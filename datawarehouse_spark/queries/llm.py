@@ -872,20 +872,29 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.sequence_packing(t["documents"], budget=4096, n_shards=8)
 
 
-def _ffd_oracle(group_size: int, budget: int) -> str:
+def _ffd_oracle(group_size: int, budget: int,
+                tok_cte: str | None = None) -> str:
     """Unrolled first-fit-decreasing oracle (the BPE/PageRank/HNSW
     unrolled-CTE convention): slot s of every packing group is
     assigned by joining the previous assignment state's per-group bin
     loads — first bin that fits, else a new bin. AS MATERIALIZED is
     load-bearing on every multiply-referenced CTE (the r12 pagerank
-    lesson: DuckDB inlines plain CTEs per reference)."""
-    blocks = [f"""
-    tok AS MATERIALIZED (
+    lesson: DuckDB inlines plain CTEs per reference).
+
+    ``tok_cte`` (r14) replaces the default BPE-token item source with
+    any SQL body producing (doc_id, n_tokens) — the composition hook
+    mirroring ffd_packing's ``tokens_col`` (llm_batch_prep feeds
+    chunked pieces through it)."""
+    tok_body = tok_cte or """
       SELECT doc_id,
              CAST(len(regexp_extract_all(
                text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
                AS n_tokens
       FROM documents
+    """
+    blocks = [f"""
+    tok AS MATERIALIZED (
+    {tok_body}
     ), items AS MATERIALIZED (
       SELECT doc_id, n_tokens,
              CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id)
@@ -946,6 +955,72 @@ def llm_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/text.py::ffd_packing."""
     t = load_tables(spark, sf_dir, ("documents",))
     return text.ffd_packing(t["documents"], budget=128, group_size=8)
+
+
+# chunk ∘ FFD composition (r14, VERDICT r13 ask #8): fixture docs are
+# 10-99 whitespace tokens, so budget 48 makes the composition
+# non-vacuous — over-budget docs split into ≤48-token pieces, short
+# docs pass through whole, and the packer mixes both. Item ids encode
+# (doc, chunk) as doc_id·64 + chunk_id (≤3 chunks per fixture doc;
+# the factor leaves room to 64).
+_BATCH_PREP_BUDGET = 48
+_BATCH_PREP_ITEMS_CTE = f"""
+      SELECT doc_id * 64 + (ts // {_BATCH_PREP_BUDGET}) AS doc_id,
+             CAST(least(ts + {_BATCH_PREP_BUDGET}, n) - ts AS BIGINT)
+               AS n_tokens
+      FROM (
+        SELECT doc_id, len(toks) AS n,
+               unnest(range(0, len(toks), {_BATCH_PREP_BUDGET})) AS ts
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+      )
+"""
+
+
+@query(
+    "llm_batch_prep",
+    oracle=f"""
+    SELECT doc_id // 64 AS doc_id,
+           doc_id % 64 AS chunk_id,
+           n_tokens, pack_grp, bin_id, bin_load, n_in_bin, bin_fill
+    FROM (
+    {_ffd_oracle(group_size=8, budget=_BATCH_PREP_BUDGET,
+                 tok_cte=_BATCH_PREP_ITEMS_CTE)}
+    ) AS _packed
+    """,
+)
+def llm_batch_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-batch prep (r14, VERDICT r13 ask #8): the
+    full "docs → fixed-context training batches" pipeline in one
+    verified query — chunk_documents splits every document into
+    non-overlapping ≤48-token pieces (stride = chunk size, so the
+    whole corpus is covered exactly once), then ffd_packing
+    (tokens_col composition hook) packs the pieces longest-first into
+    hard 48-token bins. The emitted ledger traces every training
+    batch back to its (doc, chunk) source with bin occupancy — what a
+    trainer needs to build attention-masked packed sequences. Both
+    stages reuse their standalone operators and the oracle unions
+    their existing CTE forms (chunk grid + 7-stage FFD unroll).
+    See operators/text.py::chunk_documents, ffd_packing."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    chunks = text.chunk_documents(
+        t["documents"], chunk_tokens=_BATCH_PREP_BUDGET,
+        stride=_BATCH_PREP_BUDGET,
+    )
+    items = chunks.select(
+        (F.col("doc_id") * 64 + F.col("chunk_id")).alias("item_id"),
+        "n_chunk_tokens",
+    )
+    packed = text.ffd_packing(
+        items, id_col="item_id", tokens_col="n_chunk_tokens",
+        budget=_BATCH_PREP_BUDGET, group_size=8,
+    )
+    return packed.select(
+        F.expr("item_id div 64").cast("bigint").alias("doc_id"),
+        (F.col("item_id") % 64).cast("bigint").alias("chunk_id"),
+        "n_tokens", "pack_grp", "bin_id", "bin_load", "n_in_bin",
+        "bin_fill",
+    )
 
 
 @query(

@@ -799,6 +799,21 @@ SUITES: dict[str, list[Member]] = {
     # 11.66 / 12.04 s idle vs the ~10 s working ceiling; these two are
     # the same family: bounded pair nomination through a global order
     # window and through asymmetric shingle containment)
+    # sequence-packing family (r14): the FFD standalone line (r13)
+    # plus the new end-to-end chunk ∘ FFD training-batch pipeline —
+    # one registry entry, both members row-level hash-verified, the
+    # 50-entry gate cap preserved
+    "suite_packing": [
+        ("llm_ffd_packing", [],
+         ["doc_id", "n_tokens", "pack_grp", "bin_id", "bin_load",
+          "n_in_bin", "bin_fill"]),
+        # docs → ≤48-token chunks → hard-budget FFD bins: the full
+        # training-batch prep story, bin ledger traced to
+        # (doc, chunk) sources
+        ("llm_batch_prep", [],
+         ["doc_id", "chunk_id", "n_tokens", "pack_grp", "bin_id",
+          "bin_load", "n_in_bin", "bin_fill"]),
+    ],
     "suite_pair_blocking": [
         # sorted-neighborhood blocking (merge/purge window pairs)
         ("llm_sorted_neighborhood", [],
@@ -869,10 +884,11 @@ FINAL_ORDER: list[str] = [
     "llm_simhash_pairs",
     "llm_dedup_clusters",
     "llm_dedup_keep",
-    # tokenizer-aware first-fit-decreasing packing (r13 stretch, its
-    # own line: 7 fixed unroll stages make it too heavy to fold into
-    # suite_corpus_mix without breaching the working ceiling)
-    "llm_ffd_packing",
+    # sequence-packing family (r14: the r13 llm_ffd_packing standalone
+    # widened into a two-member suite absorbing the new chunk ∘ FFD
+    # batch-prep pipeline — 7 fixed unroll stages each, too heavy for
+    # suite_corpus_mix, right-sized as their own line)
+    "suite_packing",
     "suite_embeddings",
     # IVF-PQ, the heaviest ANN pipeline, standalone since r13 (pulled
     # from suite_embeddings at 11.21 s idle)
