@@ -344,6 +344,12 @@ OPS = [
     # distinct, so work grows exactly R× and the ratio should sit at
     # or under the md5 twin's
     "llm_exact_dup_spans_rolling",
+    # chunk ∘ FFD batch prep claims the chunker's zero-shuffle fan-out
+    # (≈2× rows at 48-token pieces) feeding the same block-offset rank
+    # + 7 fixed unroll stages as llm_ffd_packing — linear volume,
+    # constant stage count, so the ratio should match the FFD twin's
+    # fixed-overhead-dominated envelope
+    "llm_batch_prep",
 ]
 
 

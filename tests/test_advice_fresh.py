@@ -240,6 +240,41 @@ TRIAGE: dict[str, dict[str, str]] = {
         "caller contract is pinned by a kill-restart test "
         "(test_streaming_verified_gate_replay_idempotent).",
     },
+    # --- r14 findings ---
+    "bench.py:162": {
+        "status": "fixed",
+        "fix_file": "bench.py",
+        "fix_pattern": r"class ProbeSampler",
+        "note": "a background thread samples the contention probe every "
+        "~10s DURING the timed window (was endpoint-only), so a "
+        "contender living entirely inside the bench run is seen; the "
+        "docstring now describes the sampling protocol accurately.",
+    },
+    "bench.py:434": {
+        "status": "fixed",
+        "fix_file": "bench.py",
+        "fix_pattern": r'"_contended" if is_contended else ""',
+        "note": "contended full-registry runs write to "
+        "bench_<tag>_contended.json, leaving the last idle capture "
+        "under the tag intact (strict-idle runs included).",
+    },
+    "datawarehouse_spark/operators/text.py:326": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/text.py",
+        "fix_pattern": r"ffd_packing: input columns \{clash\} collide",
+        "note": "ffd_packing rejects inputs whose columns collide with "
+        "its internal working names (grp/slot/bin/_r/_load/_fbin/_nb "
+        "+ output ledger names) — pinned by a pytest raises-check.",
+    },
+    "datawarehouse_spark/operators/similarity.py:1775": {
+        "status": "fixed",
+        "fix_file": "datawarehouse_spark/operators/similarity.py",
+        "fix_pattern": r"bounded = queries\.limit\(MAX_BEAM_QUERIES \+ 1\)"
+        r"\.localCheckpoint",
+        "note": "the cap guard materializes limit(cap+1) once and the "
+        "search reads the same materialization — the upstream query "
+        "plan executes exactly once instead of twice.",
+    },
 }
 
 FINDING_RE = re.compile(r"^- \*\*(\w+)\*\* ([\w./_-]+):(\d+) — ")
