@@ -487,7 +487,14 @@ def exact_dup_spans(
     sites = sites_fn(df, id_col, text, min_len)
     cached = None
     if persist:
-        sites = cached = sites.persist()
+        # DISK_ONLY: the positional site table is corpus×windows-sized;
+        # memory-caching it borrows unified memory from the frequency
+        # agg it feeds (at sf1 the md5+rolling suite union OOM'd the
+        # default heap through exactly that borrowing), and at 100 TB
+        # it could never live in memory anyway
+        from pyspark import StorageLevel
+
+        sites = cached = sites.persist(StorageLevel.DISK_ONLY)
     # ≥2 SITES (doc, pos) — within-doc repeats are duplicates too
     dup_h = (
         sites.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
@@ -495,9 +502,15 @@ def exact_dup_spans(
         .select("h")
     )
     # merge overlapping windows: same length L ⇒ sorted starts chain
-    # into one span iff the start step ≤ L (_merge_flagged_spans)
+    # into one span iff the start step ≤ L (_merge_flagged_spans).
+    # shuffle_hash-hint the dup-hash join: the duplicated-hash set
+    # grows with the corpus (≈100k 32-char strings already at sf1 —
+    # two member impls' broadcasts together exhaust the shared
+    # local-mode heap, and at 100 TB it could never broadcast); SHJ
+    # builds per-partition slices of it instead
     spans = _merge_flagged_spans(
-        sites.join(dup_h, "h").select(id_col, "pos"), id_col, min_len
+        sites.join(dup_h.hint("shuffle_hash"), "h").select(id_col, "pos"),
+        id_col, min_len,
     )
     if cached is not None:
         try:
