@@ -479,6 +479,21 @@ def main() -> None:
                     df.count()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # harness hygiene: operators that return eagerly
+            # localCheckpoint-ed results leave their checkpoint RDD
+            # blocks persisted until the JVM exits (nothing ever calls
+            # unpersist on a returned DataFrame). Across ~80 entries ×
+            # reps the block-manager accumulates dozens of zombie
+            # blocks (measured: 25 after ~40 entries); drop them
+            # between entries. This only REMOVES state — a rep always
+            # recomputes from parquet (a fresh localCheckpoint RDD is
+            # never reused across reps), so it cannot warm anything.
+            try:
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for jrdd in jmap.values():
+                    jrdd.unpersist()
+            except Exception:
+                pass
 
     probes.append(contention_probe())
     is_contended = contended(probes)

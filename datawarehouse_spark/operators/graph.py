@@ -41,16 +41,23 @@ def pagerank(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
     anywhere, so the emitted doubles are bit-identical across engines
     with NO rounding step.
 
-    Scale shape: edges and degrees persist once (they drive all
-    iterations); each iteration is one shuffle join of ranks against
-    edges on the source key plus a map-combined per-destination sum —
-    O(E) per iteration, O(log-diameter-independent) fixed 10 rounds.
-    Lineage is cut with an eager localCheckpoint every third iteration
-    (the standard Spark iterative-algorithm hygiene; without it the
-    plan doubles per round). The graph-size scalar N is the one number
-    the driver must know (it parameterizes every iteration's
-    literals), hence a single count() of the node set — vocab-sized,
-    not corpus-sized.
+    Scale shape (r14 rewrite, guide §2.4/§3): the degree is folded
+    into the persisted edge table ONCE (``ew = edges ⋈ deg``), so each
+    iteration is a single join of ranks against ``ew`` on the source
+    key plus a map-combined per-destination sum — one join and one
+    aggregation exchange per round instead of the former three joins
+    (ranks⋈deg, ⋈edges, nodes⟕sums). The trailing nodes-left-join was
+    provably vacuous: the graph is symmetrized, so every node with an
+    out-edge also has an in-edge and receives at least one
+    contribution — the per-destination sums cover exactly the node
+    set and the COALESCE(s, 0) never fired; dropping it changes no
+    value (r_{i+1} arithmetic is applied to the identical sums).
+    O(E) per iteration, fixed 10 rounds. Lineage is cut with an eager
+    localCheckpoint every third iteration (the standard Spark
+    iterative-algorithm hygiene; without it the plan doubles per
+    round). The graph-size scalar N is the one number the driver must
+    know (it parameterizes every iteration's literals), hence a
+    single count() of the node set — vocab-sized, not corpus-sized.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -61,26 +68,35 @@ def pagerank(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
     try:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
             .withColumnRenamed("src", "node").persist()
-        nodes = deg.select("node")
-        n_g = nodes.count()
-        ranks = nodes.select("node", F.lit(1.0 / n_g).alias("r"))
+        n_g = deg.count()
+        # degree travels WITH the edge: r/deg needs no per-iteration
+        # deg join, and the division is the same IEEE op on the same
+        # inputs, so every contribution is bit-identical to the
+        # three-join form's
+        ew = (
+            edges.join(
+                deg.select(F.col("node").alias("src"), "deg"), "src"
+            )
+            .select("src", "dst", "deg")
+            .localCheckpoint(eager=True)
+        )
+        ranks = deg.select("node", F.lit(1.0 / n_g).alias("r"))
         for i in range(n_iters):
             contrib = (
-                ranks.join(deg, "node")
-                .join(edges, F.col("node") == F.col("src"))
+                ranks.join(ew, F.col("node") == F.col("src"))
                 .select(
                     F.col("dst").alias("node"),
                     (F.col("r") / F.col("deg"))
                     .cast("decimal(38,15)").alias("c"),
                 )
             )
-            sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-            ranks = nodes.join(sums, "node", "left").select(
+            ranks = contrib.groupBy("node").agg(
+                F.sum("c").alias("s")
+            ).select(
                 "node",
                 (
                     F.lit(BASE / n_g)
-                    + F.lit(DAMPING)
-                    * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    + F.lit(DAMPING) * F.col("s").cast("double")
                 ).alias("r"),
             )
             if i % 3 == 2:

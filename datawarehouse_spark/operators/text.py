@@ -343,14 +343,20 @@ def ffd_packing(df: DataFrame, id_col: str = "doc_id",
     (n_tokens DESC, id) — the shared block-offset primitive
     (operators/rank.py::global_rank), NO single-partition sort — then
     rank-contiguous groups of ``group_size`` docs pack independently.
-    Within a group the first-fit recurrence unrolls to ``group_size-1``
-    fixed DataFrame stages (the llm_hnsw_search / BPE / PageRank
-    unroll convention — no UDF anywhere): step s assigns the group's
-    slot-s item by joining the ≤ group_size-row per-group bin-load
-    table. Each step is one bounded join + agg, localCheckpoint'ed so
-    lineage stays flat; every stage's volume is n/group_size rows —
-    scale-safe at any corpus size, and the whole computation is
-    CTE-expressible for the cross-engine oracle.
+
+    Within a group the first-fit recurrence is ONE higher-order
+    ``aggregate`` lambda over the group's collected (slot, id, n)
+    structs (r14 rewrite, guide §4.1 — higher-order functions run in
+    JVM codegen, no UDF): the fold state is (bin loads, assignments),
+    each step first-fits one item exactly as the former
+    ``group_size-1``-stage join/agg unroll did, with the identical
+    integer arithmetic, so the output is bit-for-bit unchanged
+    (pinned by the sequential-reference property test). This replaces
+    7 bounded joins + 7 aggregations + 4 eager localCheckpoint jobs
+    with a single groupBy shuffle of (grp, slot, id, n) rows — at any
+    scale the per-task state is one ``group_size``-element array, and
+    the whole computation stays CTE-expressible for the cross-engine
+    oracle.
 
     Output carries the bin-occupancy ledger per doc: (id, n_tokens,
     pack_grp, bin_id global across groups, bin_load, n_in_bin,
@@ -392,62 +398,110 @@ def ffd_packing(df: DataFrame, id_col: str = "doc_id",
         toks, order=[F.desc("n_tokens"), F.asc(id_col)], rank_col="_r"
     )
     items = ranked.select(
-        id_col,
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.floor((F.col("_r") - 1) / group_size).alias("grp"),
-        ((F.col("_r") - 1) % group_size).alias("slot"),
-    ).localCheckpoint(eager=True)
-    # slot 0 (the group's longest item) always opens bin 0
-    assign = items.filter(F.col("slot") == 0).select(
-        "grp", id_col, "n_tokens", F.lit(0).cast("bigint").alias("bin")
+        F.struct(
+            ((F.col("_r") - 1) % group_size).alias("slot"),
+            F.col(id_col).alias("id"),
+            F.col("n_tokens").cast("bigint").alias("n"),
+        ).alias("x"),
     )
-    for s in range(1, group_size):
-        loads = assign.groupBy("grp", "bin").agg(
-            F.sum("n_tokens").alias("_load")
-        )
-        nbins = loads.groupBy("grp").agg(
-            (F.max("bin") + 1).alias("_nb")
-        )
-        cur = items.filter(F.col("slot") == s).select(
-            "grp", id_col, "n_tokens"
-        )
-        # first fit: the lowest bin whose load leaves room
-        fits = (
-            cur.join(loads, "grp")
-            .filter(F.col("_load") + F.col("n_tokens") <= F.lit(budget))
-            .groupBy("grp", id_col)
-            .agg(F.min("bin").alias("_fbin"))
-        )
-        chosen = (
-            cur.join(fits, ["grp", id_col], "left")
-            .join(nbins, "grp")
-            .select(
-                "grp", id_col, "n_tokens",
-                F.coalesce("_fbin", "_nb").cast("bigint").alias("bin"),
-            )
-        )
-        assign = assign.unionByName(chosen)
-        # checkpoint every OTHER stage (and the last): each
-        # un-checkpointed stage references `assign` twice (the loads
-        # branch and the union branch), so skipping one checkpoint
-        # doubles that stage's subtree once — bounded — while halving
-        # the number of eager jobs, which dominate the operator's
-        # fixture-scale cost
-        if s % 2 == 0 or s == group_size - 1:
-            assign = assign.localCheckpoint(eager=True)
-    occupancy = assign.groupBy("grp", "bin").agg(
-        F.sum("n_tokens").alias("bin_load"),
-        F.count(F.lit(1)).alias("n_in_bin"),
+    # one shuffle: each group's <= group_size items collect into an
+    # array; array_sort orders by slot (the struct's leading field,
+    # distinct within a group), reproducing the unroll's slot order
+    grouped = items.groupBy("grp").agg(
+        F.array_sort(F.collect_list("x")).alias("xs")
     )
-    return assign.join(occupancy, ["grp", "bin"]).select(
-        id_col,
-        "n_tokens",
+
+    # the first-fit fold. State: (loads = per-bin totals so far,
+    # asg = (id, n, bin) per placed item). Slot 0 seeds the state
+    # (it always opens bin 0 — exactly the unroll's base case), the
+    # remaining slots fold in slot order. b0 is the 0-based index of
+    # the lowest bin with room (NULL → open a new bin); the
+    # single-element transform binds the filter result once.
+    def _step(st, x):
+        fit0 = F.element_at(
+            F.filter(
+                F.sequence(F.lit(0), F.size(st["loads"]) - F.lit(1)),
+                lambda i: F.element_at(st["loads"], i + F.lit(1)) + x["n"]
+                <= F.lit(budget),
+            ),
+            1,
+        )
+        return F.element_at(
+            F.transform(
+                F.array(fit0),
+                lambda b0: F.struct(
+                    F.when(
+                        b0.isNull(),
+                        F.concat(st["loads"], F.array(x["n"])),
+                    )
+                    .otherwise(
+                        F.transform(
+                            st["loads"],
+                            lambda l, j: F.when(
+                                j == b0, l + x["n"]
+                            ).otherwise(l),
+                        )
+                    )
+                    .alias("loads"),
+                    F.concat(
+                        st["asg"],
+                        F.array(
+                            F.struct(
+                                x["id"].alias("id"),
+                                x["n"].alias("n"),
+                                F.coalesce(
+                                    b0, F.size(st["loads"])
+                                ).alias("bin"),
+                            )
+                        ),
+                    ).alias("asg"),
+                ),
+            ),
+            1,
+        )
+
+    head = F.element_at("xs", 1)
+    packed = grouped.select(
+        "grp",
+        F.col("xs").alias("xs"),
+        F.aggregate(
+            F.slice(F.col("xs"), F.lit(2), F.size("xs") - F.lit(1)),
+            F.struct(
+                F.array(head["n"]).alias("loads"),
+                F.array(
+                    F.struct(
+                        head["id"].alias("id"),
+                        head["n"].alias("n"),
+                        F.lit(0).alias("bin"),
+                    )
+                ).alias("asg"),
+            ),
+            _step,
+        ).alias("st"),
+    )
+    exploded = packed.select(
+        "grp",
+        F.col("st.loads").alias("_loads"),
+        F.col("st.asg").alias("_asg"),
+        F.explode(F.col("st.asg")).alias("_x"),
+    )
+    return exploded.select(
+        F.col("_x.id").alias(id_col),
+        F.col("_x.n").alias("n_tokens"),
         F.col("grp").cast("bigint").alias("pack_grp"),
-        (F.col("grp") * group_size + F.col("bin"))
+        (F.col("grp") * group_size + F.col("_x.bin"))
         .cast("bigint").alias("bin_id"),
-        F.col("bin_load").cast("bigint").alias("bin_load"),
-        F.col("n_in_bin").cast("bigint").alias("n_in_bin"),
-        F.round(F.col("bin_load") / F.lit(budget), 6).alias("bin_fill"),
+        F.element_at(F.col("_loads"), F.col("_x.bin") + F.lit(1))
+        .cast("bigint").alias("bin_load"),
+        F.size(
+            F.filter(F.col("_asg"), lambda a: a["bin"] == F.col("_x.bin"))
+        ).cast("bigint").alias("n_in_bin"),
+        F.round(
+            F.element_at(F.col("_loads"), F.col("_x.bin") + F.lit(1))
+            / F.lit(budget),
+            6,
+        ).alias("bin_fill"),
     )
 
 
@@ -1609,7 +1663,18 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
         F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" </w> ")
     )
     cur = words.select("w", "f", syms.alias("s")).localCheckpoint(eager=True)
-    merges: list[tuple[int, str, str, int]] = []
+    # r14 rewrite (guide §1.2 job-shape): the per-round driver argmax
+    # collect() is gone. Each round's best pair stays a broadcast
+    # 1-row DataFrame LEFT-JOINed back on TRUE (the word table passes
+    # through unchanged when pair counts exhaust early — the oracle's
+    # s{i} CTE is this exact shape, comment included), so all k merge
+    # rounds plan into ONE lazy computation instead of k
+    # collect-then-rebuild driver syncs. A mid-loop eager checkpoint
+    # bounds the doubled-subtree growth (s{i} references s{i-1} twice:
+    # the pair-count branch and the pass-through branch). Per-round
+    # work is unchanged — same pair counts, same argmax tie-break,
+    # same two-pass replace — so the outputs are bit-identical.
+    best_tables: list[DataFrame] = []
     for rank in range(1, k + 1):
         arr = F.split(F.trim(F.col("s")), " ")
         prs = F.zip_with(
@@ -1622,20 +1687,25 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("f").alias("c"))
         )
-        best = pc.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
-        if not best:
-            break
-        lhs, rhs, c = best[0].l, best[0].r, int(best[0].c)
-        merges.append((rank, lhs, rhs, c))
-        pat = F.concat(F.lit(" "), F.lit(lhs), F.lit(" "), F.lit(rhs), F.lit(" "))
-        rep = F.concat(F.lit(" "), F.lit(lhs), F.lit(rhs), F.lit(" "))
-        nxt = cur.select(
-            "w", "f",
-            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
+        best = pc.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1)
+        best_tables.append(best)
+        pat = F.concat(
+            F.lit(" "), F.col("l"), F.lit(" "), F.col("r"), F.lit(" ")
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        cur.unpersist()
-        cur = nxt
+        rep = F.concat(F.lit(" "), F.col("l"), F.col("r"), F.lit(" "))
+        cur = (
+            cur.join(F.broadcast(best), F.lit(True), "left")
+            .select(
+                "w", "f",
+                F.when(F.col("l").isNull(), F.col("s"))
+                .otherwise(
+                    F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
+                )
+                .alias("s"),
+            )
+        )
+        if rank % 3 == 0 and rank < k:
+            cur = cur.localCheckpoint(eager=True)
     if emit == "vocab":
         return cur.select(
             "w", "f",
@@ -1643,9 +1713,16 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
             .alias("n_syms"),
             F.trim(F.col("s")).alias("seg"),
         )
-    return spark.createDataFrame(
-        merges, "merge_rank bigint, lhs string, rhs string, pair_count bigint"
-    )
+    out = None
+    for rank, best in enumerate(best_tables, 1):
+        row = best.select(
+            F.lit(rank).cast("bigint").alias("merge_rank"),
+            F.col("l").alias("lhs"),
+            F.col("r").alias("rhs"),
+            F.col("c").cast("bigint").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def tokenizer_fertility(df: DataFrame, k: int = 6,

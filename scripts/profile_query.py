@@ -25,8 +25,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _noop(df) -> float:
+def _noop(fn, spark, sf_dir) -> float:
+    # time fn() + the noop write, exactly like bench.py — operators
+    # that eagerly localCheckpoint do their work at call time
     t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0
 
@@ -75,8 +78,27 @@ def main() -> None:
             fn(spark, warm).write.mode("overwrite").format("noop").save()
         except Exception:
             pass
-        best = min(_noop(fn(spark, sf_dir)) for _ in range(reps))
-        print(f"{name}: {best:.3f}s")
+        sc = spark.sparkContext
+        sc.setJobGroup(f"prof-{name}", name)
+        best = min(_noop(fn, spark, sf_dir) for _ in range(reps))
+        tracker = sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup(f"prof-{name}")
+        stage_ids = []
+        for j in jobs:
+            ji = tracker.getJobInfo(j)
+            if ji:
+                stage_ids.extend(ji.stageIds)
+        n_tasks = 0
+        for s in set(stage_ids):
+            si = tracker.getStageInfo(s)
+            if si:
+                n_tasks += si.numTasks
+        sc.setJobGroup(None, None)
+        print(
+            f"{name}: {best:.3f}s  jobs={len(jobs)//reps} "
+            f"stages={len(set(stage_ids))//reps} tasks={n_tasks//reps} "
+            f"(over {reps} reps)"
+        )
         if plan_dir:
             df = fn(spark, sf_dir)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
@@ -92,7 +114,7 @@ def main() -> None:
                     mfn(spark, warm).write.mode("overwrite").format("noop").save()
                 except Exception:
                     pass
-                mbest = min(_noop(mfn(spark, sf_dir)) for _ in range(reps))
+                mbest = min(_noop(mfn, spark, sf_dir) for _ in range(reps))
                 print(f"  {tag}: {mbest:.3f}s")
         spark.sparkContext.setJobDescription(None)
     spark.stop()

@@ -39,8 +39,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/similarity.py", "ivfpq_topk_grid"):
         "nlist coarse centroids + PQ codebooks + the k-row result "
         "grid — all index/model-sized, never corpus-sized",
-    ("operators/text.py", "bpe_train"):
-        "LIMIT 1 best merge pair per BPE round — one row",
     ("operators/similarity.py", "hnsw_build"):
         "dense-layer (id, vector) matrix, collected ONLY when the "
         "layer population ≤ dense_layer_cap (4096 default; "
