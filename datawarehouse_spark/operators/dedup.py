@@ -941,7 +941,11 @@ def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b",
                 (F.least(stepped["lbl"], F.coalesce("_v", stepped["lbl"]))
                  < stepped["lbl0"]).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # the convergence aggregate is the materializing action for the
+        # lazy checkpoint (r14, guide §1.2): one job per round instead
+        # of an eager-checkpoint job plus an agg job — same joins, same
+        # shuffles, half the driver round-trips
         changed = nxt.agg(F.sum(F.col("_chg").cast("int"))).first()[0] or 0
         labels = nxt.drop("_chg")
         if changed == 0:

@@ -236,9 +236,10 @@ def hierarchy_stats(nodes: DataFrame, key: str = "k", parent: str = "p",
     else:
         n_prev, n_cur = -1, closure.count()
         while n_cur != n_prev:
+            # lazy checkpoint + fixpoint count share one job (r14)
             closure = (
                 closure.union(_double(closure)).distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             n_prev, n_cur = n_cur, closure.count()
     depth = closure.groupBy("dk").agg(F.count(F.lit(1)).alias("depth"))
@@ -490,21 +491,25 @@ def kcore_stats(pairs: DataFrame, k: int = 2, id_a: str = "doc_a",
 
     Scale shape: each peel round is one map-combined degree count and
     two semi-joins on node ids (never an all-pairs product); every
-    round eagerly localCheckpoints so lineage stays flat (the
-    PageRank iterative hygiene), and convergence is one count()
-    scalar per round (the hierarchy_stats fixpoint shape). Rounds are
-    bounded by ``max_rounds`` with a loud ValueError if the peel has
-    not stabilized — a green oracle row therefore PROVES the bound
-    covered the fixture, because the unrolled-CTE oracle peels the
-    same fixed number of rounds (kcore_oracle_sql).
+    round localCheckpoints so lineage stays flat (the PageRank
+    iterative hygiene), and convergence is one count() scalar per
+    round. The checkpoint is LAZY and the convergence count is the
+    materializing action (r14, guide §1.2): one job per round does
+    both, instead of the former eager-checkpoint job followed by a
+    count job — same peel rounds, same shuffles, half the driver
+    round-trips. Rounds are bounded by ``max_rounds`` with a loud
+    ValueError if the peel has not stabilized — a green oracle row
+    therefore PROVES the bound covered the fixture, because the
+    unrolled-CTE oracle peels the same fixed number of rounds
+    (kcore_oracle_sql).
     """
     sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).union(
         pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
     )
-    edges = sym.distinct().localCheckpoint(eager=True)
+    edges = sym.distinct().localCheckpoint(eager=False)
     deg0 = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d0"))
     cur = edges
-    n_cur = cur.count()
+    n_cur = cur.count()  # materializes the lazy checkpoint — one job
     for _ in range(max_rounds):
         keep = (
             cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
@@ -515,9 +520,9 @@ def kcore_stats(pairs: DataFrame, k: int = 2, id_a: str = "doc_a",
             cur.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_nxt = nxt.count()
+        n_nxt = nxt.count()  # one job: materialize + convergence scalar
         cur = nxt
         if n_nxt == n_cur:
             break

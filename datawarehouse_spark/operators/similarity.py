@@ -1572,24 +1572,37 @@ def hnsw_build(
         lvl = F.when(
             F.pmod(h, F.lit(2 ** (l + 1))) == F.lit(2**l), F.lit(l)
         ).otherwise(lvl)
-    # lvl is a projection of the id — no join needed; ONE eager
-    # checkpoint materializes (id, vec, lvl) and every per-layer
-    # filter + count + collect + score then reruns over the cached
-    # blocks instead of re-scanning the source per layer
+    # lvl is a projection of the id — no join needed; ONE lazy
+    # checkpoint materializes (id, vec, lvl) under the histogram job
+    # below, and every per-layer filter + score then reruns over the
+    # cached blocks instead of re-scanning the source per layer
     base = corpus.select(
         F.col(id_col), F.col(vec_col), lvl.cast("int").alias("lvl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     levels = base.select(F.col(id_col), "lvl")
+    # ONE histogram job replaces the former per-layer count() chain
+    # (r14, guide §1.2) and doubles as the checkpoint materializer:
+    # layer l's population is the suffix-sum of the per-level counts —
+    # identical to the old base.filter(lvl >= l).count() scalar
+    hist = {
+        int(r["lvl"]): int(r["n"])
+        for r in base.groupBy("lvl").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    pops = [
+        sum(c for lv, c in hist.items() if lv >= l)
+        for l in range(max_level + 1)
+    ]
+    dense_rows: list | None = None
     layer_adjs = []
     for l in range(max_level + 1):
         members = base.filter(F.col("lvl") >= l)
-        n_l = members.count()
+        n_l = pops[l]
         if n_l < 2:
             continue
         # dense exact top-m only for model-sized layers (the geometric
         # level draw shrinks layers 2x per level, so only the deep
-        # layers of a big corpus ever take the LSH branch); the count
-        # is one bounded job per layer, max_level+1 of them total
+        # layers of a big corpus ever take the LSH branch)
         if n_l > dense_layer_cap and require_dense:
             raise ValueError(
                 f"hnsw_build: layer {l} holds {n_l} vectors > "
@@ -1620,7 +1633,18 @@ def hnsw_build(
             # embeddings don't produce such boundary values); if it
             # ever fires, recompute the boundary rows with the
             # sequential dot_cols convention.
-            rows = members.select(id_col, vec_col).collect()
+            # collect ONCE at the first (hence largest) dense layer —
+            # still bounded by dense_layer_cap — and slice the higher
+            # layers driver-side: lvl >= l is monotone, so each layer
+            # is a strict subset of the first dense one. One collect
+            # job instead of one per layer (r14, guide §1.2); the
+            # sliced (id, vector) sets are identical to what the old
+            # per-layer collect returned.
+            if dense_rows is None:
+                dense_rows = base.filter(F.col("lvl") >= l).select(
+                    id_col, vec_col, "lvl"
+                ).collect()
+            rows = [r for r in dense_rows if r["lvl"] >= l]
             ids = np.array([r[0] for r in rows], dtype=np.int64)
             M = np.array([list(r[1]) for r in rows], dtype=np.float64)
             norms = np.linalg.norm(M, axis=1, keepdims=True)
@@ -1720,7 +1744,10 @@ def hnsw_build(
     adj = layer_adjs[0]
     for a in layer_adjs[1:]:
         adj = adj.unionByName(a)
-    return levels, adj.localCheckpoint(eager=True)
+    # lazy: the caller's first action materializes the adjacency once
+    # (beam search re-reads it per level; a one-shot caller pays one
+    # execution either way) — drops the standalone eager job (r14)
+    return levels, adj.localCheckpoint(eager=False)
 
 
 # Hard ceiling on hnsw_topk's query batch: the search broadcasts the
@@ -1777,8 +1804,10 @@ def hnsw_topk(
     # the search.) When the guard passes, limit(cap+1) returned EVERY
     # query row, so substituting the checkpointed frame is lossless.
     bounded = queries.limit(MAX_BEAM_QUERIES + 1).localCheckpoint(
-        eager=True
+        eager=False
     )
+    # the guard count doubles as the checkpoint materializer (r14):
+    # one job probes the bound AND persists the query batch
     if bounded.count() > MAX_BEAM_QUERIES:
         raise ValueError(
             f"hnsw_topk: query set exceeds MAX_BEAM_QUERIES="

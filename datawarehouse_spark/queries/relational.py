@@ -1046,7 +1046,9 @@ def a26_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     okeep = (op0.groupBy("l_orderkey")
              .agg(F.count(F.lit(1)).alias("_bs"))
              .filter(F.col("_bs") <= 64).select("l_orderkey"))
-    op = op0.join(okeep, "l_orderkey").localCheckpoint(eager=True)
+    # lazy checkpoint: the basket-count action below materializes it in
+    # the same job (r14, guide §1.2 — one driver round-trip, not two)
+    op = op0.join(okeep, "l_orderkey").localCheckpoint(eager=False)
     n_orders = op.select("l_orderkey").distinct().count()
     itm = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
     a = op.select(F.col("l_orderkey").alias("ok"),
