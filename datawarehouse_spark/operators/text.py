@@ -958,8 +958,30 @@ def quality_percentile_filter(df: DataFrame, keep_frac: float = 0.8,
     )
 
 
+def bigram_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """The shared bigram count table ``(w1, w2, c)`` both LM scorers
+    aggregate from — ONE map-combined count over in-row zip_with
+    bigrams (shuffle volume = distinct bigram types, never token
+    instances). Callers scoring the same corpus under several
+    smoothings (lm_score + kn_lm_score in one suite) build this once,
+    checkpoint it, and pass it via ``counts=`` so the corpus scan and
+    the count shuffle run once instead of per scorer (r14, §2.4)."""
+    toks = F.split(F.col(text), " ")
+    bgs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    return (
+        df.select(F.explode(bgs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def lm_score(df: DataFrame, id_col: str = "doc_id",
-             text: str = "text") -> DataFrame:
+             text: str = "text",
+             counts: DataFrame | None = None) -> DataFrame:
     """Corpus-trained bigram language-model score per document — the
     KenLM-style perplexity quality filter (CCNet, Wenzek et al. 2020):
     documents whose token sequences are improbable under a language
@@ -1001,10 +1023,16 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
     # materialized counts — no branch ever re-aggregates the corpus
     # scan. c1 stays a w1-PARTITIONED window (vocab-way parallel); V
     # is a plain agg broadcast back via crossJoin, never a whole-table
-    # window through one partition (the global-window plan lint)
-    c2 = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2")
-    ).localCheckpoint(eager=True)
+    # window through one partition (the global-window plan lint).
+    # ``counts`` (a prebuilt, caller-materialized bigram_counts table)
+    # substitutes for the build — same (w1, w2, COUNT(*)) values, so
+    # every downstream number is unchanged (r14 suite fusion).
+    if counts is not None:
+        c2 = counts.select("w1", "w2", F.col("c").alias("c2"))
+    else:
+        c2 = bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c2")
+        ).localCheckpoint(eager=True)
     vt = c2.agg(F.countDistinct("w2").cast("bigint").alias("_v"))
     marked = (
         c2.withColumn("c1", F.sum("c2").over(W.partitionBy("w1")))
@@ -1054,7 +1082,8 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
 
 
 def kn_lm_score(df: DataFrame, id_col: str = "doc_id",
-                text: str = "text", discount: float = 0.75) -> DataFrame:
+                text: str = "text", discount: float = 0.75,
+                counts: DataFrame | None = None) -> DataFrame:
     """Interpolated Kneser–Ney bigram perplexity per document — the
     smoothing the REAL CCNet/KenLM quality filter uses (lm_score is
     the add-one baseline; KN is what `kenlm` ships). Absolute
@@ -1093,10 +1122,15 @@ def kn_lm_score(df: DataFrame, id_col: str = "doc_id",
     d = F.lit(discount)
     # counted table checkpointed once; word marginals stay PARTITIONED
     # windows, the bigram-type total B is an agg scalar broadcast back
-    # (no whole-table window — the global-window plan lint)
-    c = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    ).localCheckpoint(eager=True)
+    # (no whole-table window — the global-window plan lint). A prebuilt
+    # ``counts`` table substitutes identically (r14 suite fusion —
+    # lm_score's add-one baseline aggregates the same (w1, w2) counts).
+    if counts is not None:
+        c = counts.select("w1", "w2", F.col("c").alias("c12"))
+    else:
+        c = bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        ).localCheckpoint(eager=True)
     bt = c.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
     m = (
         c.withColumn("c1", F.sum("c12").over(W.partitionBy("w1")))
@@ -1654,7 +1688,27 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
     ``aaa`` + merge (a,a) → [aa, a], never [a, aa]). Argmax ties break
     on (count desc, lhs asc, rhs asc) — identical in both engines.
     """
-    spark = df.sparkSession
+    cur, best_tables = _bpe_chain(df, text, k)
+    if emit == "vocab":
+        return _bpe_vocab(cur)
+    return _bpe_merges(best_tables)
+
+
+def _bpe_chain(df: DataFrame, text: str,
+               k: int) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared BPE training chain: the checkpointed word table after
+    all ``k`` merge rounds plus the per-round 1-row best-pair tables.
+    r14 job-shape (guide §1.2): the per-round driver argmax collect()
+    is gone. Each round's best pair stays a broadcast 1-row DataFrame
+    LEFT-JOINed back on TRUE (the word table passes through unchanged
+    when pair counts exhaust early — the oracle's s{i} CTE is this
+    exact shape, comment included), so all k merge rounds plan into
+    ONE lazy computation instead of k collect-then-rebuild driver
+    syncs. A mid-loop eager checkpoint bounds the doubled-subtree
+    growth (s{i} references s{i-1} twice: the pair-count branch and
+    the pass-through branch). Per-round work is unchanged — same pair
+    counts, same argmax tie-break, same two-pass replace — so the
+    outputs are bit-identical to the collect-per-round form."""
     words = (
         df.select(F.explode(F.split(F.col(text), " ")).alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
@@ -1663,17 +1717,6 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
         F.lit(" "), F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" </w> ")
     )
     cur = words.select("w", "f", syms.alias("s")).localCheckpoint(eager=True)
-    # r14 rewrite (guide §1.2 job-shape): the per-round driver argmax
-    # collect() is gone. Each round's best pair stays a broadcast
-    # 1-row DataFrame LEFT-JOINed back on TRUE (the word table passes
-    # through unchanged when pair counts exhaust early — the oracle's
-    # s{i} CTE is this exact shape, comment included), so all k merge
-    # rounds plan into ONE lazy computation instead of k
-    # collect-then-rebuild driver syncs. A mid-loop eager checkpoint
-    # bounds the doubled-subtree growth (s{i} references s{i-1} twice:
-    # the pair-count branch and the pass-through branch). Per-round
-    # work is unchanged — same pair counts, same argmax tie-break,
-    # same two-pass replace — so the outputs are bit-identical.
     best_tables: list[DataFrame] = []
     for rank in range(1, k + 1):
         arr = F.split(F.trim(F.col("s")), " ")
@@ -1706,13 +1749,21 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
         )
         if rank % 3 == 0 and rank < k:
             cur = cur.localCheckpoint(eager=True)
-    if emit == "vocab":
-        return cur.select(
-            "w", "f",
-            F.size(F.split(F.trim(F.col("s")), " ")).cast("bigint")
-            .alias("n_syms"),
-            F.trim(F.col("s")).alias("seg"),
-        )
+    return cur, best_tables
+
+
+def _bpe_vocab(cur: DataFrame) -> DataFrame:
+    """bpe_train(emit='vocab') projection over the final word table."""
+    return cur.select(
+        "w", "f",
+        F.size(F.split(F.trim(F.col("s")), " ")).cast("bigint")
+        .alias("n_syms"),
+        F.trim(F.col("s")).alias("seg"),
+    )
+
+
+def _bpe_merges(best_tables: list[DataFrame]) -> DataFrame:
+    """bpe_train(emit='merges') union over the per-round best rows."""
     out = None
     for rank, best in enumerate(best_tables, 1):
         row = best.select(
@@ -1725,9 +1776,25 @@ def bpe_train(df: DataFrame, text: str = "text", k: int = 6,
     return out
 
 
+def bpe_train_artifacts(
+    df: DataFrame, text: str = "text", k: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """ONE training chain, BOTH artifacts: ``(merges, vocab)`` exactly
+    as two separate ``bpe_train`` calls with ``emit='merges'`` /
+    ``'vocab'`` would return them — but trained once (r14, guide §1.2:
+    the suite that verifies train / apply / measure as three rows was
+    re-running the identical training per member). The vocabulary is
+    eagerly checkpointed (vocab-sized — the corpus scan collapses at
+    the chain head) so every consumer reads the materialized table."""
+    cur, best_tables = _bpe_chain(df, text, k)
+    vocab = _bpe_vocab(cur).localCheckpoint(eager=True)
+    return _bpe_merges(best_tables), vocab
+
+
 def tokenizer_fertility(df: DataFrame, k: int = 6,
                         id_col: str = "doc_id",
-                        text: str = "text") -> DataFrame:
+                        text: str = "text",
+                        vocab: DataFrame | None = None) -> DataFrame:
     """Tokenizer fertility per document: average BPE symbols per word
     under the ``k``-merge tokenizer trained on this corpus by
     :func:`bpe_train` — THE standard tokenizer-quality dial (fertility
@@ -1741,7 +1808,8 @@ def tokenizer_fertility(df: DataFrame, k: int = 6,
     segmentation table, which then broadcasts back against the token
     stream — one explode + one broadcast join + one per-doc agg; no
     shuffle keyed on anything larger than doc_id."""
-    vocab = bpe_train(df, k=k, text=text, emit="vocab")
+    if vocab is None:
+        vocab = bpe_train(df, k=k, text=text, emit="vocab")
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w")
     )
@@ -1955,7 +2023,8 @@ def quality_calibration(df: DataFrame, fit_group: str = "en",
 
 def curriculum_phases(df: DataFrame, n_phases: int = 4,
                       n_blocks: int | None = None, id_col: str = "doc_id",
-                      text: str = "text") -> DataFrame:
+                      text: str = "text",
+                      lm_scored: DataFrame | None = None) -> DataFrame:
     """Perplexity-ordered curriculum phasing: rank every scoreable
     document by corpus-trained bigram-LM perplexity (easy → hard, the
     curriculum-learning recipe) and cut the GLOBAL rank into
@@ -1978,8 +2047,12 @@ def curriculum_phases(df: DataFrame, n_phases: int = 4,
     """
     from datawarehouse_spark.operators.rank import global_rank
 
+    # ``lm_scored`` lets a suite that ALSO verifies the raw lm_score
+    # output feed the same (caller-materialized) scored table here —
+    # one LM build + scoring pass instead of two (r14 suite fusion)
     scored = (
-        lm_score(df, id_col=id_col, text=text)
+        (lm_scored if lm_scored is not None
+         else lm_score(df, id_col=id_col, text=text))
         .filter(F.col("n_bigrams") > 0)
         .select(
             F.col(id_col),

@@ -3737,21 +3737,32 @@ def llm_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     as TakeOrdered with the rank window over 20 rows.
     """
     t = load_tables(spark, sf_dir, ("documents",))
-    from pyspark.sql import Window as W
+    return textrank_from_pairs(word_cooc_pairs(t["documents"]))
 
+
+def word_cooc_pairs(docs: DataFrame) -> DataFrame:
+    """The word co-occurrence graph both graph-suite term members walk:
+    distinct adjacent-token pairs with self-loops dropped. Shared so
+    the suite fusion path builds it (and its corpus scan + distinct
+    shuffle) once for TextRank AND the LPA communities (r14, §2.4)."""
     toks = F.split(F.col("text"), " ")
     bgs = F.zip_with(
         F.slice(toks, 1, F.size(toks) - 1),
         F.slice(toks, 2, F.size(toks) - 1),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    pairs = (
-        t["documents"]
-        .select(F.explode(bgs).alias("b"))
+    return (
+        docs.select(F.explode(bgs).alias("b"))
         .select(F.col("b.w1").alias("doc_a"), F.col("b.w2").alias("doc_b"))
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
+
+
+def textrank_from_pairs(pairs: DataFrame) -> DataFrame:
+    """llm_textrank_keywords' ranking half over a prebuilt pair graph."""
+    from pyspark.sql import Window as W
+
     pr = graph.pagerank(pairs, n_iters=3)
     top = pr.orderBy(F.desc("pr"), F.asc("node")).limit(20)
     return top.select(
@@ -3832,6 +3843,16 @@ def llm_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=8, hash="md5mix"
     ).localCheckpoint(eager=True)
     cand = dedup.lsh_candidates(sig, k=8, band_size=2)
+    return minhash_accuracy_from(docs, sig, cand)
+
+
+def minhash_accuracy_from(docs: DataFrame, sig: DataFrame,
+                          cand: DataFrame) -> DataFrame:
+    """The llm_minhash_accuracy metric computed from a prebuilt
+    (materialized) signature table and candidate-pair table — shared
+    with the suite fusion path, where the same sig/cand feed the
+    signature and candidate member rows too (r14: one signature pass
+    per suite run instead of three)."""
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
@@ -3898,19 +3919,11 @@ def llm_word_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     communities. See operators/graph.py::label_propagation.
     """
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = F.split(F.col("text"), " ")
-    bgs = F.zip_with(
-        F.slice(toks, 1, F.size(toks) - 1),
-        F.slice(toks, 2, F.size(toks) - 1),
-        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-    )
-    pairs = (
-        t["documents"]
-        .select(F.explode(bgs).alias("b"))
-        .select(F.col("b.w1").alias("doc_a"), F.col("b.w2").alias("doc_b"))
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .distinct()
-    )
+    return communities_from_pairs(word_cooc_pairs(t["documents"]))
+
+
+def communities_from_pairs(pairs: DataFrame) -> DataFrame:
+    """llm_word_communities' LPA half over a prebuilt pair graph."""
     comm = graph.label_propagation(pairs, n_iters=4)
     return comm.select(F.col("node").alias("term"), "community", "comm_size")
 
