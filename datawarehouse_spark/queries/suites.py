@@ -32,10 +32,32 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datawarehouse_spark.queries.llm import (
+    fused_corpus_stats,
+    fused_graph,
+    fused_minhash_lsh,
+    fused_text_quality,
+)
 from datawarehouse_spark.queries.registry import ORACLES as ORACLES_RAW
 from datawarehouse_spark.queries.registry import QUERIES as QUERIES_RAW
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# r14 suite fusion (optimization guide §2.4): a suite whose members
+# re-derive the same intermediate (bigram counts, a BPE training chain,
+# the word co-occurrence graph, MinHash signatures) computes it ONCE
+# per suite run through these builders. A builder returns
+# {member tag: DataFrame} overrides; tags it does not name fall back to
+# the standalone QUERIES_RAW member. Overrides are built from the same
+# operator code with prebuilt intermediates injected, so member rows
+# are identical — the oracle SQL stays the unchanged per-member
+# UNION ALL, and tests/test_oracle_parity.py pins fused ≡ standalone.
+FUSED_BUILDERS: dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]] = {
+    "suite_text_quality": fused_text_quality,
+    "suite_corpus_stats": fused_corpus_stats,
+    "suite_graph": fused_graph,
+    "suite_minhash_lsh": fused_minhash_lsh,
+}
 
 # tag (raw query name), key columns (→ string), value columns (→ double)
 Member = tuple[str, list[str], list[str]]
@@ -943,10 +965,16 @@ def _canon_spark(
     return df.select(*cols)
 
 
-def _suite_query(members: list[Member], kw: int, vw: int) -> QueryFn:
+def _suite_query(name: str, members: list[Member], kw: int, vw: int) -> QueryFn:
+    builder = FUSED_BUILDERS.get(name)
+
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        over = builder(spark, sf_dir) if builder is not None else {}
         parts = [
-            _canon_spark(QUERIES_RAW[tag](spark, sf_dir), tag, keys, vals, kw, vw)
+            _canon_spark(
+                over[tag] if tag in over else QUERIES_RAW[tag](spark, sf_dir),
+                tag, keys, vals, kw, vw,
+            )
             for tag, keys, vals in members
         ]
         out = parts[0]
@@ -983,7 +1011,7 @@ def _build() -> tuple[dict[str, QueryFn], dict[str, str]]:
                 raise KeyError(f"suite {name}: members without oracle {no_oracle}")
             kw = max(len(k) for _, k, _ in members)
             vw = max(len(v) for _, _, v in members)
-            queries[name] = _suite_query(members, kw, vw)
+            queries[name] = _suite_query(name, members, kw, vw)
             oracles[name] = "\nUNION ALL\n".join(
                 _canon_sql(ORACLES_RAW[tag], tag, keys, vals, kw, vw)
                 for tag, keys, vals in members

@@ -254,3 +254,45 @@ def test_edit_distance_passjoin_oracle_short_keys():
     assert any(r[2] < 5 or r[3] < 5 for r in naive), \
         "corpus must exercise the short-key bucket"
     assert passjoin == naive
+
+
+@pytest.mark.parametrize(
+    "suite_name", sorted(__import__(
+        "datawarehouse_spark.queries.suites", fromlist=["FUSED_BUILDERS"]
+    ).FUSED_BUILDERS)
+)
+def test_fused_suites_match_members(spark, suite_name):
+    """r14 suite fusion: a fused suite computes shared intermediates
+    once and injects them into the same operator code paths, so its
+    union must be ROW-IDENTICAL to the one built from the standalone
+    QUERIES_RAW members (which is what the unchanged per-member oracle
+    SQL verifies). Build both forms and compare the full sorted row
+    multisets at SF_ORACLE."""
+    from datawarehouse_spark.queries.suites import (
+        FUSED_BUILDERS,
+        SUITES,
+        _canon_spark,
+    )
+
+    members = SUITES[suite_name]
+    over = FUSED_BUILDERS[suite_name](spark, SF_ORACLE)
+    unknown = sorted(set(over) - {t for t, _, _ in members})
+    assert not unknown, f"{suite_name}: overrides for non-members {unknown}"
+    assert over, f"{suite_name}: fused builder returned no overrides"
+    kw = max(len(k) for _, k, _ in members)
+    vw = max(len(v) for _, _, v in members)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for tag, keys, vals in members:
+        if tag not in over:
+            continue
+        fused = rows(_canon_spark(over[tag], tag, keys, vals, kw, vw))
+        solo = rows(_canon_spark(
+            QUERIES_RAW[tag](spark, SF_ORACLE), tag, keys, vals, kw, vw
+        ))
+        assert fused == solo, (
+            f"{suite_name}/{tag}: fused member rows differ from the "
+            "standalone query"
+        )
