@@ -213,24 +213,35 @@ def ngram_jaccard_pairs(
     hot-shingle list, so the cap costs one map-combined count pass plus
     a map-side filter, never a shuffle join against the keep-list.
 
-    The shingle set feeds four consumers (freq, sizes, both self-join
-    sides). ``persist=True`` (default) computes it once and caches —
-    measured 3-4× faster at sf0.1 — then materializes the (far
-    smaller) qualifying-pair result eagerly (``localCheckpoint``) and
-    drops the shingle cache in a ``finally`` before returning, so a
+    ``persist=True`` (default) computes the shingle set once and
+    caches — measured 3-4× faster at sf0.1 — then materializes the
+    (far smaller) qualifying-pair result eagerly (``localCheckpoint``)
+    and drops the shingle cache in a ``finally`` before returning, so a
     long-lived session never accumulates shingle blocks waiting on the
     ContextCleaner. When the shingle set exceeds cluster cache (the
-    100 TB regime), pass ``persist=False``: the two join sides are
-    byte-identical subplans, so AQE's ReuseExchange computes their
-    shuffle once (plan-asserted in tests/test_plans.py) and only the
-    freq/sizes aggregations recompute the explode.
+    100 TB regime), pass ``persist=False`` — the capped path touches
+    the shingle stream only three times (hot count, sizes, group), all
+    single-pass aggregations.
+
+    Capped path (``max_shingle_freq`` set — every registry call): after
+    the hot anti-join every shingle group holds ≤ cap instances, so
+    instead of the shingle self-join (which shuffles the full stream
+    TWICE and re-shuffles the joined pairs) the pairs come from ONE
+    group-by-shingle ``collect_list`` — bounded ≤ cap ids per group by
+    construction — double-exploded into (doc_a < doc_b) combinations
+    and count-aggregated. Identical (i, na, nb) integers: per shingle
+    the instance cross-product with ``id_a < id_b`` is exactly what the
+    old equi-join emitted, summed by the same pair-key aggregation.
+    The uncapped path keeps the self-join: without the cap a single
+    group's id list is unbounded and collect_list would be the OOM the
+    cap exists to prevent.
     """
     sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("s"))
-    # hash shingle strings to int64 before the shuffle: the self-join
-    # moves 8-byte keys instead of ~25-byte strings (~1.4× at sf0.1 and
-    # growing with shingle length). xxhash64 collisions perturb a
-    # jaccard only when two distinct shingles of a compared pair
-    # collide — ~n²/2⁶⁴, vanishing even at 100 TB shingle counts.
+    # hash shingle strings to int64 before the shuffle: aggregations
+    # and joins move 8-byte keys instead of ~25-byte strings (~1.4× at
+    # sf0.1 and growing with shingle length). xxhash64 collisions
+    # perturb a jaccard only when two distinct shingles of a compared
+    # pair collide — ~n²/2⁶⁴, vanishing even at 100 TB shingle counts.
     sh = sh.select(id_col, F.xxhash64("s").alias("s"))
     cached = None
     if persist:
@@ -244,18 +255,38 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_shingle_freq is not None:
+        # bounded-group pair generation: one full-volume shuffle (the
+        # collect_list group-by) instead of two self-join sides; the
+        # (id_a < id_b) instance combinations are built inside a
+        # higher-order lambda (no per-row array duplication) and
+        # exploded once — the same rows the equi-join emitted
+        grp = sh.groupBy("s").agg(F.collect_list(F.col(id_col)).alias("_ids"))
+        combos = F.expr(
+            "flatten(transform(_ids, x ->"
+            " transform(filter(_ids, y -> y > x), y ->"
+            " named_struct('doc_a', x, 'doc_b', y))))"
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        inter = (
+            grp.select(F.explode(combos).alias("_p"))
+            .select("_p.doc_a", "_p.doc_b")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
         )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
     pairs = (

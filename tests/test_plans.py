@@ -54,9 +54,12 @@ def test_agg_is_partial_then_final(spark):
 
 
 def test_ngram_self_join_reuses_exchange(spark):
-    """With persist=False (the 100 TB regime, where the shingle set
-    exceeds cluster cache) the self-join's two sides are identical
-    subplans: Spark must compute their shuffle once (ReusedExchange)."""
+    """UNCAPPED path only (max_shingle_freq=None): with persist=False
+    (the 100 TB regime, where the shingle set exceeds cluster cache)
+    the self-join's two sides are identical subplans: Spark must
+    compute their shuffle once (ReusedExchange). The capped path has
+    no self-join at all since r14 — see
+    test_ngram_capped_group_path_no_self_join."""
     from datawarehouse_spark.operators import dedup
 
     docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
@@ -69,7 +72,7 @@ def test_ngram_self_join_reuses_exchange(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try:
         df = dedup.ngram_jaccard_pairs(
-            docs, threshold=0.3, max_shingle_freq=100, persist=False
+            docs, threshold=0.3, max_shingle_freq=None, persist=False
         )
         df.collect()  # AQE decides reuse at runtime — need the final plan
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -77,6 +80,43 @@ def test_ngram_self_join_reuses_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_ngram_capped_group_path_no_self_join(spark):
+    """r14: the capped path (every registry call) generates pairs from
+    ONE group-by-shingle collect_list instead of the shingle self-join
+    — the plan must show the collect_list aggregation and must NOT
+    join on the shingle hash column; and its output must be
+    row-identical (bit-equal jaccard) to the uncapped self-join path
+    when the cap is high enough to drop nothing."""
+    from datawarehouse_spark.operators import dedup
+
+    docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
+    spark.catalog.clearCache()
+    capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_shingle_freq=10**9, persist=False
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan
+    # the only shingle-keyed join allowed is the hot-list LeftAnti;
+    # no inner equi-join of the shingle stream against itself
+    import re
+
+    self_joins = [
+        ln for ln in plan.splitlines()
+        if ("Inner" in ln) and re.search(r"\[s#\d+L?\], \[s#\d+L?\]", ln)
+    ]
+    assert not self_joins, self_joins
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_shingle_freq=None, persist=False
+    )
+    import struct
+
+    k = {(r.doc_a, r.doc_b): struct.pack("<d", r.jaccard)
+         for r in capped.collect()}
+    u = {(r.doc_a, r.doc_b): struct.pack("<d", r.jaccard)
+         for r in uncapped.collect()}
+    assert k == u and len(k) > 0
 
 
 def test_semi_anti_join_rewrite(spark):
