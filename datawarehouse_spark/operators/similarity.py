@@ -1776,6 +1776,7 @@ def hnsw_topk(
     level_src: Column | None = None,
     dense_layer_cap: int = 4096,
     require_dense: bool = False,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Layered beam search over the :func:`hnsw_build` graph — the
     HNSW search phase: start every query at the deterministic entry
@@ -1817,11 +1818,18 @@ def hnsw_topk(
             "the queries"
         )
     queries = bounded
-    levels, adj = hnsw_build(
-        corpus, m=m, max_level=max_level, id_col=id_col, vec_col=vec_col,
-        level_src=level_src, dense_layer_cap=dense_layer_cap,
-        require_dense=require_dense,
-    )
+    if graph is not None:
+        # prebuilt (levels, adj) from an earlier hnsw_build with the
+        # SAME (m, max_level, level_src, cap) — lets a caller that
+        # already materialized the graph (suite fusion) skip the
+        # second identical build; the search below is unchanged
+        levels, adj = graph
+    else:
+        levels, adj = hnsw_build(
+            corpus, m=m, max_level=max_level, id_col=id_col,
+            vec_col=vec_col, level_src=level_src,
+            dense_layer_cap=dense_layer_cap, require_dense=require_dense,
+        )
     entry = (
         levels.orderBy(F.desc("lvl"), F.asc(id_col)).limit(1)
         .select(F.col(id_col).alias("n_id"))

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from datawarehouse_spark.catalog import load_tables
 from datawarehouse_spark.operators import dedup, graph, similarity, text
+from datawarehouse_spark.operators import multimodal as mm_ops
 from datawarehouse_spark.queries.registry import query
 
 # DuckDB rendering of the word-3-shingle list (shared by minhash/jaccard
@@ -4394,4 +4395,48 @@ def fused_minhash_lsh(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "llm_minhash_signature": sig,
         "llm_minhash_lsh_candidates": cand,
         "llm_minhash_accuracy": minhash_accuracy_from(docs, sig, cand),
+    }
+
+def fused_multimodal(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """suite_multimodal: (1) ONE HNSW build serves both the graph
+    member and the beam search — previously llm_hnsw_search re-ran the
+    identical per-layer GEMM top-m build llm_hnsw_graph had just done
+    (same m/max_level/level_src/cap ⇒ bit-identical adjacency);
+    (2) ONE attach_media pass (two md5s over every document's text)
+    feeds catalog / frames / features / resize — previously each of
+    the four re-scanned the corpus to derive the same 32-byte
+    payloads. media and the adjacency are per-doc/edge-list sized.
+    (mm_shard_packing packs from the documents size ledger, not from
+    payloads — it keeps its standalone path.)"""
+    from datawarehouse_spark.queries.multimodal import (
+        _catalog_from_media,
+        _features_from_media,
+        _frames_from_media,
+        _resize_from_media,
+    )
+
+    t = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    media = mm_ops.attach_media(t["documents"]).localCheckpoint(eager=True)
+    emb = t["embeddings"]
+    levels, adj = similarity.hnsw_build(
+        emb, m=6, max_level=3, level_src=F.col("vec_id"),
+        dense_layer_cap=similarity.MAX_DENSE_LAYER_CAP,
+        require_dense=True,
+    )
+    adj = adj.localCheckpoint(eager=True)
+    return {
+        "mm_media_catalog": _catalog_from_media(media),
+        "mm_frame_sample": _frames_from_media(media),
+        "mm_feature_extraction": _features_from_media(media),
+        "mm_resize": _resize_from_media(media),
+        "llm_hnsw_graph": adj.select(
+            F.col("lvl").cast("int").alias("lvl"), "src", "dst"
+        ),
+        "llm_hnsw_search": similarity.hnsw_topk(
+            emb, emb.filter(F.col("vec_id") < 8),
+            k=3, m=6, ef=8, steps=2, max_level=3,
+            level_src=F.col("vec_id"),
+            dense_layer_cap=similarity.MAX_DENSE_LAYER_CAP,
+            require_dense=True, graph=(levels, adj),
+        ).select("q_id", "n_id", "cos", "rank"),
     }

@@ -27,7 +27,10 @@ def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media table: opaque payload + typed metadata struct —
     catalog projection (struct field access)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    media = mm.attach_media(t["documents"])
+    return _catalog_from_media(mm.attach_media(t["documents"]))
+
+
+def _catalog_from_media(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id",
         "kind",
@@ -75,7 +78,11 @@ def mm_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array<double>`` embedding; the registered query flattens it to
     scalar f0..f7 so the driver canonicalizer can hash it."""
     t = load_tables(spark, sf_dir, ("documents",))
-    df = mm.extract_features(mm.attach_media(t["documents"]))
+    return _features_from_media(mm.attach_media(t["documents"]))
+
+
+def _features_from_media(media: DataFrame) -> DataFrame:
+    df = mm.extract_features(media)
     return df.select(
         "media_id", "kind", "n_bytes", "byte_mean", "byte_entropy_proxy",
         *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
@@ -97,8 +104,14 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (32-byte payload, 16-byte stride → 2 frames). The oracle checks the
     row multiplication; frame bytes are exercised in tests."""
     t = load_tables(spark, sf_dir, ("documents",))
-    frames = mm.frame_sample(mm.attach_media(t["documents"]), every_n_bytes=16)
-    return frames.select("media_id", "kind", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+    return _frames_from_media(mm.attach_media(t["documents"]))
+
+
+def _frames_from_media(media: DataFrame) -> DataFrame:
+    frames = mm.frame_sample(media, every_n_bytes=16)
+    return frames.select(
+        "media_id", "kind", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
 
 
 #: the fixture payload is unhex(md5(text) || md5('2:'||text)) = exactly
@@ -135,7 +148,11 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism — is oracle-verified. Determinism and exact output
     size remain asserted in tests."""
     t = load_tables(spark, sf_dir, ("documents",))
-    small = mm.resize_media(mm.attach_media(t["documents"]), target_bytes=16)
+    return _resize_from_media(mm.attach_media(t["documents"]))
+
+
+def _resize_from_media(media: DataFrame) -> DataFrame:
+    small = mm.resize_media(media, target_bytes=16)
     return small.select(
         "media_id", "kind", "n_bytes",
         F.lower(F.hex("payload")).alias("payload_hex"),

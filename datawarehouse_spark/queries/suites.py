@@ -36,10 +36,12 @@ from datawarehouse_spark.queries.llm import (
     fused_corpus_stats,
     fused_graph,
     fused_minhash_lsh,
+    fused_multimodal,
     fused_text_quality,
 )
 from datawarehouse_spark.queries.registry import ORACLES as ORACLES_RAW
 from datawarehouse_spark.queries.registry import QUERIES as QUERIES_RAW
+from datawarehouse_spark.queries.warehouse import fused_agg_rewrites
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -57,6 +59,8 @@ FUSED_BUILDERS: dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]] =
     "suite_corpus_stats": fused_corpus_stats,
     "suite_graph": fused_graph,
     "suite_minhash_lsh": fused_minhash_lsh,
+    "suite_agg_rewrites": fused_agg_rewrites,
+    "suite_multimodal": fused_multimodal,
 }
 
 # tag (raw query name), key columns (→ string), value columns (→ double)

@@ -696,12 +696,23 @@ def t11_daily_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag compares the UNROUNDED z so the threshold can't straddle the
     rounding boundary differently per engine.
     """
-    from pyspark.sql import Window as W
-
     t = load_tables(spark, sf_dir, ("events",))
-    daily = t["events"].groupBy(
+    return _t11_from_daily(_daily_event_counts(t["events"]))
+
+
+def _daily_event_counts(events: DataFrame) -> DataFrame:
+    """The (event_type, dt, c) daily-volume rollup every series
+    monitor (t11 z / t13 MAD / t16 EWMA / t18 CUSUM / t19
+    seasonality) runs on — one map-combined fact scan, types × days
+    output. Shared so suite_agg_rewrites can compute it once."""
+    return events.groupBy(
         "event_type", F.col("ts").cast("date").alias("dt")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def _t11_from_daily(daily: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
     w = W.partitionBy("event_type")
     marked = (
         daily.withColumn("n_days", F.count(F.lit(1)).over(w))
@@ -1244,12 +1255,13 @@ def t13_mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; both percentile aggs and joins run on the types-sized and
     types x days-sized rollups — the fact table is touched once.
     """
+    t = load_tables(spark, sf_dir, ("events",))
+    return _t13_from_daily(_daily_event_counts(t["events"]))
+
+
+def _t13_from_daily(daily: DataFrame) -> DataFrame:
     from datawarehouse_spark.operators.temporal import mad_outlier_scores
 
-    t = load_tables(spark, sf_dir, ("events",))
-    daily = t["events"].groupBy(
-        "event_type", F.col("ts").cast("date").alias("dt")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     return mad_outlier_scores(daily, ["event_type"], value="c").select(
         "event_type", "dt", "c", "med_c", "mad_c", "rz", "is_outlier"
     )
@@ -1632,11 +1644,10 @@ def t16_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles the rollup only, and the 8 lags evaluate in one Window
     operator over one Exchange."""
     t = load_tables(spark, sf_dir, ("events",))
-    d = (
-        t["events"]
-        .groupBy("event_type", F.to_date("ts").alias("dt"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    return _t16_from_daily(_daily_event_counts(t["events"]))
+
+
+def _t16_from_daily(d: DataFrame) -> DataFrame:
     w = W.partitionBy("event_type").orderBy("dt")
     num = sum(
         (F.coalesce(F.lag("c", j).over(w), F.lit(0)) if j else F.col("c"))
@@ -1716,14 +1727,12 @@ def t18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     that CANNOT be a window is tiny by construction; at 100 TB the
     rollup is still types×days). Output = the full annotated series.
     """
-    import pandas as pd
-
     t = load_tables(spark, sf_dir, ("events",))
-    d = (
-        t["events"]
-        .groupBy("event_type", F.to_date("ts").alias("dt"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    return _t18_from_daily(_daily_event_counts(t["events"]))
+
+
+def _t18_from_daily(d: DataFrame) -> DataFrame:
+    import pandas as pd
 
     def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("dt").reset_index(drop=True)
@@ -1963,12 +1972,11 @@ def t19_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's dayofweek (0=Sunday) is matched on the Spark side via
     dayofweek()-1 (Spark's is 1=Sunday)."""
     t = load_tables(spark, sf_dir, ("events",))
-    d = (
-        t["events"]
-        .groupBy("event_type", F.to_date("ts").alias("dt"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("dow", (F.dayofweek("dt") - 1).cast("bigint"))
-    )
+    return _t19_from_daily(_daily_event_counts(t["events"]))
+
+
+def _t19_from_daily(daily: DataFrame) -> DataFrame:
+    d = daily.withColumn("dow", (F.dayofweek("dt") - 1).cast("bigint"))
     prof = d.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         (F.sum("c").cast("double") / F.count(F.lit(1))).alias("dow_mean"),
@@ -2524,3 +2532,24 @@ def a27_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(upd), F.col("c_custkey") == F.col("o_custkey")
     ).select(*cols)
     return retracted.unionByName(inserted.select(*retracted.columns))
+
+
+def fused_agg_rewrites(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """suite_agg_rewrites: the four daily-volume series monitors in
+    this suite (t11 z-score, t13 MAD, t16 EWMA, t18 CUSUM) all run on
+    the IDENTICAL (event_type, dt, c) rollup — previously each member
+    re-scanned the events fact table and re-shuffled the same daily
+    counts per suite run. Compute the types × days rollup once
+    (map-combined scan, eagerly materialized inside the suite call;
+    nothing survives the run) and feed all four series from it.
+    (t19 seasonality shares the rollup code but lives in
+    suite_dates_json, a different timed entry — no cross-suite
+    sharing is possible.)"""
+    t = load_tables(spark, sf_dir, ("events",))
+    daily = _daily_event_counts(t["events"]).localCheckpoint(eager=True)
+    return {
+        "t11_daily_anomaly_scan": _t11_from_daily(daily),
+        "t13_mad_outlier_scan": _t13_from_daily(daily),
+        "t16_ewma_smoothing": _t16_from_daily(daily),
+        "t18_cusum_changepoint": _t18_from_daily(daily),
+    }
