@@ -1119,7 +1119,16 @@ def llm_mrl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < 5)
-    full = similarity.cosine_topk(emb, q, k=5).select("q_id", "n_id")
+    return _mrl_quality_from(
+        emb, similarity.cosine_topk(emb, q, k=5).localCheckpoint(eager=True)
+    )
+
+
+def _mrl_quality_from(emb: DataFrame, exact: DataFrame) -> DataFrame:
+    """llm_mrl_quality body over a (possibly prebuilt) full-dim exact
+    top-5 table — the same ``cosine_topk(emb, vec_id<5, k=5)`` result
+    llm_ann_quality grounds on, so suite fusion computes it once."""
+    full = exact.select("q_id", "n_id")
     base = full.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_full"))
     outs = []
     for d in (8, 16, 32):
@@ -1274,8 +1283,26 @@ def llm_ann_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.cosine_topk(emb, q, k=5)
-    ann = similarity.ann_topk_lsh(emb, q, k=5, n_planes=4)
+    return _ann_quality_from(
+        emb, q, similarity.cosine_topk(emb, q, k=5).localCheckpoint(eager=True)
+    )
+
+
+def _ann_quality_from(
+    emb: DataFrame, q: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """llm_ann_quality body over a (possibly prebuilt) exact top-5
+    ground-truth table — shared with llm_mrl_quality under suite
+    fusion (both measure against the identical cosine_topk result).
+
+    ``exact`` is expected materialized (q·k rows) and the LSH result
+    is checkpointed here: each is referenced three times below, and
+    un-materialized the plan inlines the full search subtree per
+    reference (measured across the two quality members: 88 -> 52
+    parquet scans for suite_corpus_ops once shared/materialized)."""
+    ann = similarity.ann_topk_lsh(
+        emb, q, k=5, n_planes=4
+    ).localCheckpoint(eager=True)
     exq = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
     anq = ann.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_ann"))
     ov = (
@@ -4439,4 +4466,20 @@ def fused_multimodal(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             dense_layer_cap=similarity.MAX_DENSE_LAYER_CAP,
             require_dense=True, graph=(levels, adj),
         ).select("q_id", "n_id", "cos", "rank"),
+    }
+
+def fused_corpus_ops(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """suite_corpus_ops: llm_ann_quality and llm_mrl_quality both
+    ground on the IDENTICAL exact ground truth —
+    ``cosine_topk(embeddings, vec_id < 5, k = 5)`` — previously each
+    re-ran the full-corpus exact scoring pass per suite run. Compute
+    it once (q·k = 25 rows after one corpus scoring scan) and inject
+    it into both members' unchanged bodies."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, k=5).localCheckpoint(eager=True)
+    return {
+        "llm_ann_quality": _ann_quality_from(emb, q, exact),
+        "llm_mrl_quality": _mrl_quality_from(emb, exact),
     }

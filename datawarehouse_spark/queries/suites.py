@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from datawarehouse_spark.queries.llm import (
     fused_corpus_stats,
     fused_graph,
+    fused_corpus_ops,
     fused_minhash_lsh,
     fused_multimodal,
     fused_text_quality,
@@ -61,6 +62,7 @@ FUSED_BUILDERS: dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]] =
     "suite_minhash_lsh": fused_minhash_lsh,
     "suite_agg_rewrites": fused_agg_rewrites,
     "suite_multimodal": fused_multimodal,
+    "suite_corpus_ops": fused_corpus_ops,
 }
 
 # tag (raw query name), key columns (→ string), value columns (→ double)
