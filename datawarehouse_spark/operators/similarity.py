@@ -633,19 +633,21 @@ def ivfpq_topk_grid(
         "vid", F.posexplode("nv").alias("pos", "v")
     ).withColumn("sub", (F.col("pos") / dsub).cast("int"))
     try:
-        # init codebooks: the ksub md5-lowest vectors, code = md5 rank
+        # init codebooks: the ksub md5-lowest vectors, code = md5 rank.
+        # ONE TakeOrdered collect carries ids AND their nv components
+        # (formerly an id collect plus a second full-scan isin-filter
+        # collect over the exploded table — r14, guide §1.2);
+        # enumerate(nv) is exactly ve's (pos, v) for each vid.
         init = (
-            wide.select("vid")
-            .orderBy(F.md5(F.col("vid").cast("string")), "vid")
+            wide.orderBy(F.md5(F.col("vid").cast("string")), "vid")
             .limit(ksub)
             .collect()
         )
         code_of = {r["vid"]: i for i, r in enumerate(init)}
         books = [
-            (code_of[r["vid"]], r["pos"], float(r["v"]))
-            for r in ve.filter(
-                F.col("vid").isin(*code_of.keys())
-            ).collect()
+            (code_of[r["vid"]], pos, float(v))
+            for r in init
+            for pos, v in enumerate(r["nv"])
         ]
 
         def code_rows(book_rows):
@@ -1220,17 +1222,18 @@ def kmeans_assign(
     ve = wide.select("vid", F.posexplode("varr").alias("pos", "v"))
     dec = "decimal(38,6)"
     try:
+        # ONE TakeOrdered collect carries both the md5-order ids and
+        # their k×dim vectors (formerly an id collect plus a second
+        # full-scan isin-filter collect — r14, guide §1.2 job shape)
         init = (
-            wide.select("vid")
-            .orderBy(F.md5(F.col("vid").cast("string")), "vid")
+            wide.orderBy(F.md5(F.col("vid").cast("string")), "vid")
             .limit(k)
             .collect()
         )
         # cluster id = rank in md5 order (the oracle reproduces this)
         cid_of = {r["vid"]: i for i, r in enumerate(init)}
         init_vecs = {
-            r["vid"]: list(map(float, r["varr"]))
-            for r in wide.filter(F.col("vid").isin(*cid_of.keys())).collect()
+            r["vid"]: list(map(float, r["varr"])) for r in init
         }
         # (cids, C): live cluster ids + their centroid matrix rows
         cids = sorted(cid_of.values())
