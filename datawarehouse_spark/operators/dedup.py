@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from datawarehouse_spark.operators.partitioning import widen_narrow_input
+
 
 def tokens_col(text: str = "text") -> Column:
     return F.split(F.col(text), " ")
@@ -101,6 +103,7 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     identical statistics. ``hash="xxhash64"`` is the pure-speed variant
     for banding paths where no cross-engine check is needed.
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("_s"))
     if hash == "xxhash64":
         cols = [
@@ -236,6 +239,7 @@ def ngram_jaccard_pairs(
     group's id list is unbounded and collect_list would be the OOM the
     cap exists to prevent.
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     sh = df.select(F.col(id_col), F.explode(shingles_col(text, n)).alias("s"))
     # hash shingle strings to int64 before the shuffle: aggregations
     # and joins move 8-byte keys instead of ~25-byte strings (~1.4× at
@@ -337,6 +341,7 @@ def dup_span_coverage(
     result and drops the cache in a ``finally`` (the
     :func:`ngram_jaccard_pairs` contract).
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s0")
     ).select(id_col, F.xxhash64("s0").alias("s"))
@@ -399,6 +404,7 @@ def dup_span_kept_ranges(
     """
     from pyspark.sql import Window as W
 
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     toks = F.split(F.col(text), " ")
     pos_shingles = F.when(
         F.size(toks) >= n,
@@ -556,6 +562,7 @@ def _window_sites(df: DataFrame, id_col: str, text: str,
     """(id, pos, h) positional L-window md5 sites — the unit of state
     for the exact-substring gates (the windowing half of
     :func:`exact_dup_spans`, factored out for the incremental form)."""
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     toks = F.split(F.col(text), " ")
     win = F.when(
         F.size(toks) >= min_len,
@@ -589,6 +596,7 @@ def _window_sites_rolling(df: DataFrame, id_col: str, text: str,
     L = min_len
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, pos int, h string"
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     src = df.select(id_col, text)
 
     def gen(batches):
@@ -852,8 +860,15 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
     per distinct token, not per occurrence), unpacked to a (tokens × 63)
     bit matrix, and votes accumulate per document via a single
     ``np.add.at`` — no per-token Python loop over bit positions.
+
+    The input is widened first (:func:`widen_narrow_input`): the UDF
+    is the most expensive per-row map in the package, and a
+    single-split source would otherwise run it on one core (measured
+    11.4 s → 1.5 s at sf0.1 / local[32]; identity at real scale).
     """
     import hashlib
+
+    df = widen_narrow_input(df)
 
     import numpy as np
     from pyspark.sql.types import LongType
@@ -1093,6 +1108,7 @@ def prefix_filter_pairs(
     set against per-doc arrays. Shingles are int64-hashed before any
     shuffle (same ~n²/2⁶⁴ collision trade as ngram_jaccard_pairs).
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("s"))
@@ -1217,6 +1233,7 @@ def sorted_neighborhood_pairs(
         )
     from datawarehouse_spark.operators.rank import global_rank
 
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     base = df.select(F.col(id_col), F.col(text).alias("k"))
     # keep=[id]: the rank checkpoint materializes (id, _mid) ONLY —
     # the sort consumes the text before the checkpoint, and the
@@ -1312,6 +1329,7 @@ def containment_pairs(
     """
     from pyspark.sql import Window as W
 
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("s"))
@@ -1422,6 +1440,7 @@ def novelty_scores(df: DataFrame, id_col: str = "doc_id",
     map-combined min-agg on the shingle key, one hash join back, one
     per-doc agg. No self-join anywhere, so no hot-shingle cap needed.
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
     )
@@ -1550,8 +1569,11 @@ def _block_table(df: DataFrame, id_col: str, text: str,
     ``unit="lines"`` — parity over both proven in
     tests/test_llm_ops.py::test_paragraph_ops_newline_unit).
 
-    Zero shuffles: one projection with a generator.
+    Zero shuffles: one projection with a generator. The input is
+    widened first (guide §2.5) so the block explode + md5 hashing
+    downstream never run on a single input split's worth of cores.
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     return df.select(
         F.col(id_col), *[F.col(c) for c in extra],
         F.posexplode(_blocks_col(text, block_words, unit)).alias("b", "btxt"),

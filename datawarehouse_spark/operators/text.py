@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datawarehouse_spark.operators.partitioning import widen_narrow_input
+
 #: tiny high-frequency function-word lists per language (public
 #: linguistics knowledge); enough for an n-gram/stopword heuristic
 STOPWORDS = {
@@ -34,6 +36,7 @@ def stopword_hits(text: str = "text", lang: str = "en") -> Column:
 
 def quality_stats(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Length / token / stopword-ratio quality features per document."""
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     nt = n_tokens(text)
     n_chars = F.length(F.col(text)).cast("bigint")
     return df.select(
@@ -63,6 +66,7 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text: str = "text",
     the whole point of the classifier; pass ``label_col=None`` or just
     a DataFrame without the column.
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
     best = F.greatest(*hits.values())
     pred = F.lit("und")
@@ -78,6 +82,7 @@ def language_id(df: DataFrame, id_col: str = "doc_id", text: str = "text",
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """Exact + normalized content fingerprints (md5)."""
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     norm = F.regexp_replace(F.lower(F.trim(F.col(text))), "\\s+", " ")
     return df.select(
         id_col,
@@ -106,6 +111,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
     # count branch scans zero data columns (row-count-only parquet read)
     # instead of blocking the driver before the query even starts.
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     terms = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term")
     )
@@ -203,6 +209,7 @@ def pii_redact(df: DataFrame, id_col: str = "doc_id",
     Replacement order (email → ip → phone) is fixed so later patterns
     can never match inside an earlier placeholder.
     """
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     redacted = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
@@ -527,6 +534,7 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     g = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram")).select(
         id_col,
         "pos",
@@ -563,6 +571,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         F.slice(toks, 2, F.size(toks) - 1),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     wc = (
         df.select(F.col(id_col), F.explode(toks).alias("t"))
         .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
@@ -620,6 +629,7 @@ def contamination_check(train: DataFrame, eval_df: DataFrame,
     # shingles int64-hashed before the join: 8-byte probe keys and a
     # ~3× smaller broadcast than raw shingle strings (collision odds
     # ~n²/2⁶⁴ — same trade the n-gram near-dup path makes)
+    train = widen_narrow_input(train)  # guide §2.5: one-split sources must not map on one core
     tr = train.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("s"))
@@ -695,6 +705,7 @@ def bloom_contamination(train: DataFrame, eval_df: DataFrame,
         .distinct()
         .withColumn("_set", F.lit(1))
     )
+    train = widen_narrow_input(train)  # guide §2.5: one-split sources must not map on one core
     tr = train.select(
         F.col(id_col), F.explode(shingles_col(text, n)).alias("s")
     )
@@ -972,6 +983,7 @@ def bigram_counts(df: DataFrame, text: str = "text") -> DataFrame:
         F.slice(toks, 2, F.size(toks) - 1),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     return (
         df.select(F.explode(bgs).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
@@ -1382,6 +1394,7 @@ def cms_sketch(df: DataFrame, text: str = "text", d: int = 4,
     counters on (r, b), which is what makes CMS the streaming /
     pre-aggregation frequency artifact (asserted by the foreachBatch
     merge test in tests/test_streaming.py)."""
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     stream = df.select(F.explode(F.split(F.col(text), " ")).alias("t"))
     return (
         stream.select(F.explode(_cms_hash_arr(F.col("t"), d, w)).alias("x"))
@@ -1478,6 +1491,7 @@ def pmi_collocations(df: DataFrame, text: str = "text", min_count: int = 5,
         F.slice(toks, 2, F.size(toks) - 1),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     c12 = (
         df.select(F.explode(bgs).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
@@ -1583,6 +1597,7 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window as W
 
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     wc = (
         df.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("t"))
         .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
@@ -1851,6 +1866,7 @@ def zipf_slope(df: DataFrame, group_col: str = "lang",
 
     from datawarehouse_spark.queries.qutil import dsum
 
+    df = widen_narrow_input(df)  # guide §2.5: one-split sources must not map on one core
     words = df.select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(F.col(text), " ")).alias("w"),

@@ -2313,3 +2313,19 @@ def test_ffd_packing_hand_check_and_invariants(spark):
         assert load <= 128 or (
             len(rows_) == 1 and rows_[0]["n_tokens"] > 128
         )
+
+
+def test_widen_narrow_input_layout_contract(spark):
+    """widen_narrow_input widens a sub-core-count layout to the
+    session parallelism, preserves the row multiset, and leaves an
+    already-wide layout untouched (the scale no-op guarantee)."""
+    from datawarehouse_spark.operators.partitioning import widen_narrow_input
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    wide = widen_narrow_input(narrow)
+    assert wide.rdd.getNumPartitions() == par
+    assert sorted(r.id for r in wide.collect()) == list(range(100))
+
+    already = spark.range(100).repartition(par + 3)
+    assert widen_narrow_input(already) is already
