@@ -915,6 +915,14 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Data
         sigs = ((votes > 0).astype(np.int64) * weights).sum(axis=1)
         return pd.Series(sigs, dtype="int64")
 
+    # guide §4.4: without this, a downstream filter on the signature
+    # (e.g. the implicit isnotnull from an equi-join on a derived
+    # column) is pushed below the widen exchange and the optimizer
+    # re-evaluates the UDF under it — the plan grows a second
+    # ArrowEvalPython per consumer chain. The function is pure; the
+    # marking only stops the optimizer duplicating it.
+    _simhash = _simhash.asNondeterministic()
+
     return df.select(id_col, _simhash(F.col(text)).alias("simhash"))
 
 
@@ -1038,6 +1046,14 @@ def simhash_near_dup(sim: DataFrame, id_col: str = "doc_id",
             f"slices over 63 bits; pigeonhole recall needs more than "
             f"max_hamming={max_hamming}"
         )
+    # materialize the signature table ONCE: it feeds BOTH sides of the
+    # bucket self-join, and the broadcast build side would otherwise
+    # re-run the whole upstream plan — for a simhash input that is a
+    # second full pass of the most expensive UDF in the package
+    # (guide §3.3 self-join reuse; the dedup_clusters precedent). The
+    # checkpoint is per-doc (id, 8-byte signature) — bounded at any
+    # corpus scale.
+    sim = sim.select(id_col, sig_col).localCheckpoint(eager=True)
     slices = F.array(
         *[
             F.struct(
