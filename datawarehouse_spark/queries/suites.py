@@ -976,13 +976,26 @@ def _suite_query(name: str, members: list[Member], kw: int, vw: int) -> QueryFn:
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         over = builder(spark, sf_dir) if builder is not None else {}
-        parts = [
-            _canon_spark(
-                over[tag] if tag in over else QUERIES_RAW[tag](spark, sf_dir),
-                tag, keys, vals, kw, vw,
-            )
-            for tag, keys, vals in members
-        ]
+
+        # guide §2.6 (overlap independent jobs): members that train
+        # iteratively (k-means, IVF, BPE, PageRank) materialize with
+        # eager localCheckpoints at CONSTRUCTION time — a serial chain
+        # of driver-synced jobs whose stage tails leave the cluster
+        # idle. The members are independent, so construct them from a
+        # small thread pool: the next member's jobs back-fill the
+        # executor slots the current one's tail frees. Row content is
+        # unaffected (each member's computation is unchanged and
+        # deterministic); only the job overlap changes. Pool size 3
+        # per the guide — enough to fill tails, not enough to thrash.
+        def build(member: Member) -> DataFrame:
+            tag, keys, vals = member
+            base = over[tag] if tag in over else QUERIES_RAW[tag](spark, sf_dir)
+            return _canon_spark(base, tag, keys, vals, kw, vw)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            parts = list(pool.map(build, members))
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
