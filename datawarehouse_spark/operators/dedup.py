@@ -788,6 +788,14 @@ def incremental_dedup(
 
     Output: one row per new doc — (id, dup_exact, dup_near, keep).
     """
+    # The new batch is increment-sized by contract; pin it once so its
+    # four consumers (fingerprint semi-join, shingle sizes, shingle
+    # intersection, final assembly) read the materialized increment
+    # instead of re-running the caller's upstream plan per reference
+    # (measured at sf0.1: the fixture's union'd batch was re-scanned 8×
+    # — 32 parquet scans / 42 Exchange in the full plan). Lazy: the
+    # checkpoint fuses with the first action.
+    new = new.select(F.col(id_col), F.col(text)).localCheckpoint(eager=False)
     new_fp = new.select(F.col(id_col), F.md5(F.col(text)).alias("_fp"))
     corpus_fp = corpus.select(F.md5(F.col(text)).alias("_fp")).distinct()
     exact = (
@@ -802,11 +810,16 @@ def incremental_dedup(
 
     shn, shc = _sh(new), _sh(corpus)
     if max_shingle_freq is not None:
+        # hot is bounded (shingles whose corpus frequency exceeds the
+        # cap — the same table the broadcast holds anyway); pin it so
+        # the two anti-joins share one corpus scan + aggregation
+        # instead of each rebuilding it
         hot = (
             shc.groupBy("s")
             .agg(F.count(F.lit(1)).alias("_f"))
             .filter(F.col("_f") > max_shingle_freq)
             .select("s")
+            .localCheckpoint(eager=False)
         )
         shn = shn.join(F.broadcast(hot), "s", "left_anti")
         shc = shc.join(F.broadcast(hot), "s", "left_anti")

@@ -602,6 +602,25 @@ def ivfpq_topk_grid(
     if impl != "gemm":
         raise ValueError(f"impl must be 'gemm', got {impl!r}")
     spark = corpus.sparkSession
+
+    # coarse routing (grid k-means cells + probes) and PQ codebook
+    # training are independent until candidate generation, but each is
+    # a serial chain of driver-synced jobs (Lloyd re-mean collects /
+    # codebook re-mean collects) whose stage tails idle the executors.
+    # Run the coarse chain from a background thread so its jobs
+    # back-fill the PQ chain's tails (guide §2.6 — the suite-layer
+    # precedent); both chains' computations and collects are unchanged
+    # and deterministic, only the job overlap changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _coarse() -> tuple[DataFrame, DataFrame]:
+        st: dict = {}
+        a = kmeans_assign(
+            corpus, k=n_cells, iters=iters, id_col=id_col,
+            vec_col=vec_col, impl=impl, _state=st,
+        )
+        return a, _grid_probes(spark, queries, st, n_probe, id_col, vec_col)
+
     first = corpus.select(vec_col).head()
     dim = len(first[0]) if first is not None else m
     if dim % m:
@@ -609,13 +628,10 @@ def ivfpq_topk_grid(
     dsub = dim // m
     dec = "decimal(38,6)"
 
-    # coarse routing: grid k-means cells + probes
-    state: dict = {}
-    assign = kmeans_assign(
-        corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
-        impl=impl, _state=state,
-    )
-    probes = _grid_probes(spark, queries, state, n_probe, id_col, vec_col)
+    # submit after the argument validation so an invalid call never
+    # leaves a live training thread behind
+    pool = ThreadPoolExecutor(max_workers=1)
+    coarse_f = pool.submit(_coarse)
 
     # grid-normalized wide + exploded component tables
     nrm = norm_col(vec_col)
@@ -726,6 +742,9 @@ def ivfpq_topk_grid(
             )
         )
 
+        # join the coarse chain — by now its Lloyd collects have run
+        # concurrently with the codebook training above
+        assign, probes = coarse_f.result()
         cand = (
             assign.select(
                 F.col(id_col).alias("n_id"), F.col("cluster").alias("cell")
@@ -771,6 +790,9 @@ def ivfpq_topk_grid(
         )
         return exact_rerank(pairs, k).localCheckpoint(eager=True)
     finally:
+        # on the error path the coarse thread may still be running its
+        # bounded collects — wait it out so nothing leaks past the call
+        pool.shutdown(wait=True)
         wide.unpersist()
 
 
