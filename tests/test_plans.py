@@ -540,14 +540,19 @@ def test_lm_and_kl_marginals_stay_in_one_lineage(spark):
 
 
 def test_domain_overlap_reuses_shingle_exchange(spark):
-    """The domain-pair Jaccard self-join must reuse the distinct
-    (domain, shingle) exchange at runtime rather than rebuilding the
-    shingle set per branch — the executed plan carries ReusedExchange
-    nodes for the duplicated lineage."""
+    """The distinct (domain, shingle) table must be computed ONCE and
+    fanned out to its three consumers (sizes + both self-join sides),
+    never rebuilt per branch. Since r14 the table is localCheckpointed,
+    so the final plan reads the pinned RDD (Scan ExistingRDD) and holds
+    ZERO parquet scans — the scan → explode → distinct chain ran
+    exactly once, in the checkpoint job. (Before r14 this relied on
+    runtime ReusedExchange, which the solo plain-session plan did not
+    actually produce — 8 parquet scans, measured.)"""
     df = QUERIES["llm_domain_overlap"](spark, SF_ORACLE)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 3, plan
+    assert plan.count("documents.parquet") == 0, plan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
 
 
 def test_trailing_range_frame_single_exchange(spark):
