@@ -1732,23 +1732,49 @@ def t18_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t18_from_daily(d: DataFrame) -> DataFrame:
-    import pandas as pd
+    # The per-type recurrence S'[t] = max(0, S'[t-1] + n·c[t] − total
+    # − n·K) runs as ONE aggregate() higher-order lambda over the
+    # sorted (dt, c) day list — pure JVM codegen, no Python boundary
+    # (r14, guide §4.1; previously an Arrow applyInPandas whose only
+    # job was this loop). The day list is types×days-sized at ANY
+    # fact volume, so collect_list state stays bounded; arithmetic is
+    # the identical BIGINT recurrence (dt is unique per type, so
+    # sort_array(struct(dt, c)) reproduces the pandas sort exactly).
+    g = d.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("dt", "c"))).alias("xs"),
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.array().cast(
+            "array<struct<dt:date,c:bigint,cusum_n:bigint>>"
+        ).alias("out"),
+    )
 
-    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("dt").reset_index(drop=True)
-        n = len(pdf)
-        total = int(pdf["c"].sum())
-        s, out = 0, []
-        for c in pdf["c"].astype("int64"):
-            s = max(0, s + n * int(c) - total - n * _CUSUM_K)
-            out.append(s)
-        pdf["cusum_n"] = pd.Series(out, dtype="int64")
-        pdf["is_alarm"] = pdf["cusum_n"] > n * _CUSUM_H
-        return pdf
+    def step(st, x):
+        s2 = F.greatest(
+            F.lit(0).cast("long"),
+            st["s"] + F.col("n") * x["c"] - F.col("total")
+            - F.col("n") * F.lit(int(_CUSUM_K)),
+        )
+        return F.struct(
+            s2.alias("s"),
+            F.concat(
+                st["out"],
+                F.array(F.struct(
+                    x["dt"].alias("dt"),
+                    x["c"].alias("c"),
+                    s2.alias("cusum_n"),
+                )),
+            ).alias("out"),
+        )
 
-    return d.groupBy("event_type").applyInPandas(
-        cusum, "event_type string, dt date, c long, cusum_n long, "
-               "is_alarm boolean"
+    rows = F.aggregate("xs", init, step, lambda st: st["out"])
+    return g.select("event_type", "n", F.inline(rows)).select(
+        "event_type", "dt", "c", "cusum_n",
+        (F.col("cusum_n") > F.col("n") * F.lit(int(_CUSUM_H)))
+        .alias("is_alarm"),
     )
 
 
