@@ -38,7 +38,10 @@ def x4_rule_tag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs/画像简介.md:18). The oracle re-derives the rule in pure SQL —
     proving the UDF path computes exactly what the SQL form declares."""
     t = load_tables(spark, sf_dir, ("events",))
-    prof = user_profile(t["events"])
+    return _x4_rule_from_profile(user_profile(t["events"]))
+
+
+def _x4_rule_from_profile(prof: DataFrame) -> DataFrame:
     return prof.withColumn(
         "high_value",
         high_value_user_rule(F.col("purchases"), F.col("purchase_amt"), F.col("pv")),
@@ -59,7 +62,10 @@ def x4_mining_tag_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mining-class tag: model-inference column via pandas UDF
     (docs/画像简介.md:20-23); linear stand-in keeps it oracle-exact."""
     t = load_tables(spark, sf_dir, ("events",))
-    prof = user_profile(t["events"])
+    return _x4_scores_from_profile(user_profile(t["events"]))
+
+
+def _x4_scores_from_profile(prof: DataFrame) -> DataFrame:
     return prof.select(
         "user_id",
         propensity_score(
@@ -394,3 +400,33 @@ def x8_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc"),
     )
+
+
+def fused_reshape_profiles(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """suite_reshape_profiles: two member pairs rebuild the same
+    users-sized rollup per suite run — x3_pivot/x3_unpivot both pivot
+    the events fact into the wide tag table (the unpivot member calls
+    the pivot internally), and the two X4 tag members both aggregate
+    the identical per-user (pv, purchases, purchase_amt) profile.
+    Compute each rollup once (eagerly materialized inside the timed
+    suite call; nothing survives the run) and feed both consumers —
+    guide §2.4. Both intermediates are bounded by user count, never
+    fact volume, so pinning them beats re-scanning the fact at any
+    scale. Member rows are bit-identical (same member code, prebuilt
+    input injected), pinned by test_fused_suites_match_members."""
+    from datawarehouse_spark.queries.warehouse import (
+        _x3_unpivot_from_wide,
+        _x3_wide,
+    )
+
+    t = load_tables(spark, sf_dir, ("events",))
+    wide = _x3_wide(t["events"]).localCheckpoint(eager=True)
+    prof = user_profile(t["events"]).localCheckpoint(eager=True)
+    return {
+        "x3_pivot_wide_tags": wide,
+        "x3_unpivot_narrow_tags": _x3_unpivot_from_wide(wide),
+        "x4_rule_tag_profile": _x4_rule_from_profile(prof),
+        "x4_mining_tag_scores": _x4_scores_from_profile(prof),
+    }

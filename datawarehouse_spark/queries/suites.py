@@ -42,6 +42,7 @@ from datawarehouse_spark.queries.llm import (
 )
 from datawarehouse_spark.queries.registry import ORACLES as ORACLES_RAW
 from datawarehouse_spark.queries.registry import QUERIES as QUERIES_RAW
+from datawarehouse_spark.queries.profiles import fused_reshape_profiles
 from datawarehouse_spark.queries.warehouse import fused_agg_rewrites
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -61,6 +62,7 @@ FUSED_BUILDERS: dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]] =
     "suite_graph": fused_graph,
     "suite_minhash_lsh": fused_minhash_lsh,
     "suite_agg_rewrites": fused_agg_rewrites,
+    "suite_reshape_profiles": fused_reshape_profiles,
     "suite_multimodal": fused_multimodal,
     "suite_corpus_ops": fused_corpus_ops,
 }

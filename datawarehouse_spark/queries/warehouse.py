@@ -72,8 +72,12 @@ def x3_pivot_wide_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs/画像开发方案.md:28). One shuffle; the pivot value list is
     explicit so no extra distinct pass over 100 TB."""
     t = load_tables(spark, sf_dir, ("events",))
+    return _x3_wide(t["events"])
+
+
+def _x3_wide(events: DataFrame) -> DataFrame:
     wide = (
-        t["events"]
+        events
         .groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
         .agg(F.count(F.lit(1)))
@@ -91,7 +95,10 @@ def x3_pivot_wide_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_unpivot_narrow_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — narrow (user, tag, value) form via unpivot of the wide table
     (reference 窄表 vs 宽表 trade-off, docs/画像开发方案.md:28)."""
-    wide = x3_pivot_wide_tags(spark, sf_dir)
+    return _x3_unpivot_from_wide(x3_pivot_wide_tags(spark, sf_dir))
+
+
+def _x3_unpivot_from_wide(wide: DataFrame) -> DataFrame:
     narrow = wide.unpivot(
         ids=["user_id"],
         values=_EVENT_TYPES,
