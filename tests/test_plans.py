@@ -288,8 +288,14 @@ def test_semantic_dedup_single_shuffle(spark):
 
 def test_rowlevel_corpus_ops_shuffle_free(spark):
     """stratified_sample and pii_redact are pure per-row JVM projections:
-    zero Exchange, zero Python eval — the shape that is trivially linear
-    at any corpus size."""
+    zero KEY-based Exchange, zero Python eval — the shape that is
+    trivially linear at any corpus size. The one Exchange allowed is
+    widen_narrow_input's RoundRobin repartition (r14): a 1:1
+    volume-proportional split widen that only fires when the input has
+    fewer splits than the session parallelism (a no-op at real scale —
+    asserted by test_widen_narrow_input_layout_contract)."""
+    import re
+
     from datawarehouse_spark.operators import text
 
     docs = load_tables(spark, SF_ORACLE, ("documents",))["documents"]
@@ -298,7 +304,8 @@ def test_rowlevel_corpus_ops_shuffle_free(spark):
         text.pii_redact(docs),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
+        for m in re.finditer(r"Exchange (\w+)", plan):
+            assert m.group(1) == "RoundRobinPartitioning", plan
         assert "Python" not in plan, plan  # no BatchEvalPython/ArrowEval
 
 
