@@ -43,7 +43,10 @@ from datawarehouse_spark.queries.llm import (
 from datawarehouse_spark.queries.registry import ORACLES as ORACLES_RAW
 from datawarehouse_spark.queries.registry import QUERIES as QUERIES_RAW
 from datawarehouse_spark.queries.profiles import fused_reshape_profiles
-from datawarehouse_spark.queries.warehouse import fused_agg_rewrites
+from datawarehouse_spark.queries.warehouse import (
+    fused_agg_rewrites,
+    fused_join_misc,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -63,6 +66,7 @@ FUSED_BUILDERS: dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]] =
     "suite_minhash_lsh": fused_minhash_lsh,
     "suite_agg_rewrites": fused_agg_rewrites,
     "suite_reshape_profiles": fused_reshape_profiles,
+    "suite_join_misc": fused_join_misc,
     "suite_multimodal": fused_multimodal,
     "suite_corpus_ops": fused_corpus_ops,
 }
