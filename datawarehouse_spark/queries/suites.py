@@ -46,6 +46,7 @@ from datawarehouse_spark.queries.profiles import fused_reshape_profiles
 from datawarehouse_spark.queries.warehouse import (
     fused_agg_rewrites,
     fused_join_misc,
+    fused_streaming_batch,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -67,6 +68,7 @@ FUSED_BUILDERS: dict[str, Callable[[SparkSession, str], dict[str, DataFrame]]] =
     "suite_agg_rewrites": fused_agg_rewrites,
     "suite_reshape_profiles": fused_reshape_profiles,
     "suite_join_misc": fused_join_misc,
+    "suite_streaming_batch": fused_streaming_batch,
     "suite_multimodal": fused_multimodal,
     "suite_corpus_ops": fused_corpus_ops,
 }

@@ -368,6 +368,14 @@ def t6_interval_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     streaming.core.stream_stream_attribution — the SAME function (T9);
     unbounded parity is asserted in tests/test_streaming.py. Event
     times emit as unix micros (suite_streaming_batch member)."""
+    return _t6_from_pairs(_attribution_pairs(spark, sf_dir))
+
+
+def _attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw stream_stream_attribution pairs (timestamps intact) — the
+    shared base of t6 (emit), t20 (latency rollup) and, via
+    :func:`_attribution_ranked`, t15/t17. Output-sized: one row per
+    true attribution pair."""
     from datawarehouse_spark.streaming.core import (
         read_events_batch,
         stream_stream_attribution,
@@ -377,7 +385,11 @@ def t6_interval_attribution_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = read_events_batch(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
-    return stream_stream_attribution(views, purchases).select(
+    return stream_stream_attribution(views, purchases)
+
+
+def _t6_from_pairs(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
         "user_id", "purchase_id", "view_id",
         F.unix_micros("view_ts").alias("view_ts_us"),
         F.unix_micros("purchase_ts").alias("purchase_ts_us"),
@@ -429,16 +441,7 @@ def _attribution_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     output rows), so suite_join_misc's fused builder pins it once."""
     from pyspark.sql import Window as W
 
-    from datawarehouse_spark.streaming.core import (
-        read_events_batch,
-        stream_stream_attribution,
-    )
-
-    load_tables(spark, sf_dir, ("events",))  # pins session profile
-    ev = read_events_batch(spark, sf_dir)
-    views = ev.filter(F.col("event_type") == "click")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    pairs = stream_stream_attribution(views, purchases).select(
+    pairs = _attribution_pairs(spark, sf_dir).select(
         "user_id", "purchase_id", "view_id",
         F.unix_micros("view_ts").alias("view_ts_us"),
         "purchase_value",
@@ -2285,16 +2288,11 @@ def t20_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-day list is behavioral-window bounded. At extreme scale
     percentile→approx_percentile exactly as a20 degrades to A18.
     """
-    from datawarehouse_spark.streaming.core import (
-        read_events_batch,
-        stream_stream_attribution,
-    )
+    return _t20_from_pairs(_attribution_pairs(spark, sf_dir))
 
-    load_tables(spark, sf_dir, ("events",))  # pins session profile
-    ev = read_events_batch(spark, sf_dir)
-    views = ev.filter(F.col("event_type") == "click")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    pairs = stream_stream_attribution(views, purchases).select(
+
+def _t20_from_pairs(raw: DataFrame) -> DataFrame:
+    pairs = raw.select(
         "purchase_id",
         F.date_format("purchase_ts", "yyyy-MM-dd").alias("dt"),
         F.unix_micros("purchase_ts").alias("p_us"),
@@ -2562,6 +2560,22 @@ def a27_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(upd), F.col("c_custkey") == F.col("o_custkey")
     ).select(*cols)
     return retracted.unionByName(inserted.select(*retracted.columns))
+
+
+def fused_streaming_batch(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """suite_streaming_batch: t6 (pair emit) and t20 (conversion-
+    latency rollup) both run the identical stream_stream_attribution
+    interval join per suite run. Pin the output-sized pair table once
+    (eager localCheckpoint inside the timed call; nothing survives the
+    run) and derive both members from it — guide §2.4. Member rows
+    bit-identical, pinned by test_fused_suites_match_members."""
+    pairs = _attribution_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    return {
+        "t6_interval_attribution_batch": _t6_from_pairs(pairs),
+        "t20_time_to_convert": _t20_from_pairs(pairs),
+    }
 
 
 def fused_join_misc(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
