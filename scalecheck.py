@@ -350,6 +350,27 @@ OPS = [
     # constant stage count, so the ratio should match the FFD twin's
     # fixed-overhead-dominated envelope
     "llm_batch_prep",
+    # r14 optimization-round rewrites not previously on the roster —
+    # each changed an operator's physical shape (fewer joins / UDF →
+    # aggregate() lambda / shared checkpoint), so the 8× curve is the
+    # evidence the new shape stays linear:
+    # pagerank: degree folded into the edge table, 1 join/iteration
+    "llm_pagerank",
+    # CUSUM recurrence: applyInPandas → sort_array + aggregate() lambda
+    "t18_cusum_changepoint",
+    # new-batch + hot-shingle tables pinned (work ∝ increment claim)
+    "llm_incremental_dedup",
+    # BPE merge loop: per-round collect-argmax → lazy broadcast joins
+    "llm_bpe_segment",
+    "llm_tokenizer_fertility",
+    # simhash near-dup: one checkpointed signature table feeds both
+    # self-join sides (ArrowEvalPython 8 → 0)
+    "llm_simhash_pairs",
+    # attribution family: t6/t20 (and t15/t17 via ranks) now derive
+    # from one shared interval-join pair table
+    "t6_interval_attribution_batch",
+    "t20_time_to_convert",
+    "t17_position_attribution",
 ]
 
 
