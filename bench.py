@@ -532,10 +532,23 @@ def main() -> None:
         # ONLY when tripped, so its absence asserts an idle capture
         out["contended"] = True
     print(compact_line(out))
-    # Persist the full line in-repo (full-registry runs only — never
-    # --only subsets or --members attribution runs): the committed
-    # copy is the canonical full-precision series artifact
-    # (SCALE.md "Bench artifacts").
+    # Persist the full line in-repo (full-registry and --members runs
+    # — never --only subsets): the committed copy is the canonical
+    # full-precision series artifact (SCALE.md "Bench artifacts").
+    # --members NEEDS this copy: its full per-member dict (~230
+    # entries) never fits the driver's stdout tail budget, so
+    # compact_line drops most of it from stdout — without the file
+    # the attribution run records almost nothing (the r9 members
+    # artifact was written this way; the path was lost in the r13
+    # contended-suffix rework).
+    if only is None and members:
+        os.makedirs(".benchmarks", exist_ok=True)
+        tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "members_latest")
+        suffix = "_contended" if is_contended else ""
+        with open(f".benchmarks/bench_{tag}{suffix}.json", "w") as fh:
+            fh.write(json.dumps(dict(
+                out, idle_probes=probes, settle_probes=settle_probes,
+            )) + "\n")
     if only is None and not members:
         os.makedirs(".benchmarks", exist_ok=True)
         tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "latest")
