@@ -692,14 +692,31 @@ SUITES: dict[str, list[Member]] = {
     # version diffing, Bloom contamination, exact-N sampling, and the
     # ANN-recall measurement itself as an oracle-checked query
     "suite_corpus_ops": [
-        # added/removed/changed/unchanged between corpus versions
-        ("llm_corpus_diff", ["status", "old_fp", "new_fp"], ["doc_id"]),
-        # (r10 rebalance pass 2: Bloom contamination moved to
-        # suite_fingerprints — a probabilistic-fingerprint membership
-        # op — after llm_graph_kcore joined this line and the
-        # two-sample idle bench put it at 14.1 s, the round's heaviest)
-        # exact-N deterministic uniform sample (md5-priority reservoir)
-        ("llm_reservoir_sample", ["pri"], ["doc_id", "pick"]),
+        # Member ORDER here is construction-SUBMISSION order for the
+        # suite's 3-thread pool (guide §2.6) — heavy-at-construction
+        # members lead so their driver-synced job chains start
+        # immediately and the cheap/lazy members back-fill, instead of
+        # the heaviest (kcore, ~2 s of peel-round jobs) tailing alone
+        # after the pool drains. Union order changes nothing the gate
+        # can see: the canonical (op, k*, v*) row multiset is
+        # order-insensitive on both engines (the oracle UNION is
+        # generated from this same list).
+        # k-core nucleus of the near-dup graph (r10) — bounded peel
+        # rounds, exact integers; the suite-mate of the corpus
+        # lifecycle audits (its sibling triangle/TextRank members
+        # live in suite_graph after the r10 rebalance)
+        ("llm_graph_kcore", ["in_kcore"],
+         ["doc_id", "degree", "core_degree"]),
+        # one ingestion step of streaming paragraph dedup (batch slice
+        # vs accumulated block registry; r8) — the oracle-gated twin
+        # of the foreachBatch replay test in tests/test_streaming.py
+        ("llm_incremental_paragraph_dedup", ["clean_text"],
+         ["doc_id", "n_blocks", "n_kept"]),
+        # per-source boilerplate block removal with reassembly
+        # (CCNet/FineWeb line-dedup; r8) — corpus cleaning, so it
+        # lives with the lifecycle ops
+        ("llm_boilerplate_blocks", ["source", "clean_text"],
+         ["doc_id", "n_blocks", "n_kept"]),
         # recall@5 + reciprocal rank of the LSH path vs exact cosine —
         # the index-quality eval, oracle-checked end to end
         ("llm_ann_quality", [],
@@ -708,22 +725,14 @@ SUITES: dict[str, list[Member]] = {
         # prefix-dim vs full-dim exact cosine per truncation width
         ("llm_mrl_quality", [],
          ["q_id", "d", "n_full", "n_overlap", "overlap_frac"]),
-        # per-source boilerplate block removal with reassembly
-        # (CCNet/FineWeb line-dedup; r8) — corpus cleaning, so it
-        # lives with the lifecycle ops
-        ("llm_boilerplate_blocks", ["source", "clean_text"],
-         ["doc_id", "n_blocks", "n_kept"]),
-        # one ingestion step of streaming paragraph dedup (batch slice
-        # vs accumulated block registry; r8) — the oracle-gated twin
-        # of the foreachBatch replay test in tests/test_streaming.py
-        ("llm_incremental_paragraph_dedup", ["clean_text"],
-         ["doc_id", "n_blocks", "n_kept"]),
-        # k-core nucleus of the near-dup graph (r10) — bounded peel
-        # rounds, exact integers; the suite-mate of the corpus
-        # lifecycle audits (its sibling triangle/TextRank members
-        # live in suite_graph after the r10 rebalance)
-        ("llm_graph_kcore", ["in_kcore"],
-         ["doc_id", "degree", "core_degree"]),
+        # added/removed/changed/unchanged between corpus versions
+        ("llm_corpus_diff", ["status", "old_fp", "new_fp"], ["doc_id"]),
+        # (r10 rebalance pass 2: Bloom contamination moved to
+        # suite_fingerprints — a probabilistic-fingerprint membership
+        # op — after llm_graph_kcore joined this line and the
+        # two-sample idle bench put it at 14.1 s, the round's heaviest)
+        # exact-N deterministic uniform sample (md5-priority reservoir)
+        ("llm_reservoir_sample", ["pri"], ["doc_id", "pick"]),
     ],
     # graph analytics over corpus-derived graphs (r10: a home for the
     # iterative/graph family so no single line carries two pair-graph
