@@ -374,10 +374,16 @@ def compact_line(out: dict) -> str:
             from datawarehouse_spark.queries import QUERIES as _DRIVER
         except Exception:
             _DRIVER = out["queries"]
+        # BENCH_EXTRAS must survive the trim: they are former driver-
+        # registry keys the "never remove a queries key" contract still
+        # covers (r14 lesson: the registry-only trim silently dropped
+        # llm_ffd_packing from the driver's parsed dict, and the round
+        # audit recorded it as a removed query).
+        keep = set(_DRIVER) | set(BENCH_EXTRAS)
         slim = dict(
             out,
             queries={
-                k: v for k, v in out["queries"].items() if k in _DRIVER
+                k: v for k, v in out["queries"].items() if k in keep
             },
         )
         line = json.dumps(slim, separators=(",", ":"))
