@@ -1375,11 +1375,23 @@ def containment_pairs(
             .filter(F.col("_f") > max_shingle_freq).select("s")
         )
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    # per-doc capped shingle arrays: the verify side (and n_sh sizes)
+    # per-doc capped shingle arrays: the verify side (and n_sh sizes).
+    # r15 (guide §2.4 — don't recompute what you can pin): BOTH verify
+    # joins consume this table (aa and bb below), and without a pin
+    # each side re-runs the collect_list shuffle from the shingle
+    # cache — measured 2 × ~1.2 s at sf0.1, and at 100 TB two full
+    # extra passes over the exploded shingle stream. DISK_ONLY for the
+    # same reason as the shingle cache (it is corpus-sized and must
+    # not borrow unified memory from the verify joins); the count()
+    # forces materialization exactly once — its two consumers are
+    # INDEPENDENT AQE stages, so a lazy persist would let them race to
+    # recompute the shuffle before the cache fills (the
+    # triangle_stats lesson).
     arrs = sh.groupBy(id_col).agg(
         F.collect_list("s").alias("arr"),
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    arrs.count()
     # A-side prefix: rank each doc's shingles rarest-first by global
     # (capped) document frequency; keep rank ≤ n_sh − ⌊t·n_sh⌋ + 1
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
@@ -1453,6 +1465,7 @@ def containment_pairs(
         return pairs.localCheckpoint(eager=True)
     finally:
         cached.unpersist()
+        arrs.unpersist()
 
 
 def novelty_scores(df: DataFrame, id_col: str = "doc_id",
