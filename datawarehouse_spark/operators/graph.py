@@ -52,10 +52,12 @@ def pagerank(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
     contribution — the per-destination sums cover exactly the node
     set and the COALESCE(s, 0) never fired; dropping it changes no
     value (r_{i+1} arithmetic is applied to the identical sums).
-    O(E) per iteration, fixed 10 rounds. Lineage is cut with an eager
+    O(E) per iteration, fixed 10 rounds. Lineage is cut with a LAZY
     localCheckpoint every third iteration (the standard Spark
     iterative-algorithm hygiene; without it the plan doubles per
-    round). The graph-size scalar N is the one number the driver must
+    round) — lazy since r15, so the cuts materialize inside the final
+    eager checkpoint's single action instead of three driver-synced
+    jobs. The graph-size scalar N is the one number the driver must
     know (it parameterizes every iteration's literals), hence a
     single count() of the node set — vocab-sized, not corpus-sized.
     """
@@ -65,6 +67,7 @@ def pagerank(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
                             F.col(id_a).alias("dst")))
         .persist()
     )
+    deg = None
     try:
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
             .withColumnRenamed("src", "node").persist()
@@ -72,7 +75,16 @@ def pagerank(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
         # degree travels WITH the edge: r/deg needs no per-iteration
         # deg join, and the division is the same IEEE op on the same
         # inputs, so every contribution is bit-identical to the
-        # three-join form's
+        # three-join form's.
+        # (r15 probe, reverted: pre-partitioning ew on src via
+        # repartition+persist to make every iteration join
+        # exchange-free pinned a 32-partition layout that AQE could no
+        # longer coalesce — tasks 914 → 2082, 5.0 → 6.3 s at sf0.1.
+        # The checkpointed form lets AQE size each iteration's
+        # exchanges to the data, which is also the 100 TB-correct
+        # default; the partitioned-edge-cache idea only wins when the
+        # edge shuffle dominates the iteration, which AQE's runtime
+        # broadcast of the rank side already avoids here.)
         ew = (
             edges.join(
                 deg.select(F.col("node").alias("src"), "deg"), "src"
@@ -100,12 +112,17 @@ def pagerank(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
                 ).alias("r"),
             )
             if i % 3 == 2:
-                ranks = ranks.localCheckpoint(eager=True)
+                # LAZY lineage cut (r15, guide §1.2): the plan is
+                # truncated at build time either way; materialization
+                # rides the final eager checkpoint's single action
+                # instead of paying a driver-synced job per cut
+                ranks = ranks.localCheckpoint(eager=False)
         out = ranks.select(F.col("node"), F.col("r").alias("pr"))
         return out.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
-        deg.unpersist()
+        if deg is not None:
+            deg.unpersist()
 
 
 def pagerank_oracle_sql(pairs_cte: str, n_iters: int = 10) -> str:
