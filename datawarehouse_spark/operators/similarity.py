@@ -1904,7 +1904,13 @@ def hnsw_topk(
             # of every step (r14, guide §1.2 job shape): one lazy step
             # doubles the frontier subtree once — bounded — while
             # halving the eager checkpoint jobs that dominate the
-            # fixture-scale cost of the search
+            # fixture-scale cost of the search. (r15 probe, reverted:
+            # making these cuts lazy so the whole beam program runs in
+            # one action measured 4.9 -> 9.0 s / stages 58 -> 86 — the
+            # eager cuts are load-bearing here because each one keeps
+            # the next step's plan a flat LogicalRDD scan that AQE
+            # plans with the reused broadcast, where the fused 8-step
+            # plan re-exchanges every window stage.)
             step_no += 1
             if step_no % 2 == 0 or step_no == total_steps:
                 frontier = frontier.localCheckpoint(eager=True)
