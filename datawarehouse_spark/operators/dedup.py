@@ -809,6 +809,19 @@ def incremental_dedup(
         return s.select(id_col, F.xxhash64("s").alias("s"))
 
     shn, shc = _sh(new), _sh(corpus)
+    # r15 (guide §2.4, the containment_pairs discipline): the CORPUS
+    # shingle stream has three consumers — the hot-shingle frequency
+    # agg, the per-doc sizes, and the intersection join's b-side — and
+    # un-pinned each re-ran the corpus scan + explode + xxhash chain
+    # (the CPU-heavy part of this operator; the increment side is tiny
+    # by contract). DISK_ONLY: the stream is corpus-sized and must not
+    # borrow unified memory from the joins it feeds. The hot-agg
+    # broadcast materializes first and fills the cache; the anti-join
+    # consumers read it. Dropped in the finally after the
+    # increment-sized result is eagerly materialized.
+    from pyspark import StorageLevel
+
+    shc = shc.persist(StorageLevel.DISK_ONLY)
     if max_shingle_freq is not None:
         # hot is bounded (shingles whose corpus frequency exceeds the
         # cap — the same table the broadcast holds anyway); pin it so
@@ -845,7 +858,7 @@ def incremental_dedup(
         .agg(F.count(F.lit(1)).alias("n_near"))
         .withColumnRenamed("new_id", id_col)
     )
-    return (
+    out = (
         new.select(id_col)
         .join(exact, id_col, "left")
         .join(near, id_col, "left")
@@ -856,6 +869,12 @@ def incremental_dedup(
         )
         .withColumn("keep", ~F.col("dup_exact") & ~F.col("dup_near"))
     )
+    try:
+        # increment-sized (one row per new doc) — cheap to pin, and it
+        # lets the corpus-shingle cache drop deterministically
+        return out.localCheckpoint(eager=True)
+    finally:
+        shc.unpersist()
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
