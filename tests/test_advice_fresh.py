@@ -291,7 +291,19 @@ def parse_findings() -> list[tuple[str, str]]:
 
 def test_every_advice_finding_is_triaged():
     findings = parse_findings()
-    assert findings, "ADVICE.md has no parseable findings — format drift?"
+    if not findings:
+        # an advice round can legitimately produce ZERO findings (the
+        # r15 ADVICE.md is a bare header) — only a non-empty body with
+        # nothing parseable indicates format drift
+        body = [
+            ln for ln in ADVICE.read_text().splitlines()
+            if ln.strip() and not ln.startswith("#")
+        ]
+        assert not body, (
+            "ADVICE.md has content but no parseable findings — format "
+            "drift?"
+        )
+        return
     untriaged = [k for k, _ in findings if k not in TRIAGE]
     assert not untriaged, (
         f"Untriaged ADVICE.md findings: {untriaged}. Triage each in "
